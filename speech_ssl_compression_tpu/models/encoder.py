@@ -1,0 +1,301 @@
+"""Functional transformer encoder with conv positional embedding.
+
+TPU-native rebuild of reference module.py:17-257 (TransformerSentenceEncoderLayer
+/ TransformerEncoder). Params are explicit pytrees; per-layer head counts and
+FFN widths are static config tuples so structured pruning just produces a
+smaller tree + config and re-jits.
+
+Layout conventions:
+  * linear kernels are (in_features, out_features)  [torch stores the
+    transpose]
+  * pos_conv keeps the torch weight-norm decomposition weight_g (1,1,K) /
+    weight_v (D, D//groups, K) so reference checkpoints map 1:1
+    (module.py:175-188).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import multi_head_self_attention as ATTENTION
+
+LN_EPS = 1e-5
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+def _normal(rng, shape, std=0.02, dtype=jnp.float32):
+    return std * jax.random.normal(rng, shape, dtype)
+
+
+def _torch_linear_uniform(rng, in_dim, out_dim, dtype=jnp.float32):
+    """torch nn.Linear default init (kaiming uniform, bound 1/sqrt(in))."""
+    kr, br = jax.random.split(rng)
+    bound = 1.0 / np.sqrt(in_dim)
+    kernel = jax.random.uniform(kr, (in_dim, out_dim), dtype, -bound, bound)
+    bias = jax.random.uniform(br, (out_dim,), dtype, -bound, bound)
+    return {"kernel": kernel, "bias": bias}
+
+
+def init_linear_bert(rng, in_dim, out_dim, dtype=jnp.float32):
+    """init_bert_params: weight ~ N(0, 0.02), bias = 0
+    (reference fairseq_code/init_bert_params.py:19-50)."""
+    return {
+        "kernel": _normal(rng, (in_dim, out_dim), dtype=dtype),
+        "bias": jnp.zeros((out_dim,), dtype),
+    }
+
+
+def init_layer_norm(dim, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def init_pos_conv(rng, embed_dim, kernel_size, groups, dtype=jnp.float32):
+    """Weight-normed grouped Conv1d positional embedding
+    (reference module.py:175-188): weight ~ N(0, sqrt(4 / (K * D))), bias 0,
+    then weight_norm(dim=2) decomposition."""
+    std = np.sqrt(4.0 / (kernel_size * embed_dim))
+    w = std * jax.random.normal(
+        rng, (embed_dim, embed_dim // groups, kernel_size), dtype
+    )
+    # weight_norm(dim=2): g[k] = ||w[:, :, k]||_2, v = w.
+    g = jnp.sqrt(jnp.sum(w**2, axis=(0, 1), keepdims=True))
+    return {
+        "weight_g": g,
+        "weight_v": w,
+        "bias": jnp.zeros((embed_dim,), dtype),
+    }
+
+
+def init_encoder_layer(rng, embed_dim, ffn_dim, num_heads, head_dim,
+                       dtype=jnp.float32):
+    ks = jax.random.split(rng, 6)
+    proj_dim = num_heads * head_dim
+    return {
+        "q_proj": init_linear_bert(ks[0], embed_dim, proj_dim, dtype),
+        "k_proj": init_linear_bert(ks[1], embed_dim, proj_dim, dtype),
+        "v_proj": init_linear_bert(ks[2], embed_dim, proj_dim, dtype),
+        "out_proj": init_linear_bert(ks[3], proj_dim, embed_dim, dtype),
+        "self_attn_layer_norm": init_layer_norm(embed_dim, dtype),
+        "fc1": init_linear_bert(ks[4], embed_dim, ffn_dim, dtype),
+        "fc2": init_linear_bert(ks[5], ffn_dim, embed_dim, dtype),
+        "final_layer_norm": init_layer_norm(embed_dim, dtype),
+    }
+
+
+def init_encoder(rng, cfg, dtype=jnp.float32):
+    """cfg: any config with encoder_{layers,embed_dim,ffn_embed_dim,
+    attention_heads}, head_dim, conv_pos, conv_pos_groups."""
+    n = cfg.encoder_layers
+    keys = jax.random.split(rng, n + 1)
+    layers = [
+        init_encoder_layer(
+            keys[i],
+            cfg.encoder_embed_dim,
+            cfg.encoder_ffn_embed_dim[i],
+            cfg.encoder_attention_heads[i],
+            cfg.head_dim,
+            dtype,
+        )
+        for i in range(n)
+    ]
+    return {
+        "pos_conv": init_pos_conv(
+            keys[n], cfg.encoder_embed_dim, cfg.conv_pos, cfg.conv_pos_groups,
+            dtype,
+        ),
+        "layer_norm": init_layer_norm(cfg.encoder_embed_dim, dtype),
+        "layers": layers,
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def layer_norm(x, p):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + LN_EPS) * p["scale"] + p["bias"]
+
+
+def _dropout(x, rng, p, deterministic):
+    if deterministic or p == 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - p, x.shape)
+    return jnp.where(keep, x / (1.0 - p), 0.0)
+
+
+def pos_conv_embed(x, p, groups: int, kernel_size: int):
+    """Grouped weight-normed Conv1d + SamePad crop + GELU
+    (reference module.py:175-188, same_pad.py:17-28). x: (B, T, D)."""
+    v = p["weight_v"]
+    norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True))
+    w = p["weight_g"] * v / jnp.maximum(norm, 1e-12)  # (D, D//g, K)
+
+    lhs = x.transpose(0, 2, 1)  # (B, D, T)
+    out = jax.lax.conv_general_dilated(
+        lhs.astype(w.dtype),
+        w,
+        window_strides=(1,),
+        padding=[(kernel_size // 2, kernel_size // 2)],
+        feature_group_count=groups,
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    out = out + p["bias"][None, :, None]
+    if kernel_size % 2 == 0:
+        out = out[:, :, :-1]  # SamePad: crop the extra frame for even K
+    out = jax.nn.gelu(out, approximate=False)
+    return out.transpose(0, 2, 1)
+
+
+def encoder_layer_forward(
+    x: jax.Array,  # (B, T, D)
+    p: dict,
+    *,
+    num_heads: int,
+    head_dim: int,
+    layer_norm_first: bool,
+    key_padding_mask: Optional[jax.Array],
+    causal: bool,
+    dropout: float,
+    attention_dropout: float,
+    activation_dropout: float,
+    rng: Optional[jax.Array],
+    deterministic: bool,
+    head_probe: Optional[jax.Array] = None,
+    attn_impl: str = "auto",
+):
+    """Post-LN (default) or pre-LN BERT layer (reference module.py:82-133).
+    Returns (x, context)."""
+    if rng is not None:
+        r_attn, r1, r2, r3 = jax.random.split(rng, 4)
+    else:
+        r_attn = r1 = r2 = r3 = None
+
+    def self_attn(h):
+        return ATTENTION(
+            h, p,
+            num_heads=num_heads,
+            head_dim=head_dim,
+            key_padding_mask=key_padding_mask,
+            causal=causal,
+            dropout_rng=r_attn,
+            dropout_p=0.0 if deterministic else attention_dropout,
+            head_probe=head_probe,
+            impl=attn_impl,
+        )
+
+    def ffn(h):
+        h = h @ p["fc1"]["kernel"] + p["fc1"]["bias"]
+        h = jax.nn.gelu(h, approximate=False)
+        h = _dropout(h, r2, activation_dropout, deterministic)
+        h = h @ p["fc2"]["kernel"] + p["fc2"]["bias"]
+        return h
+
+    if layer_norm_first:
+        residual = x
+        h = layer_norm(x, p["self_attn_layer_norm"])
+        h, context = self_attn(h)
+        h = _dropout(h, r1, dropout, deterministic)
+        x = residual + h
+
+        residual = x
+        h = layer_norm(x, p["final_layer_norm"])
+        h = ffn(h)
+        h = _dropout(h, r3, dropout, deterministic)
+        x = residual + h
+    else:
+        residual = x
+        h, context = self_attn(x)
+        h = _dropout(h, r1, dropout, deterministic)
+        x = layer_norm(residual + h, p["self_attn_layer_norm"])
+
+        residual = x
+        h = ffn(x)
+        h = _dropout(h, r3, dropout, deterministic)
+        x = layer_norm(residual + h, p["final_layer_norm"])
+
+    return x, context
+
+
+def encoder_forward(
+    x: jax.Array,  # (B, T, D)
+    params: dict,
+    cfg,
+    *,
+    padding_mask: Optional[jax.Array] = None,  # (B, T) bool, True = PAD
+    causal: bool = False,
+    get_hidden: bool = False,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    head_probes=None,  # list per layer or None
+    attn_impl: str = "auto",
+    remat: bool = False,
+):
+    """Reference TransformerEncoder.extract_features + forward
+    (module.py:215-257). Returns (x, layer_hiddens, contexts)."""
+    if padding_mask is not None:
+        x = jnp.where(padding_mask[:, :, None], 0.0, x)
+
+    x = x + pos_conv_embed(x, params["pos_conv"], cfg.conv_pos_groups,
+                           cfg.conv_pos)
+    if not cfg.layer_norm_first:
+        x = layer_norm(x, params["layer_norm"])
+    if rng is not None:
+        rng, r0 = jax.random.split(rng)
+        x = _dropout(x, r0, cfg.dropout, deterministic)
+
+    layer_hiddens = []
+    contexts = []
+    for i, lp in enumerate(params["layers"]):
+        lr = None
+        if rng is not None:
+            rng, lr = jax.random.split(rng)
+
+        def run_layer(h, lp=lp, i=i, lr=lr):
+            return encoder_layer_forward(
+                h, lp,
+                num_heads=cfg.encoder_attention_heads[i],
+                head_dim=cfg.head_dim,
+                layer_norm_first=cfg.layer_norm_first,
+                key_padding_mask=padding_mask,
+                causal=causal,
+                dropout=cfg.dropout,
+                attention_dropout=cfg.attention_dropout,
+                activation_dropout=cfg.activation_dropout,
+                rng=lr,
+                deterministic=deterministic,
+                head_probe=None if head_probes is None else head_probes[i],
+                attn_impl=attn_impl,
+            )
+
+        if remat:
+            run_layer = jax.checkpoint(run_layer)
+
+        if (not deterministic) and cfg.encoder_layerdrop > 0.0 and lr is not None:
+            # LayerDrop (reference module.py:242-250): skip the whole layer.
+            gate_rng, lr = jax.random.split(lr)
+            keep = jax.random.bernoulli(
+                gate_rng, 1.0 - cfg.encoder_layerdrop
+            )
+            new_x, context = run_layer(x)
+            x = jnp.where(keep, new_x, x)
+        else:
+            x, context = run_layer(x)
+
+        if get_hidden:
+            layer_hiddens.append(x)
+        if head_probes is not None:
+            contexts.append(context)
+
+    if cfg.layer_norm_first:
+        x = layer_norm(x, params["layer_norm"])
+
+    return x, layer_hiddens, contexts

@@ -1,0 +1,128 @@
+"""Multi-head self-attention for pruned transformer encoders.
+
+Replaces the reference's vendored fork of torch MHA
+(pytorch_code/forward_multihead_attention.py + fairseq_code/multihead_attention.py),
+whose two reasons to exist were:
+
+  1. run with a projected dim = head_dim * remaining_heads after head pruning
+     (skip_embed_dim_check, forward_multihead_attention.py:161-166) — here the
+     per-layer head count is just a static shape; nothing to skip;
+  2. expose the pre-out-proj context tensor and its gradient for data-driven
+     head scoring (context_layer_val, :231,241-243) — here the context is an
+     explicit value in a functional forward, and callers obtain its gradient
+     by differentiating w.r.t. an additive zero "probe" (see
+     compress/head_pruning.py), no retain_grad machinery needed.
+
+The dense path below is pure XLA (fused by the compiler); the TPU hot path
+is the Pallas flash-attention kernel in ops/flash_attention.py, selected by
+``impl=`` or automatically on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def dense_attention(
+    q: jax.Array,  # (B, H, T, d)
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    key_padding_mask: Optional[jax.Array] = None,  # (B, T) bool, True = PAD
+    causal: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_p: float = 0.0,
+) -> jax.Array:
+    """Dense scaled-dot-product attention, O(T^2) memory, XLA-fused.
+
+    q is expected *unscaled*; scaling by 1/sqrt(d) happens here, matching
+    reference forward_multihead_attention.py:39-69.
+    """
+    b, h, t, d = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, q.dtype))
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+
+    if key_padding_mask is not None:
+        bias = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, 0.0)
+        logits = logits + bias
+    if causal:
+        # Reference builds this with a Python loop on host (model.py:121-132);
+        # a broadcasted iota comparison is the XLA-native equivalent.
+        qi = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        logits = jnp.where((ki > qi)[None, None], NEG_INF, logits)
+
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    if dropout_p > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_p, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_p), 0.0)
+
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def multi_head_self_attention(
+    x: jax.Array,  # (B, T, D)
+    params: dict,  # {"q_proj","k_proj","v_proj","out_proj"} each {kernel,bias}
+    *,
+    num_heads: int,
+    head_dim: int,
+    key_padding_mask: Optional[jax.Array] = None,  # (B, T) bool, True = PAD
+    causal: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_p: float = 0.0,
+    head_probe: Optional[jax.Array] = None,  # (B, H, T, d) zeros, for scoring
+    impl: str = "auto",
+):
+    """Self-attention block with separate q/k/v/out projections.
+
+    Returns (out, context) where context is the pre-out-proj per-head tensor
+    (B, H, T, d) — the reference's ``context_layer_val``.
+
+    Kernels are stored (in_features, out_features); after head pruning the
+    out_features of q/k/v (and in_features of out) is num_heads * head_dim,
+    which may be smaller than D (reference hp_utils.py:108-186).
+    """
+    b, t, d_model = x.shape
+
+    def proj(name):
+        p = params[name]
+        return x @ p["kernel"] + p["bias"]
+
+    q = proj("q_proj").reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
+    k = proj("k_proj").reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
+    v = proj("v_proj").reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    use_flash = impl == "flash" or (
+        impl == "auto"
+        and dropout_p == 0.0
+        and jax.default_backend() == "tpu"
+    )
+    if use_flash:
+        from .flash_attention import flash_attention
+
+        context = flash_attention(
+            q, k, v, key_padding_mask=key_padding_mask, causal=causal
+        )
+    else:
+        context = dense_attention(
+            q, k, v,
+            key_padding_mask=key_padding_mask,
+            causal=causal,
+            dropout_rng=dropout_rng,
+            dropout_p=dropout_p,
+        )
+
+    if head_probe is not None:
+        # d(loss)/d(head_probe) == d(loss)/d(context): the probe is zeros.
+        context = context + head_probe
+
+    ctx = context.transpose(0, 2, 1, 3).reshape(b, t, num_heads * head_dim)
+    out = ctx @ params["out_proj"]["kernel"] + params["out_proj"]["bias"]
+    return out, context

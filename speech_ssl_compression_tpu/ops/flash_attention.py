@@ -1,0 +1,175 @@
+"""Pallas TPU flash attention (forward) with padding/causal masking.
+
+TPU-native replacement for the reference's unfused attention
+(pytorch_code/forward_multihead_attention.py:39-69: full (B*H, T, T) score
+matrix in HBM). Online-softmax tiling keeps the working set in VMEM:
+HBM traffic drops from O(T^2) to O(T * d), which is the difference that lets
+10 ms (T≈3000) utterances run at full MXU utilization.
+
+Head pruning changes only the H dimension of the inputs — the kernel is
+oblivious to per-layer head counts (the per-layer projections upstream decide
+them), which is exactly the property the reference had to fork torch MHA for.
+
+Differentiation: the op carries a custom_vjp whose backward recomputes
+attention with dense XLA ops (O(T^2) but fused and only during training,
+where T<=1536 at reference batch sizes). A Pallas backward kernel is a
+planned optimization; the vjp seam is already in place.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import dense_attention
+
+NEG_INF = -1e30
+_BLOCK_Q = 256
+_BLOCK_K = 256
+
+
+def _fa_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal,
+               block_k, seq_len):
+    # Block shapes: q (1,1,BQ,d), k/v (1,1,T,d), bias (1,T), o (1,1,BQ,d).
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # (BQ, d)
+    bq, d = q.shape
+    num_k_blocks = seq_len // block_k
+    qi = pl.program_id(2)
+
+    def body(ki, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK)
+        s = s + bias_ref[0, pl.ds(ki * block_k, block_k)][None, :]
+        if causal:
+            q_pos = qi * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 0
+            )
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1
+            )
+            s = jnp.where(k_pos > q_pos, NEG_INF, s)
+
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
+
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _pad_to(x, target, axis, value=0.0):
+    pad = target - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash(q, k, v, bias, causal):
+    return _flash_fwd_impl(q, k, v, bias, causal)
+
+
+def _flash_fwd_impl(q, k, v, bias, causal):
+    b, h, t, d = q.shape
+    block_q = min(_BLOCK_Q, t)
+    block_k = min(_BLOCK_K, t)
+    t_pad = -(-t // max(block_q, block_k)) * max(block_q, block_k)
+
+    qp = _pad_to(q, t_pad, axis=2)
+    kp = _pad_to(k, t_pad, axis=2)
+    vp = _pad_to(v, t_pad, axis=2)
+    biasp = _pad_to(bias, t_pad, axis=1, value=NEG_INF)
+
+    scale = 1.0 / (d ** 0.5)
+    grid = (b, h, t_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _fa_kernel,
+            scale=scale,
+            causal=causal,
+            block_k=block_k,
+            seq_len=t_pad,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
+            ),
+            pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, t_pad), lambda bi, hi, qi: (bi, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+    )(qp, kp, vp, biasp)
+    return out[:, :, :t, :]
+
+
+def _flash_fwd(q, k, v, bias, causal):
+    return _flash_fwd_impl(q, k, v, bias, causal), (q, k, v, bias)
+
+
+def _flash_bwd(causal, res, g):
+    q, k, v, bias = res
+
+    def dense(q, k, v, bias):
+        b, h, t, d = q.shape
+        scale = 1.0 / (d ** 0.5)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
+            k.astype(jnp.float32), preferred_element_type=jnp.float32,
+        ) + bias[:, None, None, :]
+        if causal:
+            qi = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+            ki = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+            logits = jnp.where((ki > qi)[None, None], NEG_INF, logits)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(jnp.float32)).astype(q.dtype)
+
+    _, vjp = jax.vjp(dense, q, k, v, bias)
+    dq, dk, dv, dbias = vjp(g)
+    return dq, dk, dv, dbias
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,  # (B, H, T, d), unscaled
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    key_padding_mask: Optional[jax.Array] = None,  # (B, T) bool, True = PAD
+    causal: bool = False,
+) -> jax.Array:
+    b, _, t, _ = q.shape
+    if key_padding_mask is None:
+        bias = jnp.zeros((b, t), jnp.float32)
+    else:
+        bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
+    return _flash(q, k, v, bias, causal)

@@ -1,0 +1,230 @@
+"""Convert reference PyTorch checkpoints to param pytrees.
+
+The reference saves self-describing checkpoints
+(upstream/melhubert/mh_utils.py:16-31): a dict with ``model`` (state dict),
+``Upstream_Config``, optional ``Pruned_heads`` (head pruning) and ``Pruning``
+(weight pruning: state dicts then hold ``weight_orig``/``weight_mask`` pairs,
+pytorch_code/prune.py:185-208). This module maps all five checkpoint flavors
+onto our (params, masks, config) representation:
+
+  * dense / distilled / row-pruned   -> params, masks=None
+  * weight-pruned (mask-*)           -> params (= orig), masks pytree
+  * weight-pruned after prune.remove -> params, masks=None
+  * head-pruned                      -> params with smaller per-layer q/k/v/out
+                                        + per-layer head counts in the config
+
+Tensors may come in as torch.Tensors or numpy arrays; everything goes out as
+numpy (the caller puts them on device).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..configs import MelHuBERTConfig
+
+
+def _to_np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def _linear(sd: dict, prefix: str) -> dict:
+    """torch Linear (out,in) -> {"kernel": (in,out), "bias": (out,)}.
+    Handles weight-pruning reparametrization (weight_orig * weight_mask)."""
+    out = {}
+    for name, key in (("kernel", "weight"), ("bias", "bias")):
+        if f"{prefix}.{key}" in sd:
+            val = _to_np(sd[f"{prefix}.{key}"])
+        elif f"{prefix}.{key}_orig" in sd:
+            val = _to_np(sd[f"{prefix}.{key}_orig"]) * _to_np(
+                sd[f"{prefix}.{key}_mask"]
+            )
+        else:
+            raise KeyError(f"{prefix}.{key}")
+        out[name] = val.T.astype(np.float32) if name == "kernel" else val.astype(np.float32)
+    return out
+
+
+def _linear_mask(sd: dict, prefix: str) -> Optional[dict]:
+    if f"{prefix}.weight_mask" not in sd:
+        return None
+    m = {"kernel": _to_np(sd[f"{prefix}.weight_mask"]).T.astype(np.float32)}
+    if f"{prefix}.bias_mask" in sd:
+        m["bias"] = _to_np(sd[f"{prefix}.bias_mask"]).astype(np.float32)
+    return m
+
+
+def _layer_norm(sd: dict, prefix: str) -> dict:
+    return {
+        "scale": _to_np(sd[f"{prefix}.weight"]).astype(np.float32),
+        "bias": _to_np(sd[f"{prefix}.bias"]).astype(np.float32),
+    }
+
+
+def melhubert_state_dict_to_params(
+    sd: Dict[str, "np.ndarray"],
+    keep_masks: bool = True,
+) -> Tuple[dict, Optional[dict], dict]:
+    """Returns (params, masks, arch_info).
+
+    arch_info: {"heads_per_layer": [...] or None (unknown: dense),
+                "ffn_per_layer": [...], "n_layers": int, "head_dim": guess}
+    masks: pytree matching the pruned leaves (1/0 float) or None.
+    """
+    sd = {k: v for k, v in sd.items()}
+    params: dict = {}
+    masks: dict = {}
+
+    if "pre_extract_proj.weight" in sd:
+        params["pre_extract_proj"] = _linear(sd, "pre_extract_proj")
+    if "mask_emb" in sd:
+        params["mask_emb"] = _to_np(sd["mask_emb"]).astype(np.float32)
+    params["final_proj"] = _linear(sd, "final_proj")
+
+    layer_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            for m in [re.match(r"encoder\.layers\.(\d+)\.", k)]
+            if m
+        }
+    )
+    enc = {
+        "pos_conv": {
+            "weight_g": _to_np(sd["encoder.pos_conv.0.weight_g"]).astype(np.float32),
+            "weight_v": _to_np(sd["encoder.pos_conv.0.weight_v"]).astype(np.float32),
+            "bias": _to_np(sd["encoder.pos_conv.0.bias"]).astype(np.float32),
+        },
+        "layer_norm": _layer_norm(sd, "encoder.layer_norm"),
+        "layers": [],
+    }
+
+    qkv_out_dims = []
+    ffn_dims = []
+    any_mask = False
+    for i in layer_ids:
+        pre = f"encoder.layers.{i}"
+        lp = {
+            "q_proj": _linear(sd, f"{pre}.self_attn.q_proj"),
+            "k_proj": _linear(sd, f"{pre}.self_attn.k_proj"),
+            "v_proj": _linear(sd, f"{pre}.self_attn.v_proj"),
+            "out_proj": _linear(sd, f"{pre}.self_attn.out_proj"),
+            "self_attn_layer_norm": _layer_norm(sd, f"{pre}.self_attn_layer_norm"),
+            "fc1": _linear(sd, f"{pre}.fc1"),
+            "fc2": _linear(sd, f"{pre}.fc2"),
+            "final_layer_norm": _layer_norm(sd, f"{pre}.final_layer_norm"),
+        }
+        enc["layers"].append(lp)
+        qkv_out_dims.append(lp["q_proj"]["kernel"].shape[1])
+        ffn_dims.append(lp["fc1"]["kernel"].shape[1])
+
+        lm = {}
+        for name, tpre in (
+            ("q_proj", f"{pre}.self_attn.q_proj"),
+            ("k_proj", f"{pre}.self_attn.k_proj"),
+            ("v_proj", f"{pre}.self_attn.v_proj"),
+            ("out_proj", f"{pre}.self_attn.out_proj"),
+            ("fc1", f"{pre}.fc1"),
+            ("fc2", f"{pre}.fc2"),
+        ):
+            m = _linear_mask(sd, tpre)
+            if m is not None:
+                lm[name] = m
+                any_mask = True
+        masks[f"layer_{i}"] = lm
+
+    params["encoder"] = enc
+
+    arch_info = {
+        "n_layers": len(layer_ids),
+        "qkv_out_dims": qkv_out_dims,
+        "ffn_per_layer": ffn_dims,
+    }
+    mask_tree = masks if (any_mask and keep_masks) else None
+    return params, mask_tree, arch_info
+
+
+def load_reference_checkpoint(path: str):
+    """Load a reference .ckpt (torch.save dict) into
+    (params, masks, MelHuBERTConfig, extras). Requires torch (CPU) at call
+    time only."""
+    import torch
+
+    all_states = torch.load(path, map_location="cpu", weights_only=False)
+    up_cfg = all_states["Upstream_Config"]
+    cfg_dict = dict(
+        up_cfg.get("melhubert") or up_cfg.get("hubert") or up_cfg.get("student")
+    )
+    params, mask_tree, arch_info = melhubert_state_dict_to_params(
+        all_states["model"]
+    )
+
+    cfg = MelHuBERTConfig.from_dict(cfg_dict)
+    head_dim = cfg.head_dim
+    heads = tuple(d // head_dim for d in arch_info["qkv_out_dims"])
+    cfg = cfg.with_heads(heads).with_ffn_dims(arch_info["ffn_per_layer"])
+
+    extras = {
+        k: all_states[k]
+        for k in ("Pruned_heads", "Pruning", "Step", "TotalStep")
+        if k in all_states
+    }
+    return params, mask_tree, cfg, extras
+
+
+def params_to_state_dict(params: dict, masks: Optional[dict] = None) -> dict:
+    """Inverse mapping, for exporting checkpoints the reference tooling (and
+    its S3PRL adapter) can read. Returns numpy state dict with torch naming.
+    When ``masks`` is given, emits weight_orig/weight_mask pairs for the
+    pruned leaves like pytorch_code/prune.py does."""
+    sd = {}
+
+    def put_linear(prefix, p, m=None):
+        if m is None:
+            sd[f"{prefix}.weight"] = np.ascontiguousarray(p["kernel"].T)
+            sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+        else:
+            sd[f"{prefix}.weight_orig"] = np.ascontiguousarray(p["kernel"].T)
+            sd[f"{prefix}.weight_mask"] = np.ascontiguousarray(m["kernel"].T)
+            if "bias" in m:
+                sd[f"{prefix}.bias_orig"] = np.asarray(p["bias"])
+                sd[f"{prefix}.bias_mask"] = np.asarray(m["bias"])
+            else:
+                sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    def put_ln(prefix, p):
+        sd[f"{prefix}.weight"] = np.asarray(p["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    if "pre_extract_proj" in params:
+        put_linear("pre_extract_proj", params["pre_extract_proj"])
+    if "mask_emb" in params:
+        sd["mask_emb"] = np.asarray(params["mask_emb"])
+    put_linear("final_proj", params["final_proj"])
+
+    enc = params["encoder"]
+    sd["encoder.pos_conv.0.weight_g"] = np.asarray(enc["pos_conv"]["weight_g"])
+    sd["encoder.pos_conv.0.weight_v"] = np.asarray(enc["pos_conv"]["weight_v"])
+    sd["encoder.pos_conv.0.bias"] = np.asarray(enc["pos_conv"]["bias"])
+    put_ln("encoder.layer_norm", enc["layer_norm"])
+
+    for i, lp in enumerate(enc["layers"]):
+        pre = f"encoder.layers.{i}"
+        lm = (masks or {}).get(f"layer_{i}", {})
+        put_linear(f"{pre}.self_attn.q_proj", lp["q_proj"], lm.get("q_proj"))
+        put_linear(f"{pre}.self_attn.k_proj", lp["k_proj"], lm.get("k_proj"))
+        put_linear(f"{pre}.self_attn.v_proj", lp["v_proj"], lm.get("v_proj"))
+        put_linear(f"{pre}.self_attn.out_proj", lp["out_proj"], lm.get("out_proj"))
+        put_ln(f"{pre}.self_attn_layer_norm", lp["self_attn_layer_norm"])
+        put_linear(f"{pre}.fc1", lp["fc1"], lm.get("fc1"))
+        put_linear(f"{pre}.fc2", lp["fc2"], lm.get("fc2"))
+        put_ln(f"{pre}.final_layer_norm", lp["final_layer_norm"])
+    return sd

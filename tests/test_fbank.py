@@ -1,0 +1,82 @@
+import numpy as np
+import jax.numpy as jnp
+
+from speech_ssl_compression_tpu.ops.fbank import (
+    kaldi_fbank,
+    kaldi_fbank_np,
+    mel_banks,
+    num_frames,
+    stack_frame_pairs,
+    stack_frame_pairs_np,
+)
+
+
+def _wave(n=16000 * 2, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000.0
+    wav = 0.3 * np.sin(2 * np.pi * 220 * t) + 0.05 * rng.standard_normal(n)
+    return (wav * (2**15)).astype(np.float64)
+
+
+def test_mel_banks_shape_and_partition():
+    bank = mel_banks(40, 512, 16000.0)
+    assert bank.shape == (40, 257)
+    assert bank[:, -1].sum() == 0.0  # Nyquist column zero (Kaldi)
+    assert (bank >= 0).all() and (bank <= 1.0 + 1e-12).all()
+    # interior fft bins should be covered by at least one triangle
+    interior = bank[:, 10:200].sum(axis=0)
+    assert (interior > 0).all()
+
+
+def test_num_frames_snip_edges():
+    assert num_frames(400) == 1
+    assert num_frames(399) == 0
+    assert num_frames(560) == 2
+    assert num_frames(16000) == 1 + (16000 - 400) // 160
+
+
+def test_jax_matches_numpy_oracle():
+    wav = _wave()
+    ref = kaldi_fbank_np(wav)
+    m = ref.shape[0]
+    max_frames = m + 7
+    max_samples = len(wav) + 320
+    padded = np.zeros(max_samples, np.float32)
+    padded[: len(wav)] = wav
+    feats, n_valid = kaldi_fbank(
+        jnp.asarray(padded), jnp.int32(len(wav)), max_frames
+    )
+    feats = np.asarray(feats)
+    assert int(n_valid) == m
+    # XLA computes the rfft in true float32 (numpy upcasts to f64 internally),
+    # so the jitted path carries ~3e-4 log-domain noise; the parity-critical
+    # CLI path uses the f64 numpy oracle directly.
+    rel = np.abs(feats[:m] - ref) / (np.abs(ref) + 1e-6)
+    assert rel.max() < 1e-3, rel.max()
+    assert np.all(feats[m:] == 0.0)
+
+
+def test_stack_frame_pairs_odd_even():
+    feats = np.arange(7 * 3, dtype=np.float64).reshape(7, 3)
+    out = stack_frame_pairs_np(feats)
+    assert out.shape == (4, 6)
+    np.testing.assert_array_equal(out[0, :3], feats[0])
+    np.testing.assert_array_equal(out[0, 3:], feats[1])
+    np.testing.assert_array_equal(out[3, :3], feats[6])
+    np.testing.assert_array_equal(out[3, 3:], 0.0)  # zero-padded odd tail
+
+    # JAX static-shape variant agrees
+    padded = np.zeros((10, 3), np.float32)
+    padded[:7] = feats
+    jout, n = stack_frame_pairs(jnp.asarray(padded), jnp.int32(7))
+    assert int(n) == 4
+    np.testing.assert_allclose(np.asarray(jout)[:4], out, rtol=1e-6)
+    assert np.all(np.asarray(jout)[4:] == 0.0)
+
+
+def test_fbank_scaling_invariance_checks():
+    # log-domain: scaling the waveform by 2 shifts every bin by log(4) (power)
+    wav = _wave()
+    a = kaldi_fbank_np(wav)
+    b = kaldi_fbank_np(2.0 * wav)
+    np.testing.assert_allclose(b - a, np.log(4.0), atol=1e-6)
