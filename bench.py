@@ -1,0 +1,116 @@
+"""Benchmark harness (driver contract): prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric: MelHuBERT-20ms feature-extraction throughput
+(frames/sec/chip) on the flagship 12L/768 architecture over the two bundled
+LibriSpeech flacs — the reference's only runnable end-to-end fixture
+(extract_feature.py). Baseline = torch-CPU replica of the reference forward,
+measured on this machine by tools/measure_reference_baseline.py
+(BASELINE_local.json).
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+    from speech_ssl_compression_tpu.data.audio import read_audio
+    from speech_ssl_compression_tpu.extract import load_mean_std, wav_to_mel
+    from speech_ssl_compression_tpu.models import (
+        init_melhubert_params,
+        melhubert_forward,
+    )
+
+    examples = pathlib.Path("/root/reference/example")
+    if not examples.exists():
+        examples = pathlib.Path(__file__).parent / "example"
+
+    mean, std = load_mean_std(str(examples / "libri-960-mean-std.npy"))
+    mels = []
+    for name in ("100-121669-0000.flac", "1001-134707-0000.flac"):
+        wav, _ = read_audio(examples / name)
+        mels.append(wav_to_mel(wav[0], mean, std, fp=20))
+    lengths = [m.shape[0] for m in mels]
+    t = max(lengths)
+    t_pad = -(-t // 128) * 128
+    feat = np.zeros((2, t_pad, 80), np.float32)
+    for i, m in enumerate(mels):
+        feat[i, : len(m)] = m
+    pad_mask = (np.arange(t_pad)[None, :] < np.array(lengths)[:, None]).astype(
+        np.float32
+    )
+
+    cfg = MelHuBERTConfig.from_dict(
+        {
+            "feat_emb_dim": 80,
+            "encoder_layers": 12,
+            "encoder_embed_dim": 768,
+            "encoder_ffn_embed_dim": 3072,
+            "encoder_attention_heads": 12,
+            "num_cluster": 512,
+        }
+    )
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+
+    # Serve-style batch: the two utterances replicated 4x (B=8).
+    reps = 4
+    feat = np.tile(feat, (reps, 1, 1))
+    pad_mask = np.tile(pad_mask, (reps, 1))
+
+    # Timing methodology: N forwards chained inside ONE jit (each iteration
+    # consumes the previous output) ending in a scalar fetch — the remote
+    # (axon) backend's block_until_ready does not actually synchronize, so
+    # free-running dispatch loops measure nothing.
+    n_rep = 10
+
+    @jax.jit
+    def chained(params, feat, pad_mask):
+        def body(x, _):
+            out = melhubert_forward(
+                params, cfg, x, pad_mask, mask=False, no_pred=True
+            )
+            return x + 1e-12 * out["hidden"][:, :, :80], ()
+        x, _ = jax.lax.scan(body, feat, None, length=n_rep)
+        return jnp.sum(x)
+
+    jf = jnp.asarray(feat)
+    jp = jnp.asarray(pad_mask)
+    float(chained(params, jf, jp))  # compile + warm
+    t0 = time.time()
+    float(chained(params, jf, jp))
+    dt = (time.time() - t0) / n_rep
+
+    n_frames = int(sum(lengths)) * reps
+    fps = n_frames / dt
+
+    baseline_path = pathlib.Path(__file__).parent / "BASELINE_local.json"
+    vs = None
+    if baseline_path.exists():
+        base = json.loads(baseline_path.read_text())
+        ref_fps = base["reference_cpu_extraction"]["frames_per_sec"]
+        vs = fps / ref_fps
+
+    print(
+        json.dumps(
+            {
+                "metric": "melhubert20ms_extraction_frames_per_sec_per_chip",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(vs, 2) if vs is not None else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

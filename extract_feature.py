@@ -1,0 +1,84 @@
+"""Feature-extraction CLI — same interface as the reference
+(extract_feature.py:14-24): extracts MelHuBERT features from the two bundled
+LibriSpeech flacs with any of the five checkpoint flavors.
+
+    python3 extract_feature.py -m MODE -c CKPT [-f {10,20}] [-d {360,960}]
+        [--backend {tpu,cpu}]
+
+MODE in {melhubert, weight-pruning, head-pruning, row-pruning, distillation}
+is accepted for interface parity; flavor detection is automatic from the
+checkpoint itself (weight masks are folded, per-layer head counts inferred).
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+EXAMPLE_DIR = pathlib.Path("/root/reference/example")
+if not EXAMPLE_DIR.exists():
+    EXAMPLE_DIR = pathlib.Path(__file__).resolve().parent / "example"
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "-m", "--mode",
+        choices=["melhubert", "weight-pruning", "head-pruning",
+                 "row-pruning", "distillation"],
+        default="melhubert",
+        help="Inference mode (interface parity; flavor is auto-detected)",
+    )
+    parser.add_argument("-c", "--checkpoint", required=True,
+                        help="Path to model checkpoint (.ckpt torch or .npz)")
+    parser.add_argument("-f", "--fp", type=int, default=20,
+                        help="frame period")
+    parser.add_argument("-d", "--hours", type=int, choices=[360, 960],
+                        default=960)
+    parser.add_argument("--backend", default=None,
+                        help="jax platform override (e.g. cpu)")
+    parser.add_argument("--wav", nargs="*", default=None,
+                        help="optional custom audio paths")
+    return parser.parse_args()
+
+
+def main():
+    args = get_args()
+    if args.backend:
+        import jax
+
+        jax.config.update("jax_platforms", args.backend)
+
+    from speech_ssl_compression_tpu.extract import MelHuBERTExtractor
+
+    print(f"[Extractor] - Extracting feature with {args.mode} mode")
+    wav_path = args.wav or [
+        str(EXAMPLE_DIR / "100-121669-0000.flac"),
+        str(EXAMPLE_DIR / "1001-134707-0000.flac"),
+    ]
+    print(f"[Extractor] - Extracting feature from these files: {wav_path}")
+
+    mean_std = EXAMPLE_DIR / f"libri-{args.hours}-mean-std.npy"
+    extractor = MelHuBERTExtractor(
+        args.checkpoint, fp=args.fp, mean_std_npy_path=str(mean_std)
+    )
+    print(
+        f"[Extractor] - Successfully load model with "
+        f"{extractor.num_params()} parameters"
+    )
+
+    t0 = time.time()
+    out = extractor.forward_files(wav_path)
+    last = out["last_hidden_state"]
+    last.block_until_ready()
+    dt = time.time() - t0
+    n_frames = sum(out["lengths"])
+    print(f"[Extractor] - Feature with shape of {tuple(last.shape)} is extracted")
+    print(f"[Extractor] - {n_frames} frames in {dt:.3f}s "
+          f"({n_frames/dt:.0f} frames/s incl. compile)")
+
+
+if __name__ == "__main__":
+    main()

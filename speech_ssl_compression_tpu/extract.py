@@ -1,0 +1,171 @@
+"""Feature extraction API — the minimum end-to-end slice (SURVEY.md §7.2).
+
+Mirrors reference extract_feature.py + s3prl_upstream/expert.py: load any of
+the five checkpoint flavors (dense / distilled / row-pruned / weight-pruned /
+head-pruned), featurize waveforms with the Kaldi-compatible fbank, and run
+the encoder with ``no_pred=True, get_hidden=True``.
+
+Checkpoint-flavor handling is uniform here: the state-dict converter already
+folds weight_orig*weight_mask ("prune.remove", extract_feature.py:104-114)
+and infers per-layer head counts from projection shapes (the reference
+instead re-creates nn.Linear modules from Pruned_heads metadata,
+extract_feature.py:116-137).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .configs import MelHuBERTConfig
+from .models import melhubert_forward
+from .ops.fbank import kaldi_fbank_np, normalize_fbank, stack_frame_pairs_np
+from .data.audio import read_audio
+
+
+def load_mean_std(mean_std_npy_path: str) -> Tuple[np.ndarray, np.ndarray]:
+    mean_std = np.load(mean_std_npy_path)
+    return mean_std[0].reshape(-1), mean_std[1].reshape(-1)
+
+
+def wav_to_mel(
+    waveform: np.ndarray,  # (n,) float in [-1, 1]
+    mean: np.ndarray,
+    std: np.ndarray,
+    fp: int = 20,
+) -> np.ndarray:
+    """Reference extract_fbank (extract_feature.py:32-53): x 2**15 scaling,
+    40-bin Kaldi fbank, per-dim normalize, optional 20 ms stacking."""
+    y = kaldi_fbank_np(np.asarray(waveform, np.float64) * (2**15))
+    y = normalize_fbank(y, mean, std)
+    if fp == 20:
+        y = stack_frame_pairs_np(y)
+    return y.astype(np.float32)
+
+
+def load_any_checkpoint(path: str):
+    """Load either a reference torch .ckpt or our .npz checkpoint.
+    Returns (params, cfg, extras)."""
+    if path.endswith(".npz"):
+        from .utils.checkpoint import load_checkpoint
+        from .compress.weight_pruning import apply_masks
+
+        state = load_checkpoint(path)
+        meta = state["meta"]
+        up = meta.get("Upstream_Config", {})
+        cfg_dict = dict(up.get("melhubert") or up.get("hubert")
+                        or up.get("student") or {})
+        cfg = MelHuBERTConfig.from_dict(cfg_dict)
+        params = state["params"]
+        if state["masks"] is not None:
+            params = apply_masks(params, state["masks"])
+        # architecture may have been pruned: infer static dims from shapes
+        heads = tuple(
+            int(l["q_proj"]["kernel"].shape[1]) // cfg.head_dim
+            for l in params["encoder"]["layers"]
+        )
+        ffns = tuple(
+            int(l["fc1"]["kernel"].shape[1])
+            for l in params["encoder"]["layers"]
+        )
+        cfg = cfg.with_heads(heads).with_ffn_dims(ffns)
+        return params, cfg, meta
+    from .utils.torch_convert import load_reference_checkpoint
+
+    params, masks, cfg, extras = load_reference_checkpoint(path)
+    # masks folded already by the converter (weight = orig * mask)
+    return params, cfg, extras
+
+
+class MelHuBERTExtractor:
+    """S3PRL-style inference wrapper (reference s3prl_upstream/expert.py).
+
+    forward(wavs) -> {"hidden_states": [pre_feat] + layer_hiddens,
+                      "last_hidden_state": hidden}
+    """
+
+    def __init__(
+        self,
+        ckpt: str,
+        fp: int = 20,
+        mean_std_npy_path: Optional[str] = None,
+        dtype=jnp.float32,
+        pad_multiple: int = 128,
+        matmul_precision: str = "highest",
+    ):
+        self.fp = fp
+        self.pad_multiple = pad_multiple
+        self.dtype = dtype
+        self.matmul_precision = matmul_precision
+        params, cfg, extras = load_any_checkpoint(ckpt)
+        self.cfg = cfg
+        self.params = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype), params,
+            is_leaf=lambda x: not isinstance(x, (dict, list)),
+        )
+        self.extras = extras
+        if mean_std_npy_path is not None:
+            self.mean, self.std = load_mean_std(mean_std_npy_path)
+        else:
+            self.mean = np.zeros(40)
+            self.std = np.ones(40)
+        self._jit_forward = functools.partial(
+            self._forward_impl, self.cfg, self.matmul_precision
+        )
+
+    @staticmethod
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _forward_impl(cfg, precision, params, feat, pad_mask):
+        with jax.default_matmul_precision(precision):
+            return melhubert_forward(
+                params, cfg, feat, pad_mask,
+                mask=False, no_pred=True, get_hidden=True,
+            )
+
+    def get_downsample_rates(self, key: str = "") -> int:
+        return 320 if self.fp == 20 else 160
+
+    def num_params(self) -> int:
+        return sum(
+            int(np.prod(np.shape(x))) for x in jax.tree.leaves(self.params)
+        )
+
+    def featurize(self, wavs: Sequence[np.ndarray]):
+        mels = [wav_to_mel(w, self.mean, self.std, self.fp) for w in wavs]
+        lengths = [m.shape[0] for m in mels]
+        t = max(lengths)
+        t_pad = -(-t // self.pad_multiple) * self.pad_multiple
+        b = len(mels)
+        d = mels[0].shape[1]
+        feat = np.zeros((b, t_pad, d), np.float32)
+        for i, m in enumerate(mels):
+            feat[i, : m.shape[0]] = m
+        pad_mask = (
+            np.arange(t_pad)[None, :] < np.asarray(lengths)[:, None]
+        ).astype(np.float32)
+        return feat, pad_mask, lengths
+
+    def forward(self, wavs: Sequence[np.ndarray]) -> dict:
+        feat, pad_mask, lengths = self.featurize(wavs)
+        out = self._jit_forward(
+            self.params,
+            jnp.asarray(feat, self.dtype),
+            jnp.asarray(pad_mask),
+        )
+        return {
+            "hidden_states": [out["pre_feat"]] + list(out["layer_hiddens"]),
+            "last_hidden_state": out["hidden"],
+            "lengths": lengths,
+        }
+
+    def forward_files(self, paths: Sequence[str]) -> dict:
+        wavs = []
+        for p in paths:
+            wav, sr = read_audio(p)
+            assert sr == 16000, f"{p}: expected 16 kHz, got {sr}"
+            wavs.append(wav[0])
+        return self.forward(wavs)

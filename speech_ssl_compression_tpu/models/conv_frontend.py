@@ -1,0 +1,95 @@
+"""Waveform conv frontend (reference module.py:270-394
+ConvFeatureExtractionModel + Fp32GroupNorm/Fp32LayerNorm).
+
+Default (HuBERT/wav2vec2 base) spec: [(512,10,5)] + [(512,3,2)]*4 +
+[(512,2,2)]*2, no bias, GroupNorm(512, 512) after layer 0 only, exact GELU.
+"mode='layer_norm'" applies a per-layer fp32 LayerNorm over channels instead.
+
+Norms run in float32 regardless of compute dtype (reference Fp32* wrappers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def init_conv_frontend(rng, conv_layers, mode="default", conv_bias=False,
+                       dtype=jnp.float32):
+    params = []
+    in_d = 1
+    keys = jax.random.split(rng, len(conv_layers))
+    for i, (dim, k, stride) in enumerate(conv_layers):
+        # kaiming_normal_ (fan_in, relu gain) like nn.init.kaiming_normal_
+        fan_in = in_d * k
+        std = np.sqrt(2.0 / fan_in)
+        layer = {
+            "weight": std * jax.random.normal(keys[i], (dim, in_d, k), dtype)
+        }
+        if conv_bias:
+            layer["bias"] = jnp.zeros((dim,), dtype)
+        if mode == "default" and i == 0:
+            layer["group_norm"] = {
+                "scale": jnp.ones((dim,), jnp.float32),
+                "bias": jnp.zeros((dim,), jnp.float32),
+            }
+        elif mode == "layer_norm":
+            layer["layer_norm"] = {
+                "scale": jnp.ones((dim,), jnp.float32),
+                "bias": jnp.zeros((dim,), jnp.float32),
+            }
+        params.append(layer)
+        in_d = dim
+    return params
+
+
+def _instance_norm_fp32(x, p):
+    """GroupNorm(C, C) == per-channel normalization over time. x: (B, C, T)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=2, keepdims=True)
+    var = jnp.var(x32, axis=2, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    out = out * p["scale"][None, :, None] + p["bias"][None, :, None]
+    return out.astype(x.dtype)
+
+
+def _channel_layer_norm_fp32(x, p):
+    """LayerNorm over the channel dim. x: (B, C, T)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.var(x32, axis=1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    out = out * p["scale"][None, :, None] + p["bias"][None, :, None]
+    return out.astype(x.dtype)
+
+
+def conv_frontend_forward(params, conv_layers, source, mode="default"):
+    """source: (B, T_wave) -> (B, C, T_frames)."""
+    x = source[:, None, :]  # (B, 1, T)
+    for i, (layer, (dim, k, stride)) in enumerate(zip(params, conv_layers)):
+        x = jax.lax.conv_general_dilated(
+            x, layer["weight"].astype(x.dtype),
+            window_strides=(stride,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
+        if "bias" in layer:
+            x = x + layer["bias"][None, :, None]
+        if "group_norm" in layer:
+            x = _instance_norm_fp32(x, layer["group_norm"])
+        elif "layer_norm" in layer:
+            x = _channel_layer_norm_fp32(x, layer["layer_norm"])
+        x = jax.nn.gelu(x, approximate=False)
+    return x
+
+
+def conv_output_length(n_samples: int, conv_layers) -> int:
+    n = n_samples
+    for _, k, stride in conv_layers:
+        n = (n - k) // stride + 1
+    return n
+
+
+def conv_downsample_rate(conv_layers) -> int:
+    return int(np.prod([s for _, _, s in conv_layers]))

@@ -1,0 +1,118 @@
+"""Gumbel-softmax vector quantizer
+(reference fairseq_code/gumbel_vector_quantizer.py:1-211).
+
+Functional JAX version: temperature is an explicit argument (annealed by the
+caller per step, reference set_num_updates :95-99); hard sampling uses the
+straight-through estimator; perplexities are computed exactly as the
+reference (sum over groups of exp(entropy)).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def init_gumbel_vq(rng, dim, num_vars, groups, vq_dim, combine_groups=False,
+                   dtype=jnp.float32):
+    assert vq_dim % groups == 0
+    var_dim = vq_dim // groups
+    num_groups = 1 if combine_groups else groups
+    k_vars, k_proj = jax.random.split(rng)
+    return {
+        "vars": jax.random.uniform(
+            k_vars, (1, num_groups * num_vars, var_dim), dtype
+        ),
+        "weight_proj": {
+            # reference init: weight ~ N(0, 1), bias = 0 (:78-80)
+            "kernel": jax.random.normal(k_proj, (dim, groups * num_vars), dtype),
+            "bias": jnp.zeros((groups * num_vars,), dtype),
+        },
+    }
+
+
+def anneal_temp(temp_cfg, num_updates):
+    max_t, min_t, decay = temp_cfg
+    return max(max_t * (decay ** num_updates), min_t)
+
+
+def gumbel_vq_forward(
+    params: dict,
+    x: jax.Array,  # (B, T, C) time-first
+    *,
+    num_vars: int,
+    groups: int,
+    temperature: float,
+    combine_groups: bool = False,
+    training: bool = True,
+    rng: Optional[jax.Array] = None,
+    produce_targets: bool = False,
+) -> dict:
+    b, t, _ = x.shape
+    logits = (
+        x.reshape(b * t, -1) @ params["weight_proj"]["kernel"]
+        + params["weight_proj"]["bias"]
+    )
+    logits = logits.reshape(b * t * groups, num_vars)
+
+    # hard one-hot of the argmax (eval path + code perplexity)
+    k = jnp.argmax(logits, axis=-1)
+    hard_x = jax.nn.one_hot(k, num_vars, dtype=logits.dtype)
+    hard_probs = jnp.mean(
+        hard_x.reshape(b * t, groups, num_vars).astype(jnp.float32), axis=0
+    )
+    code_perplexity = jnp.sum(
+        jnp.exp(-jnp.sum(hard_probs * jnp.log(hard_probs + 1e-7), axis=-1))
+    )
+
+    avg_probs = jnp.mean(
+        jax.nn.softmax(
+            logits.reshape(b * t, groups, num_vars).astype(jnp.float32), axis=-1
+        ),
+        axis=0,
+    )
+    prob_perplexity = jnp.sum(
+        jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-7), axis=-1))
+    )
+
+    if training:
+        assert rng is not None
+        gumbels = -jnp.log(
+            -jnp.log(jax.random.uniform(rng, logits.shape) + 1e-10) + 1e-10
+        )
+        y_soft = jax.nn.softmax(
+            (logits.astype(jnp.float32) + gumbels) / temperature, axis=-1
+        )
+        k_hard = jnp.argmax(y_soft, axis=-1)
+        y_hard = jax.nn.one_hot(k_hard, num_vars, dtype=y_soft.dtype)
+        # straight-through
+        q = y_hard + y_soft - jax.lax.stop_gradient(y_soft)
+        q = q.astype(logits.dtype)
+    else:
+        q = hard_x
+
+    targets = None
+    if produce_targets:
+        targets = jax.lax.stop_gradient(
+            jnp.argmax(q.reshape(b * t * groups, num_vars), axis=-1)
+        ).reshape(b, t, groups)
+
+    codebook = params["vars"]
+    if combine_groups:
+        codebook = jnp.tile(codebook, (1, groups, 1))
+
+    q = q.reshape(b * t, groups * num_vars)
+    out = q[:, :, None] * codebook  # (B*T, G*V, var_dim)
+    out = out.reshape(b * t, groups, num_vars, -1).sum(axis=2)
+    out = out.reshape(b, t, -1)
+
+    return {
+        "x": out,
+        "num_vars": num_vars * groups,
+        "code_perplexity": code_perplexity,
+        "prob_perplexity": prob_perplexity,
+        "temp": temperature,
+        "targets": targets,
+    }

@@ -1,0 +1,279 @@
+"""wav2vec 2.0 pre-training model (reference model.py:467-954).
+
+TPU-first restructuring mirrors the reference's own latent XLA pathways
+(SURVEY.md §2.8): static shapes everywhere, loss masked instead of gathered
+(the reference already ships this branch for XLA: criterion.py:44-53 and the
+index_put paths, model.py:672-692).
+
+Negative sampling (reference sample_negatives, model.py:614-670): for every
+masked frame, ``num_negatives`` quantized targets are drawn uniformly from
+the OTHER masked frames of the same utterance (avoid-self via the +1 index
+shift, :649-651). Here the same distribution is produced with static shapes:
+masked positions are compacted to the front with a stable argsort, indices
+are drawn modulo the per-row masked count.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import Wav2Vec2Config
+from ..ops.masking import compute_span_mask
+from .conv_frontend import conv_frontend_forward, init_conv_frontend
+from .encoder import (
+    _dropout,
+    _torch_linear_uniform,
+    encoder_forward,
+    init_encoder,
+    layer_norm,
+)
+from .gumbel_vq import anneal_temp, gumbel_vq_forward, init_gumbel_vq
+
+
+def init_wav2vec2_params(rng, cfg: Wav2Vec2Config, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(rng, 8)
+    embed = cfg.conv_feature_layers[-1][0]
+    final_dim = cfg.final_dim if cfg.final_dim > 0 else cfg.encoder_embed_dim
+    params = {
+        "feature_extractor": init_conv_frontend(
+            ks[0], cfg.conv_feature_layers, cfg.extractor_mode, cfg.conv_bias,
+            dtype,
+        ),
+        "layer_norm": {
+            "scale": jnp.ones((embed,), dtype),
+            "bias": jnp.zeros((embed,), dtype),
+        },
+        "mask_emb": jax.random.uniform(ks[1], (cfg.encoder_embed_dim,), dtype),
+        "encoder": init_encoder(ks[2], cfg, dtype),
+        "final_proj": _torch_linear_uniform(
+            ks[3], cfg.encoder_embed_dim, final_dim, dtype
+        ),
+    }
+    if embed != cfg.encoder_embed_dim:
+        params["post_extract_proj"] = _torch_linear_uniform(
+            ks[4], embed, cfg.encoder_embed_dim, dtype
+        )
+    if cfg.quantize_targets:
+        vq_dim = cfg.latent_dim if cfg.latent_dim > 0 else final_dim
+        params["quantizer"] = init_gumbel_vq(
+            ks[5], embed, cfg.latent_vars, cfg.latent_groups, vq_dim,
+            dtype=dtype,
+        )
+        params["project_q"] = _torch_linear_uniform(
+            ks[6], vq_dim, final_dim, dtype
+        )
+    else:
+        params["project_q"] = _torch_linear_uniform(
+            ks[6], embed, final_dim, dtype
+        )
+    return params
+
+
+def sample_negative_indices(rng, mask: jax.Array, num_negatives: int):
+    """For each frame (B, T), indices (B, T, N) of negative frames drawn from
+    the masked frames of the same row (uniform, avoid self). Rows/positions
+    that are not masked get arbitrary (but valid) indices — callers mask the
+    loss. Returns absolute time indices."""
+    b, t = mask.shape
+    # compact masked positions to the front (stable)
+    order = jnp.argsort(~mask, axis=-1, stable=True)  # (B, T): masked first
+    n_masked = jnp.sum(mask, axis=-1)  # (B,)
+    # ordinal of each time step among masked frames of its row
+    ordinal = jnp.cumsum(mask, axis=-1) - 1  # valid where mask
+
+    high = jnp.maximum(n_masked - 1, 1)[:, None, None]  # avoid-self range
+    draws = jax.random.randint(
+        rng, (b, t, num_negatives), 0, jnp.iinfo(jnp.int32).max
+    ) % high
+    # shift draws >= own ordinal to skip self (reference :649-651)
+    draws = draws + (draws >= ordinal[:, :, None])
+    draws = jnp.clip(draws, 0, jnp.maximum(n_masked - 1, 0)[:, None, None])
+    neg_time = jnp.take_along_axis(
+        order, draws.reshape(b, t * num_negatives), axis=-1
+    ).reshape(b, t, num_negatives)
+    return neg_time
+
+
+def wav2vec2_forward(
+    params: dict,
+    cfg: Wav2Vec2Config,
+    source: jax.Array,        # (B, T_wave)
+    wave_lengths: jax.Array,  # (B,)
+    *,
+    mask: bool = True,
+    features_only: bool = False,
+    get_hidden: bool = False,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    num_updates: int = 0,
+    attn_impl: str = "auto",
+) -> dict:
+    mask_rng = enc_rng = di_rng = df_rng = vq_rng = neg_rng = None
+    if rng is not None:
+        mask_rng, enc_rng, di_rng, df_rng, vq_rng, neg_rng = jax.random.split(
+            rng, 6
+        )
+
+    features = conv_frontend_forward(
+        params["feature_extractor"], cfg.conv_feature_layers, source,
+        cfg.extractor_mode,
+    )
+    if cfg.feature_grad_mult == 0:
+        features = jax.lax.stop_gradient(features)
+    elif cfg.feature_grad_mult != 1.0:
+        g = cfg.feature_grad_mult
+        features = jax.lax.stop_gradient(features) * (1 - g) + features * g
+
+    features_pen = jnp.mean(features.astype(jnp.float32) ** 2)
+
+    x = features.transpose(0, 2, 1)
+    x = layer_norm(x, params["layer_norm"])
+    unmasked_features = x
+
+    b, t_frames, _ = x.shape
+    out_len = wave_lengths
+    for _, k, s in cfg.conv_feature_layers:
+        out_len = (out_len - k) // s + 1
+    out_len = jnp.clip(out_len, 0, t_frames)
+    frame_valid = jnp.arange(t_frames)[None, :] < out_len[:, None]
+
+    if "post_extract_proj" in params:
+        p = params["post_extract_proj"]
+        x = x @ p["kernel"] + p["bias"]
+
+    if di_rng is not None:
+        x = _dropout(x, di_rng, cfg.dropout_input, deterministic)
+        unmasked_features = _dropout(
+            unmasked_features, df_rng, cfg.dropout_features, deterministic
+        )
+
+    mask_indices = jnp.zeros((b, t_frames), bool)
+    if mask and cfg.mask_prob > 0:
+        assert mask_rng is not None
+        mask_indices = compute_span_mask(
+            mask_rng, out_len.astype(jnp.int32), t_frames,
+            mask_prob=cfg.mask_prob,
+            mask_length=cfg.mask_length,
+            min_masks=2,
+        )
+        x = jnp.where(
+            mask_indices[:, :, None], params["mask_emb"][None, None, :], x
+        )
+
+    hidden, layer_hiddens, _ = encoder_forward(
+        x, params["encoder"], cfg,
+        padding_mask=~frame_valid,
+        get_hidden=get_hidden,
+        rng=enc_rng,
+        deterministic=deterministic,
+        attn_impl=attn_impl,
+    )
+
+    out = {
+        "x": hidden,
+        "padding_mask": ~frame_valid,
+        "mask_indices": mask_indices,
+        "features_pen": features_pen,
+        "layer_hiddens": layer_hiddens,
+        "frame_lengths": out_len,
+    }
+    if features_only:
+        out["features"] = x
+        return out
+
+    # ---- targets -----------------------------------------------------
+    if cfg.quantize_targets:
+        temp = anneal_temp(cfg.latent_temp, num_updates)
+        q = gumbel_vq_forward(
+            params["quantizer"], unmasked_features,
+            num_vars=cfg.latent_vars, groups=cfg.latent_groups,
+            temperature=temp, training=not deterministic, rng=vq_rng,
+        )
+        y = q["x"]
+        out["prob_perplexity"] = q["prob_perplexity"]
+        out["code_perplexity"] = q["code_perplexity"]
+        out["num_vars"] = q["num_vars"]
+        out["temp"] = q["temp"]
+    else:
+        y = unmasked_features
+    pq = params["project_q"]
+    y = y @ pq["kernel"] + pq["bias"]  # (B, T, final_dim)
+
+    fp = params["final_proj"]
+    x_proj = hidden @ fp["kernel"] + fp["bias"]
+
+    neg_idx = sample_negative_indices(
+        neg_rng if neg_rng is not None else jax.random.PRNGKey(0),
+        mask_indices & frame_valid,
+        cfg.num_negatives,
+    )  # (B, T, N)
+    negs = jnp.take_along_axis(
+        y[:, :, None, :], neg_idx[..., None], axis=1
+    )  # (B, T, N, D)
+
+    # cosine similarities (reference compute_preds, model.py:672-692)
+    def cos(a, b):
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-8)
+        b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-8)
+        return jnp.sum(a * b, axis=-1)
+
+    pos_logit = cos(x_proj, y) / cfg.logit_temp  # (B, T)
+    neg_logit = cos(x_proj[:, :, None, :], negs) / cfg.logit_temp  # (B, T, N)
+    # negatives identical to the positive get -inf (reference :688-691)
+    neg_is_pos = jnp.all(
+        jnp.isclose(negs, y[:, :, None, :], atol=0.0), axis=-1
+    )
+    neg_logit = jnp.where(neg_is_pos, -jnp.inf, neg_logit)
+
+    out["pos_logit"] = pos_logit
+    out["neg_logit"] = neg_logit
+    return out
+
+
+def wav2vec2_pretrain_loss(
+    out: dict,
+    cfg: Wav2Vec2Config,
+    loss_weights=(0.1, 10.0),
+):
+    """Wav2vecCriterion (criterion.py:10-79): InfoNCE CE (sum over masked
+    frames) + prob_perplexity & features_pen extra losses scaled by
+    sample_size. Returns (loss, sample_size, logs)."""
+    select = out["mask_indices"] & ~out["padding_mask"]
+    pos = out["pos_logit"]
+    lse = jnp.logaddexp(
+        pos, jax.scipy.special.logsumexp(out["neg_logit"], axis=-1)
+    )
+    ce = lse - pos
+    infonce = jnp.sum(jnp.where(select, ce, 0.0))
+    sample_size = jnp.sum(select)
+
+    loss = infonce
+    logs = {"loss_infonce": infonce, "sample_size": sample_size}
+    if "prob_perplexity" in out and loss_weights[0] != 0:
+        p = (
+            (out["num_vars"] - out["prob_perplexity"]) / out["num_vars"]
+        )
+        loss = loss + loss_weights[0] * p * sample_size
+        logs["loss_prob_perplexity"] = p
+    if loss_weights[1] != 0:
+        loss = loss + loss_weights[1] * out["features_pen"] * sample_size
+        logs["loss_features_pen"] = out["features_pen"]
+
+    # accuracy (pos beats all negatives)
+    best_neg = jnp.max(out["neg_logit"], axis=-1)
+    corr = jnp.sum(jnp.where(select, pos > best_neg, False))
+    logs["accuracy"] = corr / jnp.maximum(sample_size, 1)
+    return loss, sample_size, logs
+
+
+def crop_to_multiple(n_samples: int, multiple: int) -> int:
+    """reference crop_seq_to_multiple (model.py:757-762)."""
+    if multiple <= 1:
+        return n_samples
+    return n_samples - (n_samples % multiple)

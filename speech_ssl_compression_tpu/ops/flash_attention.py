@@ -35,7 +35,7 @@ _BLOCK_K = 256
 
 def _fa_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal,
                block_k, seq_len):
-    # Block shapes: q (1,1,BQ,d), k/v (1,1,T,d), bias (1,T), o (1,1,BQ,d).
+    # Block shapes: q (1,1,BQ,d), k/v (1,1,T,d), bias (1,1,T), o (1,1,BQ,d).
     q = q_ref[0, 0].astype(jnp.float32) * scale  # (BQ, d)
     bq, d = q.shape
     num_k_blocks = seq_len // block_k
@@ -49,7 +49,7 @@ def _fa_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (BQ, BK)
-        s = s + bias_ref[0, pl.ds(ki * block_k, block_k)][None, :]
+        s = s + bias_ref[0, 0, pl.ds(ki * block_k, block_k)][None, :]
         if causal:
             q_pos = qi * bq + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, block_k), 0
@@ -101,7 +101,7 @@ def _flash_fwd_impl(q, k, v, bias, causal):
     qp = _pad_to(q, t_pad, axis=2)
     kp = _pad_to(k, t_pad, axis=2)
     vp = _pad_to(v, t_pad, axis=2)
-    biasp = _pad_to(bias, t_pad, axis=1, value=NEG_INF)
+    biasp = _pad_to(bias, t_pad, axis=1, value=NEG_INF)[:, None, :]  # (B,1,T)
 
     scale = 1.0 / (d ** 0.5)
     grid = (b, h, t_pad // block_q)
@@ -120,7 +120,7 @@ def _flash_fwd_impl(q, k, v, bias, causal):
             ),
             pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, t_pad), lambda bi, hi, qi: (bi, 0)),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, hi, qi: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)

@@ -1,0 +1,52 @@
+"""S3PRL-style upstream expert (reference s3prl_upstream/expert.py).
+
+Same contract: ``forward(wavs)`` returns
+``{"hidden_states": [pre_feat] + layer_hiddens, "last_hidden_state"}`` and
+``get_downsample_rates`` gives 320 (20 ms) / 160 (10 ms). Accepts wavs as
+numpy arrays, torch tensors, or file paths; all five checkpoint flavors are
+handled by the shared loader (weight masks folded, head counts inferred).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from ..extract import MelHuBERTExtractor
+
+
+def _to_numpy_wave(w):
+    if isinstance(w, str):
+        from ..data.audio import read_audio
+
+        wav, sr = read_audio(w)
+        assert sr == 16000
+        return wav[0]
+    if hasattr(w, "detach"):  # torch tensor
+        return w.detach().cpu().numpy().reshape(-1)
+    return np.asarray(w).reshape(-1)
+
+
+class UpstreamExpert:
+    def __init__(self, ckpt: str, mode: str = "melhubert", fp: int = 20,
+                 mean_std_npy_path: str = None, model_config=None, **kwargs):
+        self.mode = mode
+        self.fp = fp
+        self.extractor = MelHuBERTExtractor(
+            ckpt, fp=fp, mean_std_npy_path=mean_std_npy_path
+        )
+        self.upstream_config = self.extractor.cfg
+
+    def get_downsample_rates(self, key: str = "") -> int:
+        return self.extractor.get_downsample_rates(key)
+
+    def forward(self, wavs: Sequence, no_pred: bool = True, norm: bool = True):
+        waves = [_to_numpy_wave(w) for w in wavs]
+        out = self.extractor.forward(waves)
+        return {
+            "hidden_states": out["hidden_states"],
+            "last_hidden_state": out["last_hidden_state"],
+        }
+
+    __call__ = forward

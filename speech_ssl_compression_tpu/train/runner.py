@@ -1,0 +1,623 @@
+"""Training runner: all five modes (melhubert / weight-pruning /
+head-pruning / row-pruning / distillation).
+
+Rebuild of reference runner.py:36-461. Structure:
+
+  host (Python)                        device (jit, sharded over mesh)
+  ---------------------------------    ---------------------------------
+  bucketed CSV batcher + prefetch  ->  micro grad step (fwd+bwd, bf16 opt)
+  prune-event controllers          ->  apply step (÷sample_size, clip, Adam,
+  (ladders, EMA convergence gate)      NaN-skip) — all inside one jit
+  checkpoint writer (npz + JSON)
+
+Reference-bug fixes carried over deliberately (SURVEY.md §5):
+  * optimizer hyperparams are read from the ``optimizer:`` YAML section
+    (the reference read them from the top level and silently used defaults,
+    runner.py:156-161)
+  * the distiller expert returns (loss, sample_size) like every other expert
+    (the reference returns a bare loss and would crash the runner,
+    upstream/melhubert_distiller/pretrain_expert.py:141)
+
+Structured prune events change array shapes; the jitted step re-traces
+against the new static config (the reference instead re-created the torch
+optimizer, runner.py:348,356 — here a fresh optax state is initialized, which
+is equivalent: Adam moments reset).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import MelHuBERTConfig
+from ..compress import head_pruning as hp
+from ..compress import row_pruning as rp
+from ..compress import weight_pruning as wp
+from ..compress.schedule import set_prune_interval, sparsity_ladder, weight_prune_steps
+from ..compress.distillation import init_student_from_teacher
+from ..data.bucket_dataset import MelFeatBuckets, PrefetchIterator
+from ..models import init_melhubert_params, melhubert_forward
+from ..utils.checkpoint import save_checkpoint, load_checkpoint, restore_opt_state
+from .steps import (
+    make_apply_step,
+    make_distill_grad_step,
+    make_melhubert_grad_step,
+    make_optimizer,
+    accumulate_grads,
+)
+
+
+class Runner:
+    def __init__(self, args, runner_config: dict, upstream_config: dict):
+        self.args = args
+        self.runner_config = runner_config
+        self.upstream_config = upstream_config
+        self.mode = args.mode
+
+        self.expdir = args.expdir
+        os.makedirs(self.expdir, exist_ok=True)
+        self.logger = self._make_logger()
+
+        self.rng = jax.random.PRNGKey(getattr(args, "seed", 1337))
+        self.compute_dtype = (
+            jnp.bfloat16
+            if runner_config.get("runner", {}).get("bf16", True)
+            and jax.default_backend() == "tpu"
+            else jnp.float32
+        )
+
+        # ------- model(s) ------------------------------------------------
+        self.masks = None
+        self.pruned_heads: list = []
+        self.wp_state: Optional[wp.WeightPruningState] = None
+        self.teacher_params = None
+        self.teacher_cfg = None
+
+        if self.mode == "distillation":
+            self._init_distillation()
+        else:
+            self._init_melhubert()
+
+        # frame-period sanity (reference runner.py:48-52)
+        fp = getattr(args, "frame_period", 20)
+        expect = {20: 80, 10: 40}[fp]
+        assert self.cfg.feat_emb_dim == expect, (
+            f"feat_emb_dim should be {expect} at frame period {fp}"
+        )
+
+        # ------- mode-specific schedules ---------------------------------
+        if self.mode == "weight-pruning":
+            pc = runner_config["prune"]
+            n_iters = pc.get("n_iters", 38)
+            self.wp_state = wp.WeightPruningState(
+                sparsity=sparsity_ladder(pc["sparsity"], n_iters),
+                prune_condition=pc.get("pruning_condition", "converge"),
+                smooth_factor=pc.get("smooth_factor", 0.999),
+                avg_len=pc.get("average_length", 15000),
+                con_tol=pc.get("converge_loss_tolerance", 0.001),
+                warnup=pc.get("warnup", 25000),
+                period=pc.get("period", 25000),
+            )
+            self.prune_steps = weight_prune_steps(
+                self.wp_state.warnup, self.wp_state.period, n_iters
+            )
+            if self.masks is None:
+                self.masks = wp.init_masks(self.params)
+            if getattr(args, "initial_weight", None) and self._resumed_meta:
+                if "Pruning" in self._resumed_meta:
+                    self.wp_state.load_meta(self._resumed_meta["Pruning"])
+        elif self.mode in ("head-pruning", "row-pruning"):
+            pc = runner_config["prune"]
+            self.total_prune_step = pc["total_steps"]
+            self.prune_steps = set_prune_interval(
+                pc["interval"], pc["warm_up"], pc["total_steps"]
+            )
+            assert len(self.prune_steps) == self.total_prune_step
+            if self.mode == "head-pruning":
+                total_heads = sum(self.cfg.encoder_attention_heads)
+                if runner_config["prune"]["metric"] == "l1":
+                    self.num_heads_each_step = self.cfg.encoder_layers
+                else:
+                    self.num_heads_each_step = pc["num_heads_each_step"]
+                assert (
+                    self.num_heads_each_step * self.total_prune_step
+                    <= total_heads
+                )
+            else:
+                self.num_rows_each_step = pc["num_rows_each_step"]
+                assert (
+                    self.num_rows_each_step * self.total_prune_step
+                    <= min(self.cfg.encoder_ffn_embed_dim)
+                )
+        else:
+            self.prune_steps = []
+
+        # ------- optimizer ----------------------------------------------
+        opt_cfg = runner_config.get("optimizer", {})
+        self.optimizer = make_optimizer(
+            lr=float(opt_cfg.get("lr", 1e-4)),
+            betas=tuple(opt_cfg.get("betas", (0.9, 0.999))),
+            eps=float(opt_cfg.get("eps", 1e-8)),
+            weight_decay=float(opt_cfg.get("weight_decay", 0.0)),
+            gradient_clipping=float(
+                runner_config["runner"].get("gradient_clipping", 10.0)
+            ),
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        if (
+            getattr(args, "init_optimizer_from_initial_weight", False)
+            and self._resumed_opt_leaves
+        ):
+            self.opt_state = restore_opt_state(
+                self.opt_state, self._resumed_opt_leaves
+            )
+            print(f"[Runner] Loaded optimizer state from {args.initial_weight}")
+
+        self._rebuild_steps()
+
+    # ------------------------------------------------------------------
+    def _make_logger(self):
+        try:
+            from tensorboardX import SummaryWriter
+
+            return SummaryWriter(self.expdir)
+        except Exception:
+            return None
+
+    def _log_scalar(self, tag, value, step):
+        if self.logger is not None:
+            self.logger.add_scalar(tag, float(value), global_step=step)
+
+    # ------------------------------------------------------------------
+    def _init_melhubert(self):
+        cfg_dict = dict(self.upstream_config["melhubert"])
+        self.cfg = MelHuBERTConfig.from_dict(cfg_dict)
+        self._resumed_meta = None
+        self._resumed_opt_leaves = None
+
+        init_w = getattr(self.args, "initial_weight", None)
+        if init_w:
+            from ..extract import load_any_checkpoint
+
+            if init_w.endswith(".npz"):
+                state = load_checkpoint(init_w)
+                self.params = jax.tree.map(jnp.asarray, state["params"])
+                self.masks = (
+                    jax.tree.map(jnp.asarray, state["masks"])
+                    if state["masks"] is not None else None
+                )
+                self._resumed_meta = state["meta"]
+                self._resumed_opt_leaves = state["opt_leaves"] or None
+                meta_cfg = (
+                    state["meta"].get("Upstream_Config", {}).get("melhubert")
+                )
+                if meta_cfg:
+                    self.cfg = MelHuBERTConfig.from_dict(meta_cfg)
+                self.pruned_heads = state["meta"].get("Pruned_heads", [])
+                # infer pruned shapes
+                heads = tuple(
+                    int(l["q_proj"]["kernel"].shape[1]) // self.cfg.head_dim
+                    for l in self.params["encoder"]["layers"]
+                )
+                ffns = tuple(
+                    int(l["fc1"]["kernel"].shape[1])
+                    for l in self.params["encoder"]["layers"]
+                )
+                self.cfg = self.cfg.with_heads(heads).with_ffn_dims(ffns)
+            else:
+                from ..utils.torch_convert import load_reference_checkpoint
+
+                params, masks, cfg, extras = load_reference_checkpoint(init_w)
+                self.params = jax.tree.map(jnp.asarray, params)
+                self.masks = (
+                    jax.tree.map(jnp.asarray, masks) if masks else None
+                )
+                self.cfg = cfg
+                self._resumed_meta = extras
+                self.pruned_heads = extras.get("Pruned_heads", [])
+            print(f"[Runner] Initialized model from {init_w}")
+        else:
+            self.rng, k = jax.random.split(jax.random.PRNGKey(
+                getattr(self.args, "seed", 1337)))
+            self.params = init_melhubert_params(k, self.cfg)
+
+        n = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(self.params))
+        print(f"[Runner] - Number of parameters: {n}")
+
+    def _init_distillation(self):
+        from ..utils.torch_convert import load_reference_checkpoint
+
+        init_w = getattr(self.args, "initial_weight", None)
+        assert init_w, "distillation requires the teacher ckpt via -i"
+        self._resumed_meta = None
+        self._resumed_opt_leaves = None
+
+        self.teacher_cfg = MelHuBERTConfig.from_dict(
+            dict(self.upstream_config["teacher"])
+        )
+        # the reference ships the student config under "student" (current
+        # expert) or "melhubert" (legacy distillation/pretrain_expert.py:46)
+        student_dict = dict(
+            self.upstream_config.get("student")
+            or self.upstream_config["melhubert"]
+        )
+        self.cfg = MelHuBERTConfig.from_dict(student_dict)
+
+        if init_w.endswith(".npz"):
+            state = load_checkpoint(init_w)
+            tparams = state["params"]
+        else:
+            tparams, _, tcfg, _ = load_reference_checkpoint(init_w)
+            self.teacher_cfg = tcfg
+        self.teacher_params = jax.tree.map(jnp.asarray, tparams)
+
+        self.rng, k = jax.random.split(
+            jax.random.PRNGKey(getattr(self.args, "seed", 1337))
+        )
+        self.params = init_melhubert_params(k, self.cfg)
+        if student_dict.get("initial_from_teacher", False):
+            print("[Runner/Distill] - Initializing student from teacher")
+            self.params = init_student_from_teacher(
+                self.params, self.teacher_params, self.cfg.encoder_layers
+            )
+
+        lp = self.upstream_config["loss_param"]
+        self.loss_temp = float(lp["T"])
+        self.loss_alpha = float(lp["alpha"])
+        self.loss_type = str(lp["type"])
+        assert self.loss_type in ("masked", "nomasked")
+
+    # ------------------------------------------------------------------
+    def _rebuild_steps(self):
+        """(Re)build jitted steps — called after every structured prune
+        event (config shapes changed)."""
+        runner = self.runner_config["runner"]
+        accum = int(runner.get("gradient_accumulate_steps", 1))
+        self.accum_steps = accum
+        if self.mode == "distillation":
+            self.grad_step = make_distill_grad_step(
+                self.teacher_cfg, self.cfg,
+                accum_steps=accum,
+                temperature=self.loss_temp,
+                alpha=self.loss_alpha,
+                loss_type=self.loss_type,
+                compute_dtype=self.compute_dtype,
+            )
+        else:
+            self.grad_step = make_melhubert_grad_step(
+                self.cfg,
+                accum_steps=accum,
+                compute_dtype=self.compute_dtype,
+            )
+        self.apply_step = make_apply_step(self.optimizer)
+
+    def _reset_optimizer(self):
+        self.opt_state = self.optimizer.init(self.params)
+
+    # ------------------------------------------------------------------
+    def _get_dataloader(self):
+        datarc = self.runner_config["datarc"]
+        task = self.upstream_config.get("task", {"sequence_length": 0})
+        return MelFeatBuckets(
+            frame_period=getattr(self.args, "frame_period", 20),
+            sequence_length=task.get("sequence_length", 0),
+            bucket_size=int(datarc["train_batch_size"]),
+            sets=datarc["sets"],
+            max_timestep=int(datarc.get("max_timestep", 0)),
+            seed=getattr(self.args, "seed", 1337),
+        )
+
+    # ------------------------------------------------------------------
+    def save(self, global_step: int, name: str, total_step: Optional[int] = None):
+        meta = {
+            "Step": global_step,
+            "Args": vars(self.args) if hasattr(self.args, "__dict__") else dict(self.args),
+            "Runner": self.runner_config,
+            "Upstream_Config": self.upstream_config,
+            "Config": self.cfg.to_dict(),
+        }
+        if total_step is not None:
+            meta["TotalStep"] = total_step
+        if self.pruned_heads:
+            meta["Pruned_heads"] = self.pruned_heads
+        if self.wp_state is not None:
+            meta["Pruning"] = self.wp_state.to_meta()
+        path = os.path.join(self.expdir, name)
+        save_checkpoint(
+            path,
+            self.params,
+            opt_state=self.opt_state,
+            masks=self.masks,
+            meta=meta,
+            rng_key=self.rng,
+        )
+        print(f"[Runner] - Saved checkpoint to {path}")
+
+    # ------------------------------------------------------------------
+    def _prune_hook(self, global_step: int, pbar_state: dict):
+        """Dispatch prune events (reference runner.py:329-356)."""
+        if self.mode == "weight-pruning" and global_step in self.prune_steps:
+            if not self.wp_state.converged():
+                # extend the schedule (reference runner.py:334-340)
+                print("[Weight Pruning] - Not converge, keep training")
+                pbar_state["total"] += self.wp_state.period
+                self.prune_steps.append(
+                    max(self.prune_steps) + self.wp_state.period
+                )
+                return
+            prefix = "mask-" if self.wp_state.pruning_times > 0 else ""
+            cur = (
+                0 if self.wp_state.pruning_times == 0
+                else self.wp_state.sparsity[self.wp_state.pruning_times - 1]
+            )
+            self.save(
+                global_step,
+                f"{prefix}before-pruning-states-{global_step}-sparsity-{cur}.npz",
+                total_step=pbar_state["total"],
+            )
+            self.params, self.masks, status = wp.prune_event(
+                self.params, self.masks, self.wp_state
+            )
+            if True:
+                print(
+                    f"[Weight Pruning] - iter {self.wp_state.pruning_times} "
+                    f"at step {global_step}, sparsity "
+                    f"{wp.sparsity_of(self.masks):.4f}"
+                )
+        elif self.mode == "head-pruning" and global_step in self.prune_steps:
+            total_heads = sum(self.cfg.encoder_attention_heads)
+            self.save(global_step, f"states_prune_{total_heads}.npz")
+            self._head_prune_event()
+            self._reset_optimizer()
+            self._rebuild_steps()
+        elif self.mode == "row-pruning" and global_step in self.prune_steps:
+            self.save(
+                global_step, f"states_prune_{min(self.cfg.encoder_ffn_embed_dim)}.npz"
+            )
+            self.params, self.cfg = rp.prune_rows(
+                self.params, self.cfg, self.num_rows_each_step
+            )
+            print(
+                f"[Row Pruning] {min(self.cfg.encoder_ffn_embed_dim)} hidden "
+                "dims remain in FFN"
+            )
+            self._reset_optimizer()
+            self._rebuild_steps()
+
+    def _head_prune_event(self):
+        metric = self.runner_config["prune"]["metric"]
+        if metric == "l1":
+            scores = hp.l1_head_scores(self.params, self.cfg)
+        elif metric == "data-driven":
+            scores = self._data_driven_head_scores()
+        else:
+            raise NotImplementedError(metric)
+        np.save(
+            os.path.join(
+                self.expdir,
+                f"heads_and_score_{sum(self.cfg.encoder_attention_heads)}.npy",
+            ),
+            np.array([(l, h, s) for (l, h), s in scores], np.float64),
+        )
+        group = hp.select_heads_to_prune(
+            scores,
+            self.num_heads_each_step,
+            self.runner_config["prune"]["target"],
+            self.cfg.encoder_layers,
+        )
+        print(f"[Head Pruning] - These heads are pruned: {group}")
+        self.pruned_heads.append({int(k): list(v) for k, v in group.items()})
+        self.params, self.cfg = hp.prune_heads(self.params, self.cfg, group)
+        print(
+            f"[Head Pruning] {sum(self.cfg.encoder_attention_heads)} heads remain"
+        )
+
+    def _data_driven_head_scores(self):
+        """Sub-epoch probe-gradient scoring loop (hp_utils.py:242-353)."""
+        from ..models.melhubert import melhubert_pretrain_loss
+
+        cfg = self.cfg
+        pc = self.runner_config["prune"]
+        data_ratio = pc["data_ratio"]
+        assert 0 < data_ratio <= 1
+        dataset = self._get_dataloader()
+        total_steps = max(1, int(len(dataset) * data_ratio))
+        print(
+            f"[Head Pruning] - data-driven scoring over {data_ratio} of an "
+            f"epoch = {total_steps} buckets"
+        )
+
+        @jax.jit
+        def score_step(params, probes, batch, rng):
+            def loss_fn(probes):
+                out = melhubert_forward(
+                    params, cfg, batch["feat"], batch["pad_mask"],
+                    mask=True, rng=rng, deterministic=False,
+                    head_probes=probes,
+                )
+                loss, _ = melhubert_pretrain_loss(
+                    out, batch["label"], batch["pad_mask"], cfg
+                )
+                return loss, out["contexts"]
+
+            (loss, contexts), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(probes)
+            per_layer = [
+                jnp.sum(jnp.abs(jnp.einsum("bhli,bhli->bhl", cg, c)),
+                        axis=(0, 2))
+                for cg, c in zip(grads, contexts)
+            ]
+            return loss, per_layer
+
+        scores = [
+            np.zeros((h,), np.float64) for h in cfg.encoder_attention_heads
+        ]
+        it = dataset.epoch(shuffle=True)
+        for step, batch in enumerate(it):
+            if step >= total_steps:
+                break
+            self.rng, k = jax.random.split(self.rng)
+            _, per_layer = score_step(
+                self.params, hp.make_head_probes(
+                    cfg, batch["feat"].shape[0], batch["feat"].shape[1]
+                ),
+                {k2: jnp.asarray(v) for k2, v in batch.items()},
+                k,
+            )
+            for i, s in enumerate(per_layer):
+                scores[i] += np.asarray(s, np.float64) / total_steps
+
+        norm_exp = pc.get("normalize_by_layer")
+        if norm_exp is not None:
+            scores = hp.normalize_scores_by_layer(scores, float(norm_exp))
+        out = []
+        for layer, s in enumerate(scores):
+            for head in range(len(s)):
+                out.append(((layer, head), float(s[head])))
+        return out
+
+    # ------------------------------------------------------------------
+    def train(self):
+        runner = self.runner_config["runner"]
+        dataset = self._get_dataloader()
+        accum = self.accum_steps
+        print(
+            "[Runner] - Accumulated batch size:",
+            int(self.runner_config["datarc"]["train_batch_size"]) * accum,
+        )
+
+        n_epochs = runner.get("n_epochs", 0)
+        if n_epochs > 0:
+            total_steps = int(n_epochs * len(dataset) / accum)
+            print(
+                f"[Runner] - Training for {n_epochs} epochs "
+                f"= {total_steps} steps"
+            )
+        else:
+            total_steps = runner["total_steps"]
+            n_epochs = max(1, int(total_steps * accum / max(len(dataset), 1)))
+            print(
+                f"[Runner] - Training for {total_steps} steps "
+                f"~= {n_epochs} epochs"
+            )
+        step_per_epoch = max(1, len(dataset) // accum)
+        save_every_x_epochs = runner.get("save_every_x_epochs", 10)
+
+        if "pruning" in self.mode:
+            assert max(self.prune_steps) <= total_steps, (
+                f"prune steps {max(self.prune_steps)} > total {total_steps}"
+            )
+        log_step = runner.get("log_step", 1000)
+
+        pbar = {"n": 0, "total": total_steps}
+        # window_* accumulate between log events; accum_* within one
+        # gradient-accumulation window. (The reference aliases the two and
+        # consequently divides gradients by a sample count that grows until
+        # the next log step, runner.py:411-413,443-444 — fixed here: grads
+        # are always divided by the accumulation-window sample size.)
+        window_loss = 0.0
+        window_count = 0
+        all_sample_size = 0
+        batch_loss = 0.0
+        global_step = 0
+        backward_steps = 0
+        grads_acc = None
+        num_epoch = 0
+        prefix = f"{self.mode}/train-"
+        t_start = time.time()
+
+        while pbar["n"] < pbar["total"]:
+            for batch in PrefetchIterator(dataset.epoch(shuffle=True)):
+                if pbar["n"] >= pbar["total"]:
+                    break
+                first_accu = backward_steps % accum == 0
+
+                if self.mode in ("melhubert", "distillation") and first_accu:
+                    if global_step % int(save_every_x_epochs * step_per_epoch) == 0:
+                        num_epoch = global_step // step_per_epoch
+                        self.save(
+                            global_step,
+                            f"states-epoch-{num_epoch}.npz",
+                        )
+                elif first_accu:
+                    self._prune_hook(global_step, pbar)
+
+                global_step = pbar["n"] + 1
+                self.rng, k = jax.random.split(self.rng)
+                jb = {k2: jnp.asarray(v) for k2, v in batch.items()}
+
+                if self.mode == "distillation":
+                    loss, grads, logs = self.grad_step(
+                        self.params, self.teacher_params, jb, k
+                    )
+                else:
+                    loss, grads, logs = self.grad_step(
+                        self.params, self.masks, jb, k
+                    )
+                grads_acc = accumulate_grads(grads_acc, grads)
+                sample_size = 1  # reference melhubert expert returns (loss, 1)
+
+                loss_value = float(loss)
+                window_loss += loss_value
+                window_count += sample_size
+                all_sample_size += sample_size
+                batch_loss += loss_value
+                backward_steps += 1
+                if backward_steps % accum > 0:
+                    continue
+
+                if self.mode == "weight-pruning":
+                    self.wp_state.update_smooth_loss(
+                        batch_loss / all_sample_size
+                    )
+                    self.wp_state.update_target_smooth_loss(
+                        global_step, self.prune_steps
+                    )
+                    batch_loss = 0.0
+
+                self.params, self.opt_state, grad_norm = self.apply_step(
+                    self.params, self.opt_state, grads_acc,
+                    jnp.asarray(float(all_sample_size)),
+                )
+                grads_acc = None
+
+                if global_step % log_step == 0 or pbar["n"] == pbar["total"] - 1:
+                    norm_loss = window_loss / max(window_count, 1)
+                    self._log_scalar(f"{prefix}loss", norm_loss, global_step)
+                    self._log_scalar(
+                        f"{prefix}gradient norm", float(grad_norm), global_step
+                    )
+                    steps_per_sec = global_step / (time.time() - t_start)
+                    print(
+                        f"[Runner] step {global_step}/{pbar['total']} "
+                        f"loss={norm_loss:.4f} gnorm={float(grad_norm):.3f} "
+                        f"({steps_per_sec:.2f} steps/s)"
+                    )
+                    window_loss = 0.0
+                    window_count = 0
+                all_sample_size = 0
+
+                if pbar["n"] == pbar["total"] - 1:
+                    if self.mode in ("melhubert", "distillation"):
+                        self.save(global_step, "last-step.npz")
+                    elif self.mode == "weight-pruning":
+                        self.save(
+                            global_step, "last-step.npz",
+                            total_step=pbar["total"],
+                        )
+                    else:
+                        n_left = (
+                            sum(self.cfg.encoder_attention_heads)
+                            if self.mode == "head-pruning"
+                            else min(self.cfg.encoder_ffn_embed_dim)
+                        )
+                        self.save(global_step, f"states_prune_{n_left}.npz")
+                pbar["n"] += 1
+
+        print(f"[Runner] - Done: {pbar['total']} steps")

@@ -1,0 +1,103 @@
+"""Multi-device mesh tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+from speech_ssl_compression_tpu.models import init_melhubert_params
+from speech_ssl_compression_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    shard_params,
+)
+from speech_ssl_compression_tpu.train.steps import (
+    make_apply_step,
+    make_melhubert_grad_step,
+    make_optimizer,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def _cfg():
+    return MelHuBERTConfig.from_dict(
+        {
+            "feat_emb_dim": 80,
+            "encoder_layers": 2,
+            "encoder_embed_dim": 128,
+            "encoder_attention_heads": 4,
+            "head_dim": 32,
+            "encoder_ffn_embed_dim": 256,
+            "num_cluster": 32,
+            "conv_pos": 16,
+            "conv_pos_groups": 4,
+            "mask_length": 4,
+            "dropout": 0.0,
+            "attention_dropout": 0.0,
+            "activation_dropout": 0.0,
+        }
+    )
+
+
+def _batch(b, t):
+    rng = np.random.default_rng(0)
+    return {
+        "feat": jnp.asarray(rng.standard_normal((b, t, 80)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 32, (b, t)), jnp.int32),
+        "pad_mask": jnp.ones((b, t), jnp.float32),
+    }
+
+
+def _run_step(mesh, tp):
+    cfg = _cfg()
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    params = shard_params(params, mesh, tensor_parallel=tp)
+    optimizer = make_optimizer(lr=1e-3)
+    opt_state = optimizer.init(params)
+    grad_step = make_melhubert_grad_step(cfg, accum_steps=1)
+    apply_step = make_apply_step(optimizer)
+
+    batch = {
+        k: jax.device_put(v, batch_sharding(mesh, v.ndim))
+        for k, v in _batch(8, 128).items()
+    }
+    with mesh:
+        loss, grads, _ = grad_step(params, None, batch, jax.random.PRNGKey(1))
+        params, opt_state, gnorm = apply_step(
+            params, opt_state, grads, jnp.asarray(1.0)
+        )
+    return float(loss), float(gnorm), params
+
+
+def test_data_parallel_step():
+    mesh = make_mesh(8, model_parallel=1)
+    loss, gnorm, _ = _run_step(mesh, tp=False)
+    assert np.isfinite(loss) and np.isfinite(gnorm)
+
+
+def test_tensor_parallel_matches_data_parallel():
+    mesh_dp = make_mesh(8, model_parallel=1)
+    mesh_tp = make_mesh(8, model_parallel=2)
+    loss_dp, _, params_dp = _run_step(mesh_dp, tp=False)
+    loss_tp, _, params_tp = _run_step(mesh_tp, tp=True)
+    # same math, different layout
+    assert abs(loss_dp - loss_tp) < 1e-4, (loss_dp, loss_tp)
+    a = np.asarray(
+        jax.device_get(params_dp["encoder"]["layers"][0]["fc1"]["kernel"])
+    )
+    b = np.asarray(
+        jax.device_get(params_tp["encoder"]["layers"][0]["fc1"]["kernel"])
+    )
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_batch_sharding_spec():
+    mesh = make_mesh(8, model_parallel=2)
+    x = jnp.zeros((8, 16, 80))
+    xs = jax.device_put(x, batch_sharding(mesh, 3))
+    # batch axis split over the 4-way data axis
+    assert xs.sharding.shard_shape(x.shape)[0] == 2

@@ -1,0 +1,210 @@
+"""End-to-end runner smoke tests on a tiny synthetic CSV dataset, covering
+all five modes (the reference has no tests; SURVEY.md §4 defines this
+strategy)."""
+
+import os
+import types
+
+import numpy as np
+import pytest
+import yaml
+
+from speech_ssl_compression_tpu.train.runner import Runner
+
+
+def make_dataset(tmp_path, n_utts=8, feat_dim=40, n_cluster=10, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    data_dir = tmp_path / "data"
+    data_dir.mkdir(exist_ok=True)
+    for i in range(n_utts):
+        n = int(rng.integers(30, 60))
+        feat = rng.standard_normal((n, feat_dim)).astype(np.float32)
+        label = rng.integers(0, n_cluster, (n,)).astype(np.int64)
+        fp = data_dir / f"feat_{i}.npy"
+        lp = data_dir / f"label_{i}.npy"
+        np.save(fp, feat)
+        np.save(lp, label)
+        rows.append((str(fp), str(lp), n))
+    csv = tmp_path / "train.csv"
+    with open(csv, "w") as f:
+        f.write("file_path,label_path,length\n")
+        for r in rows:
+            f.write(f"{r[0]},{r[1]},{r[2]}\n")
+    return str(csv)
+
+
+def base_model_cfg():
+    return {
+        "melhubert": {
+            "feat_emb_dim": 80,
+            "encoder_layers": 2,
+            "encoder_embed_dim": 64,
+            "encoder_ffn_embed_dim": 128,
+            "encoder_attention_heads": 4,
+            "head_dim": 16,
+            "num_cluster": 10,
+            "conv_pos": 16,
+            "conv_pos_groups": 4,
+            "mask_prob": 0.65,
+            "mask_length": 4,
+            "dropout": 0.0,
+            "attention_dropout": 0.0,
+            "activation_dropout": 0.0,
+        },
+        "task": {"sequence_length": 0},
+    }
+
+
+def base_runner_cfg(csv, total_steps=4):
+    return {
+        "runner": {
+            "n_epochs": 0,
+            "total_steps": total_steps,
+            "gradient_clipping": 10.0,
+            "gradient_accumulate_steps": 1,
+            "log_step": 2,
+            "save_every_x_epochs": 100,
+            "bf16": False,
+        },
+        "optimizer": {"lr": 1.0e-4, "betas": [0.9, 0.999], "eps": 1.0e-8,
+                      "weight_decay": 0},
+        "datarc": {
+            "num_workers": 0,
+            "train_batch_size": 2,
+            "max_timestep": 0,
+            "sets": [csv],
+        },
+    }
+
+
+def make_args(tmp_path, mode, **kw):
+    args = types.SimpleNamespace(
+        mode=mode,
+        upstream="melhubert",
+        expdir=str(tmp_path / f"exp_{mode}"),
+        initial_weight=None,
+        init_optimizer_from_initial_weight=False,
+        frame_period=20,
+        seed=0,
+    )
+    for k, v in kw.items():
+        setattr(args, k, v)
+    return args
+
+
+def test_melhubert_pretrain_smoke(tmp_path):
+    csv = make_dataset(tmp_path)
+    args = make_args(tmp_path, "melhubert")
+    runner = Runner(args, base_runner_cfg(csv), base_model_cfg())
+    runner.train()
+    assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))
+
+    # resume from our own checkpoint
+    args2 = make_args(
+        tmp_path, "melhubert",
+        initial_weight=os.path.join(args.expdir, "last-step.npz"),
+        init_optimizer_from_initial_weight=True,
+    )
+    args2.expdir = str(tmp_path / "exp_resume")
+    runner2 = Runner(args2, base_runner_cfg(csv, total_steps=2),
+                     base_model_cfg())
+    runner2.train()
+
+
+def test_weight_pruning_smoke(tmp_path):
+    csv = make_dataset(tmp_path)
+    rc = base_runner_cfg(csv, total_steps=6)
+    rc["prune"] = {
+        "pruning_condition": "always",  # skip the converge gate for speed
+        "strategy": "L1Unstructured",
+        "n_iters": 2,
+        "warnup": 2,
+        "period": 2,
+        "average_length": 1,
+        "converge_loss_tolerance": 0.001,
+        "sparsity": [0.2, 0.4],
+    }
+    args = make_args(tmp_path, "weight-pruning")
+    runner = Runner(args, rc, base_model_cfg())
+    runner.train()
+    from speech_ssl_compression_tpu.compress.weight_pruning import sparsity_of
+
+    assert runner.wp_state.pruning_times == 2
+    assert abs(sparsity_of(runner.masks) - 0.4) < 0.01
+    assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))
+
+
+def test_head_pruning_l1_smoke(tmp_path):
+    csv = make_dataset(tmp_path)
+    rc = base_runner_cfg(csv, total_steps=6)
+    rc["prune"] = {
+        "metric": "l1",
+        "target": "by_layer",
+        "total_steps": 2,
+        "interval": 2,
+        "warm_up": 1,
+    }
+    args = make_args(tmp_path, "head-pruning")
+    runner = Runner(args, rc, base_model_cfg())
+    runner.train()
+    # 2 events x 1 head/layer x 2 layers pruned
+    assert runner.cfg.encoder_attention_heads == (2, 2)
+    assert len(runner.pruned_heads) == 2
+
+
+def test_head_pruning_data_driven_smoke(tmp_path):
+    csv = make_dataset(tmp_path)
+    rc = base_runner_cfg(csv, total_steps=4)
+    rc["prune"] = {
+        "metric": "data-driven",
+        "target": "by_whole",
+        "total_steps": 1,
+        "interval": 2,
+        "warm_up": 1,
+        "num_heads_each_step": 2,
+        "data_ratio": 0.5,
+        "normalize_by_layer": 2,
+    }
+    args = make_args(tmp_path, "head-pruning")
+    runner = Runner(args, rc, base_model_cfg())
+    runner.train()
+    assert sum(runner.cfg.encoder_attention_heads) == 6
+
+
+def test_row_pruning_smoke(tmp_path):
+    csv = make_dataset(tmp_path)
+    rc = base_runner_cfg(csv, total_steps=6)
+    rc["prune"] = {
+        "num_rows_each_step": 32,
+        "total_steps": 2,
+        "interval": 2,
+        "warm_up": 1,
+    }
+    args = make_args(tmp_path, "row-pruning")
+    runner = Runner(args, rc, base_model_cfg())
+    runner.train()
+    assert runner.cfg.encoder_ffn_embed_dim == (64, 64)
+
+
+def test_distillation_smoke(tmp_path):
+    csv = make_dataset(tmp_path)
+    # teacher = trained-ish tiny model saved as our npz ckpt
+    args_t = make_args(tmp_path, "melhubert")
+    runner_t = Runner(args_t, base_runner_cfg(csv, total_steps=2),
+                      base_model_cfg())
+    runner_t.train()
+    teacher_ckpt = os.path.join(args_t.expdir, "last-step.npz")
+
+    mc = base_model_cfg()
+    up = {
+        "teacher": dict(mc["melhubert"]),
+        "student": dict(mc["melhubert"], encoder_layers=1,
+                        initial_from_teacher=True),
+        "loss_param": {"T": 4, "alpha": 0.5, "type": "masked"},
+        "task": {"sequence_length": 0},
+    }
+    args = make_args(tmp_path, "distillation", initial_weight=teacher_ckpt)
+    runner = Runner(args, base_runner_cfg(csv, total_steps=3), up)
+    runner.train()
+    assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))

@@ -1,0 +1,83 @@
+"""Training CLI — same interface as the reference (train.py:19-46):
+
+    python3 train.py -m MODE -u UPSTREAM -g config_model.yaml
+        -c config_runner.yaml -n exp_name [-i ckpt] [-f {10,20}] [--seed N]
+
+MODE in {melhubert, weight-pruning, head-pruning, row-pruning, distillation}.
+UPSTREAM in {melhubert, hubert, wav2vec2}.
+
+The reference's --multi_gpu flag (torch DataParallel) is superseded by the
+device mesh: all local TPU chips are used for data parallelism automatically;
+--model_parallel N additionally shards attention heads / FFN rows.
+"""
+
+import argparse
+import os
+import pathlib
+import shutil
+import sys
+
+import yaml
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "-m", "--mode", required=True,
+        choices=["melhubert", "weight-pruning", "head-pruning",
+                 "row-pruning", "distillation"],
+    )
+    parser.add_argument("-u", "--upstream", default="melhubert",
+                        choices=["melhubert", "hubert", "wav2vec2"])
+    parser.add_argument("-g", "--upstream_config", required=True,
+                        help="model YAML")
+    parser.add_argument("-c", "--runner_config", required=True,
+                        help="runner YAML")
+    parser.add_argument("-n", "--expdir", required=True)
+    parser.add_argument("-i", "--initial_weight", default=None)
+    parser.add_argument("--init_optimizer_from_initial_weight",
+                        action="store_true")
+    parser.add_argument("-f", "--frame_period", type=int, default=20,
+                        choices=[10, 20])
+    parser.add_argument("--seed", type=int, default=1337)
+    parser.add_argument("--backend", default=None,
+                        help="jax platform override (e.g. cpu)")
+    parser.add_argument("--model_parallel", type=int, default=1)
+    return parser.parse_args()
+
+
+def main():
+    args = get_args()
+    if args.backend:
+        import jax
+
+        jax.config.update("jax_platforms", args.backend)
+
+    os.makedirs(args.expdir, exist_ok=True)
+    # config provenance copies (reference train.py:43-44)
+    shutil.copy(args.upstream_config,
+                os.path.join(args.expdir, "config_model.yaml"))
+    shutil.copy(args.runner_config,
+                os.path.join(args.expdir, "config_runner.yaml"))
+
+    with open(args.runner_config) as f:
+        runner_config = yaml.safe_load(f)
+    with open(args.upstream_config) as f:
+        upstream_config = yaml.safe_load(f)
+
+    if args.upstream == "melhubert":
+        from speech_ssl_compression_tpu.train.runner import Runner
+
+        runner = Runner(args, runner_config, upstream_config)
+        runner.train()
+    else:
+        from speech_ssl_compression_tpu.train.wave_runner import WaveRunner
+
+        runner = WaveRunner(args, runner_config, upstream_config)
+        runner.train()
+
+
+if __name__ == "__main__":
+    main()
