@@ -1,0 +1,213 @@
+"""HuBERT waveform dataset (reference datasets/hubert_dataset.py:111-352).
+
+TSV manifest (first line = root, then "rel_path\\tnum_samples"), per-frame
+label files with byte-offset lazy reads (load_label_offset, :61-69),
+label/audio duration verification (verify_label_lengths, :72-108), random
+crop to max_sample_size with aligned label cropping (collater_frm_label,
+:285-301).
+
+TPU-first: batches are padded to static shape buckets; audio is decoded with
+the native FLAC/WAV reader instead of soundfile.
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+import os
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .audio import read_audio
+
+logger = logging.getLogger(__name__)
+
+
+def load_manifest(manifest_path: str, max_keep: Optional[int],
+                  min_keep: Optional[int]):
+    names, inds, sizes = [], [], []
+    n_long, n_short = 0, 0
+    with open(manifest_path) as f:
+        root = f.readline().strip()
+        for ind, line in enumerate(f):
+            items = line.strip().split("\t")
+            assert len(items) == 2, line
+            sz = int(items[1])
+            if min_keep is not None and sz < min_keep:
+                n_short += 1
+            elif max_keep is not None and sz > max_keep:
+                n_long += 1
+            else:
+                names.append(items[0])
+                inds.append(ind)
+                sizes.append(sz)
+    logger.info(
+        f"manifest {manifest_path}: kept {len(names)}, "
+        f"skipped {n_short} short / {n_long} long"
+    )
+    return root, names, inds, sizes
+
+
+def load_label_offsets(label_path: str, inds: Sequence[int], tot: int):
+    """Byte offsets of the kept utterances' label lines (reference :61-69)."""
+    with open(label_path) as f:
+        code_lengths = [len(line.encode("utf-8")) for line in f]
+    assert len(code_lengths) == tot, (
+        f"label count {len(code_lengths)} != manifest count {tot}"
+    )
+    offsets = list(itertools.accumulate([0] + code_lengths))
+    return [(offsets[i], offsets[i + 1]) for i in inds]
+
+
+def verify_label_lengths(sizes, label_path, inds, tot, label_rate,
+                         sample_rate=16000, tol=0.1):
+    """reference :72-108: warn when audio and label durations disagree."""
+    with open(label_path) as f:
+        lengths = [len(line.rstrip().split()) for line in f]
+    assert len(lengths) == tot
+    num_invalid = 0
+    for i, ind in enumerate(inds):
+        dur_from_audio = sizes[i] / sample_rate
+        dur_from_label = lengths[ind] / label_rate
+        if abs(dur_from_audio - dur_from_label) > tol:
+            logger.warning(
+                f"audio and label duration differ too much "
+                f"({dur_from_audio} vs {dur_from_label}) at index {ind}"
+            )
+            num_invalid += 1
+    if num_invalid > 0:
+        logger.warning(f"total {num_invalid} (audio, label) pairs with mismatch")
+
+
+class HubertWaveDataset:
+    """Bucketed (by size) batches of raw audio + frame labels."""
+
+    def __init__(
+        self,
+        manifest_path: str,
+        sample_rate: int,
+        label_paths: List[str],
+        label_rates,
+        batch_size: int = 4,
+        max_keep_sample_size: Optional[int] = None,
+        min_keep_sample_size: Optional[int] = None,
+        max_sample_size: Optional[int] = None,
+        pad_audio: bool = False,
+        normalize: bool = False,
+        random_crop: bool = True,
+        single_target: bool = False,
+        pad_multiple: int = 2000,
+        seed: int = 0,
+    ):
+        self.root, self.names, inds, self.sizes = load_manifest(
+            manifest_path, max_keep_sample_size, min_keep_sample_size
+        )
+        self.sample_rate = sample_rate
+        self.label_paths = label_paths
+        if isinstance(label_rates, (int, float)):
+            label_rates = [float(label_rates)] * len(label_paths)
+        self.label_rates = [float(r) for r in label_rates]
+        self.max_sample_size = max_sample_size or np.inf
+        self.pad_audio = pad_audio
+        self.normalize = normalize
+        self.random_crop = random_crop
+        self.single_target = single_target
+        self.pad_multiple = pad_multiple
+        self.rng = np.random.default_rng(seed)
+
+        tot = max(inds) + 1 if inds else 0
+        self.label_offsets = [
+            load_label_offsets(p, inds, tot) for p in label_paths
+        ]
+        for p, r in zip(label_paths, self.label_rates):
+            verify_label_lengths(self.sizes, p, inds, tot, r, sample_rate)
+
+        order = np.argsort(np.array(self.sizes))[::-1]
+        self.buckets = [
+            order[i : i + batch_size].tolist()
+            for i in range(0, len(order), batch_size)
+        ]
+        if self.buckets and len(self.buckets[-1]) < 2:
+            self.buckets.pop()
+
+    def __len__(self):
+        return len(self.buckets)
+
+    def _get_audio(self, index: int) -> np.ndarray:
+        path = os.path.join(self.root, self.names[index])
+        wav, sr = read_audio(path)
+        assert sr == self.sample_rate, path
+        wav = wav[0]
+        if self.normalize:
+            wav = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-5)
+        return wav.astype(np.float32)
+
+    def _get_labels(self, index: int) -> List[np.ndarray]:
+        out = []
+        for p, offsets in zip(self.label_paths, self.label_offsets):
+            s, e = offsets[index]
+            with open(p) as f:
+                f.seek(s)
+                line = f.read(e - s)
+            out.append(np.array(list(map(int, line.split()))))
+        return out
+
+    def get_batch(self, bucket_idx: int) -> dict:
+        idxs = self.buckets[bucket_idx]
+        wavs = [self._get_audio(i) for i in idxs]
+        labels = [self._get_labels(i) for i in idxs]
+
+        if self.pad_audio:
+            target = min(max(len(w) for w in wavs), int(self.max_sample_size))
+        else:
+            target = min(
+                min(len(w) for w in wavs), int(self.max_sample_size)
+            )
+
+        starts = []
+        cropped = []
+        for w in wavs:
+            diff = len(w) - target
+            if diff <= 0:
+                start = 0
+            elif self.random_crop:
+                start = int(self.rng.integers(0, diff + 1))
+            else:
+                start = 0
+            starts.append(start)
+            cropped.append(w[start : start + target])
+
+        t_pad = -(-target // self.pad_multiple) * self.pad_multiple
+        b = len(idxs)
+        source = np.zeros((b, t_pad), np.float32)
+        lengths = np.zeros((b,), np.int32)
+        for i, w in enumerate(cropped):
+            source[i, : len(w)] = w
+            lengths[i] = len(w)
+
+        # frame-aligned label crops (reference collater_frm_label :285-301)
+        target_lists = []
+        for li, rate in enumerate(self.label_rates):
+            s2f = rate / self.sample_rate
+            frm_labels = []
+            for bi, labs in enumerate(labels):
+                frm_start = int(round(starts[bi] * s2f))
+                frm_size = int(round(target * s2f))
+                frm_labels.append(labs[li][frm_start : frm_start + frm_size])
+            target_lists.append(frm_labels)
+
+        return {
+            "source": source,
+            "length": lengths,
+            "target_lists": target_lists,
+            "starts": starts,
+            "crop_size": target,
+        }
+
+    def epoch(self, shuffle: bool = True) -> Iterator[dict]:
+        order = np.arange(len(self.buckets))
+        if shuffle:
+            self.rng.shuffle(order)
+        for i in order:
+            yield self.get_batch(int(i))

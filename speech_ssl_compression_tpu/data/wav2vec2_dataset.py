@@ -1,0 +1,137 @@
+"""wav2vec 2.0 raw-audio dataset (reference datasets/wav2vec2_dataset.py:
+RawAudioDataset / FileAudioDataset).
+
+TSV manifest raw-audio dataset with crop-or-pad collation (:104-159) and
+percentile length bucketing (set_bucket_info :197-214 +
+fairseq_code/data_utils.py:313-331 get_buckets). The reference forces
+bucketing when task.tpu is set (runner.py:263) — here static-shape bucketing
+is simply always on. Zip-slice audio IO (fairseq audio_utils) is not
+supported; plain FLAC/WAV files are read with the native decoder.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .audio import read_audio
+
+logger = logging.getLogger(__name__)
+
+
+def get_percentile_buckets(sizes: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Bucket boundaries at uniform percentiles of the size distribution
+    (reference fairseq_code/data_utils.py:313-331)."""
+    buckets = np.unique(
+        np.percentile(
+            sizes,
+            np.linspace(0, 100, num_buckets + 1),
+            method="lower",
+        )[1:]
+    )
+    return buckets
+
+
+class Wav2Vec2AudioDataset:
+    def __init__(
+        self,
+        manifest_path: str,
+        sample_rate: int = 16000,
+        batch_size: int = 4,
+        max_sample_size: Optional[int] = None,
+        min_sample_size: int = 0,
+        pad: bool = False,
+        normalize: bool = False,
+        num_buckets: int = 8,
+        seed: int = 0,
+    ):
+        self.sample_rate = sample_rate
+        self.max_sample_size = (
+            max_sample_size if max_sample_size is not None else np.inf
+        )
+        self.pad = pad
+        self.normalize = normalize
+        self.rng = np.random.default_rng(seed)
+
+        self.names, self.sizes = [], []
+        skipped = 0
+        with open(manifest_path) as f:
+            self.root = f.readline().strip()
+            for line in f:
+                items = line.strip().split("\t")
+                assert len(items) == 2, line
+                sz = int(items[1])
+                if sz < min_sample_size:
+                    skipped += 1
+                    continue
+                self.names.append(items[0])
+                self.sizes.append(sz)
+        self.sizes = np.array(self.sizes, np.int64)
+        logger.info(
+            f"loaded {len(self.names)}, skipped {skipped} short samples"
+        )
+
+        # percentile buckets cap each utterance's padded size; batch by
+        # sorted size so one batch = one static shape
+        capped = np.minimum(self.sizes, int(self.max_sample_size))
+        if num_buckets > 0 and len(capped) > 1:
+            bounds = get_percentile_buckets(capped, num_buckets)
+            self.padded_sizes = bounds[
+                np.searchsorted(bounds, capped, side="left")
+            ]
+        else:
+            self.padded_sizes = capped
+
+        order = np.argsort(self.padded_sizes)[::-1]
+        self.batches = [
+            order[i : i + batch_size].tolist()
+            for i in range(0, len(order), batch_size)
+        ]
+        if self.batches and len(self.batches[-1]) < 2:
+            self.batches.pop()
+
+    def __len__(self):
+        return len(self.batches)
+
+    def _get_audio(self, index: int) -> np.ndarray:
+        path = os.path.join(self.root, self.names[index])
+        wav, sr = read_audio(path)
+        assert sr == self.sample_rate, path
+        wav = wav[0]
+        if self.normalize:
+            wav = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-5)
+        return wav.astype(np.float32)
+
+    def get_batch(self, batch_idx: int) -> dict:
+        idxs = self.batches[batch_idx]
+        wavs = [self._get_audio(i) for i in idxs]
+        if self.pad:
+            target = min(
+                max(len(w) for w in wavs), int(self.max_sample_size)
+            )
+        else:
+            target = min(min(len(w) for w in wavs), int(self.max_sample_size))
+        target = int(max(self.padded_sizes[idxs].max(), target)) if self.pad \
+            else target
+
+        b = len(idxs)
+        source = np.zeros((b, target), np.float32)
+        lengths = np.zeros((b,), np.int32)
+        for i, w in enumerate(wavs):
+            if len(w) > target:
+                diff = len(w) - target
+                start = int(self.rng.integers(0, diff + 1))
+                w = w[start : start + target]
+            source[i, : len(w)] = w
+            lengths[i] = len(w)
+        return {"source": source, "length": lengths}
+
+    def epoch(self, shuffle: bool = True) -> Iterator[dict]:
+        order = np.arange(len(self.batches))
+        if shuffle:
+            self.rng.shuffle(order)
+        for i in order:
+            yield self.get_batch(int(i))

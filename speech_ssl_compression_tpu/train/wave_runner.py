@@ -1,0 +1,333 @@
+"""Training runner for the waveform models (HuBERT / wav2vec 2.0).
+
+Reference parity: upstream/hubert/pretrain_expert.py +
+upstream/wav2vec2/pretrain_expert.py driven by runner.py, including
+weight pruning on the encoder (weight_pruning/config/hubert_config_runner.yaml
+and wav2vec2_config_runner.yaml) — the mask pytree applies to the shared
+encoder-layer structure regardless of model family.
+
+Label alignment (reference model.py:292-305 forward_targets) happens in the
+collate step: labels are aligned to conv frames on the host so the jitted
+step sees static shapes.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import HuBERTConfig, Wav2Vec2Config
+from ..compress import weight_pruning as wp
+from ..compress.schedule import sparsity_ladder, weight_prune_steps
+from ..data.bucket_dataset import PrefetchIterator
+from ..data.dictionary import Dictionary
+from ..data.hubert_dataset import HubertWaveDataset
+from ..data.task_config import HubertTaskConfig, Wav2vec2TaskConfig
+from ..data.wav2vec2_dataset import Wav2Vec2AudioDataset
+from ..models.conv_frontend import conv_output_length
+from ..models.hubert import (
+    hubert_forward,
+    hubert_pretrain_loss,
+    init_hubert_params,
+)
+from ..models.wav2vec2 import (
+    init_wav2vec2_params,
+    wav2vec2_forward,
+    wav2vec2_pretrain_loss,
+)
+from ..utils.checkpoint import save_checkpoint
+from .steps import make_apply_step, make_optimizer, cast_for_compute
+
+
+class WaveRunner:
+    def __init__(self, args, runner_config: dict, upstream_config: dict):
+        self.args = args
+        self.runner_config = runner_config
+        self.upstream_config = upstream_config
+        self.upstream = args.upstream
+        self.mode = args.mode
+        self.expdir = args.expdir
+        os.makedirs(self.expdir, exist_ok=True)
+
+        self.rng = jax.random.PRNGKey(getattr(args, "seed", 1337))
+        self.compute_dtype = (
+            jnp.bfloat16
+            if runner_config.get("runner", {}).get("bf16", True)
+            and jax.default_backend() == "tpu"
+            else jnp.float32
+        )
+
+        task = runner_config.get("task", {})
+        if self.upstream == "hubert":
+            self.task_cfg = HubertTaskConfig.from_dict(task)
+            self.cfg = HuBERTConfig.from_dict(upstream_config["hubert"])
+            self.dictionaries = self._load_dictionaries()
+            self.num_classes = tuple(len(d) for d in self.dictionaries)
+            self.rng, k = jax.random.split(self.rng)
+            self.params = init_hubert_params(k, self.cfg, self.num_classes)
+        elif self.upstream == "wav2vec2":
+            self.task_cfg = Wav2vec2TaskConfig.from_dict(task)
+            self.cfg = Wav2Vec2Config.from_dict(upstream_config["wav2vec2"])
+            self.rng, k = jax.random.split(self.rng)
+            self.params = init_wav2vec2_params(k, self.cfg)
+        else:
+            raise NotImplementedError(self.upstream)
+
+        n = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(self.params))
+        print(f"[WaveRunner] - {self.upstream}: {n} parameters")
+
+        # weight pruning (only compression mode wired for wave models,
+        # matching the reference's shipped configs)
+        self.masks = None
+        self.wp_state: Optional[wp.WeightPruningState] = None
+        self.prune_steps = []
+        if self.mode == "weight-pruning":
+            pc = runner_config["prune"]
+            n_iters = pc.get("n_iters", 38)
+            self.wp_state = wp.WeightPruningState(
+                sparsity=sparsity_ladder(pc["sparsity"], n_iters),
+                prune_condition=pc.get("pruning_condition", "converge"),
+                smooth_factor=pc.get("smooth_factor", 0.999),
+                avg_len=pc.get("average_length", 15000),
+                con_tol=pc.get("converge_loss_tolerance", 0.001),
+                warnup=pc.get("warnup", 25000),
+                period=pc.get("period", 25000),
+            )
+            self.prune_steps = weight_prune_steps(
+                self.wp_state.warnup, self.wp_state.period, n_iters
+            )
+            self.masks = wp.init_masks(self.params)
+
+        opt_cfg = runner_config.get("optimizer", {})
+        self.optimizer = make_optimizer(
+            lr=float(opt_cfg.get("lr", 1e-4)),
+            betas=tuple(opt_cfg.get("betas", (0.9, 0.999))),
+            eps=float(opt_cfg.get("eps", 1e-8)),
+            weight_decay=float(opt_cfg.get("weight_decay", 0.0)),
+            gradient_clipping=float(
+                runner_config["runner"].get("gradient_clipping", 10.0)
+            ),
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        self.apply_step = make_apply_step(self.optimizer)
+        self._build_grad_step()
+
+    # ------------------------------------------------------------------
+    def _load_dictionaries(self):
+        label_dir = self.task_cfg.label_dir or self.task_cfg.data
+        return [
+            Dictionary.load(f"{label_dir}/dict.{label}.txt")
+            for label in self.task_cfg.labels
+        ]
+
+    def _build_grad_step(self):
+        cfg = self.cfg
+        accum = int(
+            self.runner_config["runner"].get("gradient_accumulate_steps", 1)
+        )
+        self.accum_steps = accum
+        compute_dtype = self.compute_dtype
+        upstream = self.upstream
+        num_classes = getattr(self, "num_classes", None)
+
+        @jax.jit
+        def grad_step(params, masks, batch, rng, num_updates):
+            def loss_fn(params):
+                p = wp.apply_masks(params, masks)
+                p = cast_for_compute(p, compute_dtype)
+                if upstream == "hubert":
+                    out = hubert_forward(
+                        p, cfg,
+                        batch["source"].astype(compute_dtype),
+                        batch["length"],
+                        mask=True, rng=rng, deterministic=False,
+                    )
+                    loss, sample_size, logs = hubert_pretrain_loss(
+                        p, cfg, out, batch["target_list"], num_classes
+                    )
+                else:
+                    out = wav2vec2_forward(
+                        p, cfg,
+                        batch["source"].astype(compute_dtype),
+                        batch["length"],
+                        mask=True, rng=rng, deterministic=False,
+                        num_updates=0,
+                    )
+                    loss, sample_size, logs = wav2vec2_pretrain_loss(out, cfg)
+                return loss / accum, (sample_size, logs)
+
+            (loss, (sample_size, logs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            return loss, sample_size, grads, logs
+
+        self.grad_step = grad_step
+
+    # ------------------------------------------------------------------
+    def _get_dataset(self):
+        task = self.task_cfg
+        datarc = self.runner_config.get("pretrain_expert", {}).get(
+            "datarc", self.runner_config.get("datarc", {})
+        )
+        batch_size = int(datarc.get("train_batch_size", 4))
+        if self.upstream == "hubert":
+            label_dir = task.label_dir or task.data
+            label_paths = [
+                f"{label_dir}/train.{l}" for l in task.labels
+            ]
+            return HubertWaveDataset(
+                manifest_path=f"{task.data}/train.tsv",
+                sample_rate=task.sample_rate,
+                label_paths=label_paths,
+                label_rates=task.label_rate,
+                batch_size=batch_size,
+                max_keep_sample_size=task.max_keep_size,
+                min_keep_sample_size=task.min_sample_size,
+                max_sample_size=task.max_sample_size,
+                pad_audio=task.pad_audio,
+                normalize=task.normalize,
+                random_crop=task.random_crop,
+                single_target=task.single_target,
+                seed=getattr(self.args, "seed", 1337),
+            )
+        return Wav2Vec2AudioDataset(
+            manifest_path=f"{task.data}/train.tsv",
+            sample_rate=task.sample_rate,
+            batch_size=batch_size,
+            max_sample_size=task.max_sample_size,
+            min_sample_size=task.min_sample_size or 0,
+            pad=task.labels is not None or task.enable_padding,
+            normalize=task.normalize,
+            num_buckets=task.num_batch_buckets,
+            seed=getattr(self.args, "seed", 1337),
+        )
+
+    def _collate_device_batch(self, batch):
+        """Pad labels to conv-frame length + encode through dictionaries."""
+        out = {
+            "source": jnp.asarray(batch["source"]),
+            "length": jnp.asarray(batch["length"]),
+        }
+        if self.upstream == "hubert":
+            t_frames = conv_output_length(
+                batch["source"].shape[1], self.cfg.conv_feature_layers
+            )
+            target_list = []
+            for frm_labels in batch["target_lists"]:
+                arr = np.zeros((len(frm_labels), t_frames), np.int32)
+                for bi, labs in enumerate(frm_labels):
+                    # raw cluster ids -> dictionary indices (4 specials
+                    # precede the symbols; reference LabelEncoder encodes
+                    # "5" -> dict index 4+5 for in-order cluster dicts)
+                    n = min(len(labs), t_frames)
+                    arr[bi, :n] = labs[:n] + 4
+                target_list.append(jnp.asarray(arr))
+            out["target_list"] = target_list
+        return out
+
+    # ------------------------------------------------------------------
+    def save(self, global_step: int, name: str):
+        meta = {
+            "Step": global_step,
+            "Args": vars(self.args) if hasattr(self.args, "__dict__") else {},
+            "Runner": self.runner_config,
+            "Upstream_Config": self.upstream_config,
+        }
+        if self.wp_state is not None:
+            meta["Pruning"] = self.wp_state.to_meta()
+        save_checkpoint(
+            os.path.join(self.expdir, name),
+            self.params,
+            opt_state=self.opt_state,
+            masks=self.masks,
+            meta=meta,
+            rng_key=self.rng,
+        )
+        print(f"[WaveRunner] - Saved checkpoint to {name}")
+
+    def train(self):
+        runner = self.runner_config["runner"]
+        dataset = self._get_dataset()
+        total_steps = runner.get("total_steps", -1)
+        if total_steps is None or total_steps <= 0:
+            n_epochs = runner.get("n_epochs", 1)
+            total_steps = int(n_epochs * len(dataset) / self.accum_steps)
+        log_step = runner.get("log_step", 200)
+        accum = self.accum_steps
+
+        step = 0
+        backward = 0
+        grads_acc = None
+        sample_total = 0.0
+        window_loss, window_n = 0.0, 0
+        t0 = time.time()
+        while step < total_steps:
+            for batch in PrefetchIterator(dataset.epoch(shuffle=True)):
+                if step >= total_steps:
+                    break
+                if (
+                    self.mode == "weight-pruning"
+                    and step in self.prune_steps
+                    and backward % accum == 0
+                ):
+                    if self.wp_state.converged():
+                        self.save(step, f"before-pruning-{step}.npz")
+                        self.params, self.masks, _ = wp.prune_event(
+                            self.params, self.masks, self.wp_state
+                        )
+                        print(
+                            f"[WaveRunner/WP] sparsity now "
+                            f"{wp.sparsity_of(self.masks):.3f}"
+                        )
+                    else:
+                        self.prune_steps.append(
+                            max(self.prune_steps) + self.wp_state.period
+                        )
+
+                self.rng, k = jax.random.split(self.rng)
+                jb = self._collate_device_batch(batch)
+                loss, sample_size, grads, logs = self.grad_step(
+                    self.params, self.masks, jb, k, step
+                )
+                grads_acc = (
+                    grads if grads_acc is None
+                    else jax.tree.map(jnp.add, grads_acc, grads)
+                )
+                sample_total += float(sample_size)
+                window_loss += float(loss)
+                window_n += 1
+                backward += 1
+                if backward % accum:
+                    continue
+
+                if self.wp_state is not None:
+                    self.wp_state.update_smooth_loss(
+                        float(loss) / max(sample_total, 1.0)
+                    )
+                    self.wp_state.update_target_smooth_loss(
+                        step, self.prune_steps
+                    )
+
+                self.params, self.opt_state, gnorm = self.apply_step(
+                    self.params, self.opt_state, grads_acc,
+                    jnp.asarray(max(sample_total, 1.0)),
+                )
+                grads_acc = None
+                sample_total = 0.0
+                step += 1
+
+                if step % log_step == 0 or step == total_steps:
+                    print(
+                        f"[WaveRunner] step {step}/{total_steps} "
+                        f"loss={window_loss/max(window_n,1):.4f} "
+                        f"gnorm={float(gnorm):.3f} "
+                        f"({step/(time.time()-t0):.2f} steps/s)"
+                    )
+                    window_loss, window_n = 0.0, 0
+        self.save(step, "last-step.npz")
+        print(f"[WaveRunner] - Done: {step} steps")

@@ -1,0 +1,248 @@
+"""HuBERT / wav2vec 2.0 model family tests: conv-frontend parity against a
+torch-built-ins oracle, forward/loss smoke, negative-sampling invariants."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from speech_ssl_compression_tpu.configs import HuBERTConfig, Wav2Vec2Config
+from speech_ssl_compression_tpu.models.conv_frontend import (
+    conv_frontend_forward,
+    conv_output_length,
+    init_conv_frontend,
+)
+
+CONV_LAYERS = ((64, 10, 5), (64, 3, 2), (64, 2, 2))
+
+
+def test_conv_frontend_matches_torch_oracle():
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal((2, 1000)).astype(np.float32)
+
+    params = init_conv_frontend(jax.random.PRNGKey(0), CONV_LAYERS, "default")
+    # build the torch twin with identical weights
+    mods = []
+    in_d = 1
+    for i, (dim, k, s) in enumerate(CONV_LAYERS):
+        conv = nn.Conv1d(in_d, dim, k, stride=s, bias=False)
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(np.asarray(params[i]["weight"])))
+        seq = [conv]
+        if i == 0:
+            gn = nn.GroupNorm(dim, dim)
+            seq.append(gn)
+        seq.append(nn.GELU())
+        mods.append(nn.Sequential(*seq))
+        in_d = dim
+    model = nn.Sequential(*mods).eval()
+
+    with torch.no_grad():
+        ref = model(torch.from_numpy(wav).unsqueeze(1)).numpy()
+    got = np.asarray(
+        conv_frontend_forward(params, CONV_LAYERS, jnp.asarray(wav), "default")
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    assert got.shape[2] == conv_output_length(1000, CONV_LAYERS)
+
+
+def _hubert_cfg():
+    return HuBERTConfig.from_dict(
+        {
+            "label_rate": 100,
+            "encoder_layers": 2,
+            "encoder_embed_dim": 64,
+            "encoder_attention_heads": 4,
+            "head_dim": 16,
+            "encoder_ffn_embed_dim": 128,
+            "conv_feature_layers": "[(64,10,5)] + [(64,3,2)] + [(64,2,2)]",
+            "final_dim": 32,
+            "conv_pos": 16,
+            "conv_pos_groups": 4,
+            "mask_prob": 0.65,
+            "mask_length": 4,
+            "dropout": 0.0,
+            "attention_dropout": 0.0,
+            "activation_dropout": 0.0,
+            "dropout_input": 0.0,
+            "dropout_features": 0.0,
+        }
+    )
+
+
+def test_hubert_forward_and_loss():
+    from speech_ssl_compression_tpu.models import (
+        hubert_forward,
+        hubert_pretrain_loss,
+        init_hubert_params,
+    )
+
+    cfg = _hubert_cfg()
+    num_classes = (20,)
+    params = init_hubert_params(jax.random.PRNGKey(0), cfg, num_classes)
+
+    rng = np.random.default_rng(1)
+    b, t_wave = 2, 2000
+    source = jnp.asarray(rng.standard_normal((b, t_wave)), jnp.float32)
+    lengths = jnp.asarray([2000, 1500], jnp.int32)
+
+    out = hubert_forward(
+        params, cfg, source, lengths, mask=True,
+        rng=jax.random.PRNGKey(2), deterministic=False, attn_impl="dense",
+    )
+    t_frames = out["x"].shape[1]
+    assert t_frames == conv_output_length(t_wave, cfg.conv_feature_layers)
+    # padding from conv arithmetic
+    assert int(out["frame_lengths"][1]) == conv_output_length(
+        1500, cfg.conv_feature_layers
+    )
+    assert not np.asarray(out["mask_indices"])[1, int(out["frame_lengths"][1]):].any()
+
+    targets = [jnp.asarray(rng.integers(0, 20, (b, t_frames)), jnp.int32)]
+    loss, sample_size, logs = hubert_pretrain_loss(
+        params, cfg, out, targets, num_classes
+    )
+    assert np.isfinite(float(loss))
+    assert int(sample_size) == int(np.asarray(out["mask_indices"]).sum())
+    # grads flow
+    def loss_fn(p):
+        o = hubert_forward(
+            p, cfg, source, lengths, mask=True,
+            rng=jax.random.PRNGKey(2), deterministic=False, attn_impl="dense",
+        )
+        l, _, _ = hubert_pretrain_loss(p, cfg, o, targets, num_classes)
+        return l
+
+    g = jax.grad(loss_fn)(params)
+    gn = np.sqrt(
+        sum(float(jnp.sum(x**2)) for x in jax.tree.leaves(g))
+    )
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_align_targets():
+    from speech_ssl_compression_tpu.models import align_targets_np
+
+    labels = np.arange(100)
+    # ratio 2: every other label, trims frames beyond label coverage
+    aligned, keep = align_targets_np(labels, 60, 2.0)
+    assert keep == 50
+    np.testing.assert_array_equal(aligned, labels[::2])
+
+
+def _w2v2_cfg():
+    return Wav2Vec2Config.from_dict(
+        {
+            "encoder_layers": 2,
+            "encoder_embed_dim": 64,
+            "encoder_attention_heads": 4,
+            "head_dim": 16,
+            "encoder_ffn_embed_dim": 128,
+            "conv_feature_layers": "[(64,10,5)] + [(64,3,2)] + [(64,2,2)]",
+            "final_dim": 32,
+            "conv_pos": 16,
+            "conv_pos_groups": 4,
+            "quantize_targets": True,
+            "latent_vars": 16,
+            "latent_groups": 2,
+            "num_negatives": 10,
+            "mask_prob": 0.65,
+            "mask_length": 4,
+            "dropout": 0.0,
+            "attention_dropout": 0.0,
+            "activation_dropout": 0.0,
+        }
+    )
+
+
+def test_wav2vec2_forward_and_loss():
+    from speech_ssl_compression_tpu.models import (
+        init_wav2vec2_params,
+        wav2vec2_forward,
+        wav2vec2_pretrain_loss,
+    )
+
+    cfg = _w2v2_cfg()
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    b, t_wave = 2, 2000
+    source = jnp.asarray(rng.standard_normal((b, t_wave)), jnp.float32)
+    lengths = jnp.asarray([2000, 1400], jnp.int32)
+
+    out = wav2vec2_forward(
+        params, cfg, source, lengths, mask=True,
+        rng=jax.random.PRNGKey(3), deterministic=False, num_updates=0,
+        attn_impl="dense",
+    )
+    assert "prob_perplexity" in out
+    assert out["num_vars"] == 32
+    loss, sample_size, logs = wav2vec2_pretrain_loss(out, cfg)
+    assert np.isfinite(float(loss))
+    assert 0 <= float(logs["accuracy"]) <= 1
+    assert int(sample_size) > 0
+
+
+def test_negative_sampling_from_masked_frames_only():
+    from speech_ssl_compression_tpu.models.wav2vec2 import (
+        sample_negative_indices,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    mask = jnp.asarray(
+        np.array(
+            [[0, 1, 1, 0, 1, 0, 0, 1],
+             [1, 1, 0, 0, 0, 0, 0, 0]], bool
+        )
+    )
+    neg = np.asarray(sample_negative_indices(rng, mask, 16))
+    masked_pos_0 = {1, 2, 4, 7}
+    masked_pos_1 = {0, 1}
+    for t in range(8):
+        assert set(neg[0, t].tolist()) <= masked_pos_0
+        assert set(neg[1, t].tolist()) <= masked_pos_1
+    # avoid-self where possible: a masked frame's negatives exclude itself
+    for t in sorted(masked_pos_0):
+        assert t not in set(neg[0, t].tolist()), (t, neg[0, t])
+
+
+def test_gumbel_vq_straight_through():
+    from speech_ssl_compression_tpu.models.gumbel_vq import (
+        gumbel_vq_forward,
+        init_gumbel_vq,
+    )
+
+    params = init_gumbel_vq(jax.random.PRNGKey(0), 16, 8, 2, 32)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 5, 16)), jnp.float32
+    )
+    out = gumbel_vq_forward(
+        params, x, num_vars=8, groups=2, temperature=2.0, training=True,
+        rng=jax.random.PRNGKey(1), produce_targets=True,
+    )
+    assert out["x"].shape == (2, 5, 32)
+    assert out["targets"].shape == (2, 5, 2)
+    assert 0 < float(out["prob_perplexity"]) <= 16.0
+
+    # eval path: hard argmax, deterministic
+    out2 = gumbel_vq_forward(
+        params, x, num_vars=8, groups=2, temperature=2.0, training=False,
+    )
+    out3 = gumbel_vq_forward(
+        params, x, num_vars=8, groups=2, temperature=2.0, training=False,
+    )
+    np.testing.assert_array_equal(np.asarray(out2["x"]), np.asarray(out3["x"]))
+
+    # gradient flows through the straight-through estimator
+    def f(p):
+        o = gumbel_vq_forward(
+            p, x, num_vars=8, groups=2, temperature=2.0, training=True,
+            rng=jax.random.PRNGKey(1),
+        )
+        return jnp.sum(o["x"] ** 2)
+
+    g = jax.grad(f)(params)
+    assert float(jnp.abs(g["weight_proj"]["kernel"]).sum()) > 0

@@ -1,0 +1,116 @@
+"""HuBERT / wav2vec2 wave-runner smoke tests on synthetic wav data."""
+
+import os
+import types
+
+import numpy as np
+import pytest
+
+from speech_ssl_compression_tpu.train.wave_runner import WaveRunner
+
+
+def make_wav_dataset(tmp_path, n_utts=6, label_rate=50, with_labels=True):
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "audio"
+    root.mkdir(exist_ok=True)
+    lines = []
+    label_lines = []
+    for i in range(n_utts):
+        n = int(rng.integers(3000, 6000))
+        pcm = (rng.uniform(-0.3, 0.3, n) * 32767).astype(np.int16)
+        wavfile.write(root / f"u{i}.wav", 16000, pcm)
+        lines.append(f"u{i}.wav\t{n}")
+        n_lab = int(round(n / 16000 * label_rate))
+        labs = rng.integers(0, 8, n_lab)
+        label_lines.append(" ".join(map(str, labs)))
+    with open(tmp_path / "train.tsv", "w") as f:
+        f.write(str(root) + "\n" + "\n".join(lines) + "\n")
+    if with_labels:
+        with open(tmp_path / "train.km", "w") as f:
+            f.write("\n".join(label_lines) + "\n")
+        with open(tmp_path / "dict.km.txt", "w") as f:
+            for c in range(8):
+                f.write(f"{c} 100\n")
+    return str(tmp_path)
+
+
+def _args(tmp_path, mode, upstream):
+    return types.SimpleNamespace(
+        mode=mode, upstream=upstream,
+        expdir=str(tmp_path / f"exp_{upstream}"),
+        initial_weight=None, init_optimizer_from_initial_weight=False,
+        frame_period=20, seed=0,
+    )
+
+
+CONV = "[(32,10,5)] + [(32,3,2)] + [(32,2,2)]"
+
+
+def test_hubert_wave_runner_smoke(tmp_path):
+    data = make_wav_dataset(tmp_path)
+    runner_cfg = {
+        "runner": {"total_steps": 2, "gradient_clipping": 10.0,
+                   "gradient_accumulate_steps": 1, "log_step": 1,
+                   "bf16": False},
+        "optimizer": {"lr": 1e-4},
+        "datarc": {"train_batch_size": 2},
+        "task": {
+            "data": data, "label_dir": data, "labels": ["km"],
+            "label_rate": 50, "sample_rate": 16000,
+            "max_sample_size": 4000, "min_sample_size": 1000,
+            "pad_audio": False, "random_crop": True,
+        },
+    }
+    upstream_cfg = {
+        "hubert": {
+            "label_rate": 50,
+            "encoder_layers": 1, "encoder_embed_dim": 32,
+            "encoder_attention_heads": 2, "head_dim": 16,
+            "encoder_ffn_embed_dim": 64,
+            "conv_feature_layers": CONV,
+            "final_dim": 16, "conv_pos": 16, "conv_pos_groups": 4,
+            "mask_prob": 0.65, "mask_length": 4,
+            "dropout": 0.0, "attention_dropout": 0.0,
+            "activation_dropout": 0.0,
+        }
+    }
+    args = _args(tmp_path, "hubert", "hubert")
+    runner = WaveRunner(args, runner_cfg, upstream_cfg)
+    runner.train()
+    assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))
+
+
+def test_wav2vec2_wave_runner_smoke(tmp_path):
+    data = make_wav_dataset(tmp_path, with_labels=False)
+    runner_cfg = {
+        "runner": {"total_steps": 2, "gradient_clipping": 10.0,
+                   "gradient_accumulate_steps": 1, "log_step": 1,
+                   "bf16": False},
+        "optimizer": {"lr": 1e-4},
+        "datarc": {"train_batch_size": 2},
+        "task": {
+            "data": data, "sample_rate": 16000,
+            "max_sample_size": 4000, "min_sample_size": 1000,
+            "num_batch_buckets": 2,
+        },
+    }
+    upstream_cfg = {
+        "wav2vec2": {
+            "encoder_layers": 1, "encoder_embed_dim": 32,
+            "encoder_attention_heads": 2, "head_dim": 16,
+            "encoder_ffn_embed_dim": 64,
+            "conv_feature_layers": CONV,
+            "final_dim": 16, "conv_pos": 16, "conv_pos_groups": 4,
+            "quantize_targets": True, "latent_vars": 8, "latent_groups": 2,
+            "num_negatives": 4,
+            "mask_prob": 0.65, "mask_length": 4,
+            "dropout": 0.0, "attention_dropout": 0.0,
+            "activation_dropout": 0.0,
+        }
+    }
+    args = _args(tmp_path, "wav2vec2", "wav2vec2")
+    runner = WaveRunner(args, runner_cfg, upstream_cfg)
+    runner.train()
+    assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))
