@@ -1,0 +1,112 @@
+"""Extraction API tests: fp=10/20, npz + torch ckpt flavors, s3prl expert."""
+
+import pathlib
+
+import numpy as np
+import pytest
+import jax
+
+from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+from speech_ssl_compression_tpu.models import init_melhubert_params
+from speech_ssl_compression_tpu.utils.checkpoint import save_checkpoint
+
+EXAMPLES = pathlib.Path("/root/reference/example")
+
+TINY = {
+    "feat_emb_dim": 80,
+    "encoder_layers": 2,
+    "encoder_embed_dim": 64,
+    "encoder_attention_heads": 4,
+    "head_dim": 16,
+    "encoder_ffn_embed_dim": 128,
+    "num_cluster": 16,
+    "conv_pos": 16,
+    "conv_pos_groups": 4,
+}
+
+
+def _save_tiny(tmp_path, fp=20):
+    cfg_dict = dict(TINY)
+    if fp == 10:
+        cfg_dict["feat_emb_dim"] = 40
+    cfg = MelHuBERTConfig.from_dict(cfg_dict)
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / f"tiny{fp}.npz")
+    save_checkpoint(path, params, meta={"Upstream_Config": {"melhubert": cfg_dict}})
+    return path
+
+
+@pytest.mark.skipif(not EXAMPLES.exists(), reason="example assets missing")
+@pytest.mark.parametrize("fp,rate", [(20, 320), (10, 160)])
+def test_extractor_both_frame_periods(tmp_path, fp, rate):
+    from speech_ssl_compression_tpu.extract import MelHuBERTExtractor
+
+    ckpt = _save_tiny(tmp_path, fp)
+    ex = MelHuBERTExtractor(
+        ckpt, fp=fp,
+        mean_std_npy_path=str(EXAMPLES / "libri-960-mean-std.npy"),
+    )
+    assert ex.get_downsample_rates() == rate
+    out = ex.forward_files([str(EXAMPLES / "100-121669-0000.flac")])
+    n = out["lengths"][0]
+    # 32640 samples -> 202 10ms frames -> 101 stacked frames at 20ms
+    assert n == (101 if fp == 20 else 202)
+    assert out["last_hidden_state"].shape[2] == 64
+    assert len(out["hidden_states"]) == 3  # pre_feat + 2 layers
+    assert np.isfinite(np.asarray(out["last_hidden_state"])).all()
+
+
+@pytest.mark.skipif(not EXAMPLES.exists(), reason="example assets missing")
+def test_s3prl_expert_and_hubconf(tmp_path):
+    from speech_ssl_compression_tpu.s3prl.hubconf import (
+        compression_20ms_melhubert_960hours_local,
+    )
+
+    ckpt = _save_tiny(tmp_path, 20)
+    expert = compression_20ms_melhubert_960hours_local(ckpt)
+    assert expert.get_downsample_rates("") == 320
+
+    from speech_ssl_compression_tpu.data.audio import read_audio
+
+    wav, _ = read_audio(EXAMPLES / "100-121669-0000.flac")
+    states = expert([wav[0]])
+    assert set(states) == {"hidden_states", "last_hidden_state"}
+    assert len(states["hidden_states"]) == 3
+
+
+def test_extract_head_pruned_npz(tmp_path):
+    """Head-pruned checkpoints reconstruct per-layer head counts."""
+    from speech_ssl_compression_tpu.compress.head_pruning import prune_heads
+    from speech_ssl_compression_tpu.extract import load_any_checkpoint
+
+    cfg = MelHuBERTConfig.from_dict(TINY)
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    params2, cfg2 = prune_heads(params, cfg, {0: [1], 1: [0, 2]})
+    path = str(tmp_path / "hp.npz")
+    save_checkpoint(
+        path, params2,
+        meta={
+            "Upstream_Config": {"melhubert": TINY},
+            "Pruned_heads": [{0: [1], 1: [0, 2]}],
+        },
+    )
+    p, c, meta = load_any_checkpoint(path)
+    assert c.encoder_attention_heads == (3, 2)
+    assert meta["Pruned_heads"] == [{"0": [1], "1": [0, 2]}] or (
+        meta["Pruned_heads"] == [{0: [1], 1: [0, 2]}]
+    )
+
+
+def test_text_compressor_roundtrip():
+    from speech_ssl_compression_tpu.data.text_compressor import (
+        TextCompressionLevel,
+        TextCompressor,
+    )
+
+    text = "LibriSpeech/train-clean-100/103/1240/103-1240-0000.flac" * 10
+    for level in TextCompressionLevel:
+        tc = TextCompressor(level)
+        assert tc.decompress(tc.compress(text)) == text
+    assert len(TextCompressor(TextCompressionLevel.high).compress(text)) < len(
+        text
+    )

@@ -1,0 +1,78 @@
+"""Pallas flash-attention kernel tests (interpret mode on CPU): padding,
+causal, gradients vs the dense path."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from speech_ssl_compression_tpu.ops.attention import dense_attention
+from speech_ssl_compression_tpu.ops.flash_attention import flash_attention
+
+
+def _qkv(b=2, h=3, t=48, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return tuple(
+        jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+        for _ in range(3)
+    )
+
+
+def test_flash_matches_dense_with_padding():
+    q, k, v = _qkv()
+    pad = jnp.asarray(np.arange(48)[None, :] >= np.array([[48], [30]]))
+    ref = dense_attention(q, k, v, key_padding_mask=pad)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, key_padding_mask=pad)
+    valid = ~np.asarray(pad)
+    m = valid[:, None, :, None]
+    np.testing.assert_allclose(
+        np.asarray(got) * m, np.asarray(ref) * m, atol=2e-5
+    )
+
+
+def test_flash_causal():
+    q, k, v = _qkv(b=1, h=2, t=32, d=8)
+    ref = dense_attention(q, k, v, causal=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # causality: perturbing future keys must not change earlier outputs
+    k2 = k.at[:, :, 20:, :].add(100.0)
+    v2 = v.at[:, :, 20:, :].add(100.0)
+    with pltpu.force_tpu_interpret_mode():
+        got2 = flash_attention(q, k2, v2, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :, :20], np.asarray(got2)[:, :, :20], atol=1e-5
+    )
+
+
+def test_flash_gradients_match_dense():
+    q, k, v = _qkv(b=1, h=2, t=32, d=8)
+    pad = jnp.zeros((1, 32), bool)
+
+    def f_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(
+                flash_attention(q, k, v, key_padding_mask=pad) ** 2
+            )
+
+    def f_dense(q, k, v):
+        return jnp.sum(dense_attention(q, k, v, key_padding_mask=pad) ** 2)
+
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_flash_fully_padded_row_no_nan():
+    q, k, v = _qkv(b=2, h=1, t=16, d=8)
+    pad = jnp.asarray(
+        np.concatenate([np.zeros((1, 16), bool), np.ones((1, 16), bool)])
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, key_padding_mask=pad)
+    assert np.isfinite(np.asarray(out)).all()
