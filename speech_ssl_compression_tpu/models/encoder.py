@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import multi_head_self_attention as ATTENTION
+from ..ops.activations import get_activation_fn
 
 LN_EPS = 1e-5
 
@@ -171,6 +172,7 @@ def encoder_layer_forward(
     deterministic: bool,
     head_probe: Optional[jax.Array] = None,
     attn_impl: str = "auto",
+    activation_fn: str = "gelu",
 ):
     """Post-LN (default) or pre-LN BERT layer (reference module.py:82-133).
     Returns (x, context)."""
@@ -192,9 +194,11 @@ def encoder_layer_forward(
             impl=attn_impl,
         )
 
+    act = get_activation_fn(activation_fn)
+
     def ffn(h):
         h = h @ p["fc1"]["kernel"] + p["fc1"]["bias"]
-        h = jax.nn.gelu(h, approximate=False)
+        h = act(h)
         h = _dropout(h, r2, activation_dropout, deterministic)
         h = h @ p["fc2"]["kernel"] + p["fc2"]["bias"]
         return h
@@ -274,6 +278,7 @@ def encoder_forward(
                 deterministic=deterministic,
                 head_probe=None if head_probes is None else head_probes[i],
                 attn_impl=attn_impl,
+                activation_fn=cfg.activation_fn,
             )
 
         if remat:

@@ -1,0 +1,116 @@
+"""Encoder variants: pre-LN, causal attention, layerdrop, activation fns,
+encoder_layers=0, learnable mask embedding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+from speech_ssl_compression_tpu.models import (
+    init_melhubert_params,
+    melhubert_forward,
+)
+
+BASE = {
+    "feat_emb_dim": 16,
+    "encoder_layers": 2,
+    "encoder_embed_dim": 32,
+    "encoder_attention_heads": 4,
+    "head_dim": 8,
+    "encoder_ffn_embed_dim": 64,
+    "num_cluster": 10,
+    "conv_pos": 8,
+    "conv_pos_groups": 2,
+    "dropout": 0.0,
+    "attention_dropout": 0.0,
+    "activation_dropout": 0.0,
+}
+
+
+def _run(cfg_over, seed=0, **fw):
+    cfg = MelHuBERTConfig.from_dict({**BASE, **cfg_over})
+    params = init_melhubert_params(jax.random.PRNGKey(seed), cfg)
+    rng = np.random.default_rng(0)
+    feat = jnp.asarray(rng.standard_normal((2, 12, 16)), jnp.float32)
+    pad = jnp.ones((2, 12), jnp.float32)
+    out = melhubert_forward(params, cfg, feat, pad, attn_impl="dense", **fw)
+    return cfg, params, out
+
+
+def test_pre_ln_differs_from_post_ln_and_is_finite():
+    _, _, post = _run({})
+    _, _, pre = _run({"layer_norm_first": True})
+    a, b = np.asarray(post["hidden"]), np.asarray(pre["hidden"])
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert np.abs(a - b).max() > 1e-3  # genuinely different layer order
+
+
+def test_causal_attention_flag():
+    """attention_type='causal' masks future KEYS in attention. (Like the
+    reference, the conv positional embedding still sees a symmetric window
+    — model.py:121-132 masks only the attention scores — so full-model
+    strict causality does NOT hold; attention-level causality is covered in
+    test_flash_attention.py.)"""
+    _, _, out_causal = _run({"attention_type": "causal"})
+    _, _, out_full = _run({})
+    a = np.asarray(out_causal["hidden"])
+    b = np.asarray(out_full["hidden"])
+    assert np.isfinite(a).all()
+    assert np.abs(a - b).max() > 1e-3  # the flag changes the computation
+
+
+def test_relu_activation_config():
+    _, _, out_g = _run({})
+    _, _, out_r = _run({"activation_fn": "relu"})
+    assert np.abs(
+        np.asarray(out_g["hidden"]) - np.asarray(out_r["hidden"])
+    ).max() > 1e-3
+
+
+def test_zero_encoder_layers_gelu_path():
+    cfg, params, out = _run({"encoder_layers": 0,
+                             "encoder_embed_dim": 32})
+    # hidden = gelu(pre_feat) (reference model.py:139-140)
+    assert out["hidden"].shape == (2, 12, 32)
+    np.testing.assert_allclose(
+        np.asarray(out["hidden"]),
+        np.asarray(jax.nn.gelu(out["pre_feat"], approximate=False)),
+        atol=1e-6,
+    )
+
+
+def test_learnable_mask_emb_applied():
+    cfg = MelHuBERTConfig.from_dict(
+        {**BASE, "learnable_mask_emb": True, "mask_before_proj": True,
+         "mask_prob": 0.99, "mask_length": 3}
+    )
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    assert params["mask_emb"].shape == (16,)
+    rng = np.random.default_rng(0)
+    feat = jnp.asarray(rng.standard_normal((2, 12, 16)), jnp.float32)
+    pad = jnp.ones((2, 12), jnp.float32)
+    out = melhubert_forward(
+        params, cfg, feat, pad, mask=True, rng=jax.random.PRNGKey(1),
+        deterministic=True, attn_impl="dense",
+    )
+    assert np.asarray(out["mask_indices"]).any()
+
+
+def test_layerdrop_skips_layers_stochastically():
+    cfg = MelHuBERTConfig.from_dict({**BASE, "encoder_layerdrop": 1.0})
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    feat = jnp.asarray(rng.standard_normal((1, 12, 16)), jnp.float32)
+    pad = jnp.ones((1, 12), jnp.float32)
+    # layerdrop=1 in training mode: every layer skipped -> output is the
+    # post-pos-conv/LN input passed through unchanged
+    out_train = melhubert_forward(
+        params, cfg, feat, pad, rng=jax.random.PRNGKey(5),
+        deterministic=False, attn_impl="dense",
+    )
+    cfg0 = MelHuBERTConfig.from_dict({**BASE, "encoder_layers": 2})
+    out_eval = melhubert_forward(params, cfg, feat, pad, attn_impl="dense")
+    # eval mode never drops -> differs from all-dropped
+    assert np.abs(
+        np.asarray(out_train["hidden"]) - np.asarray(out_eval["hidden"])
+    ).max() > 1e-3

@@ -1,0 +1,126 @@
+"""Training-throughput benchmarks (BASELINE.md "to be measured" rows):
+MelHuBERT pre-train steps/s and distillation steps/s on the flagship config
+(teacher 12L + student 6L, B=4, T=768 ~ the reference's sequence_length 750
+crop), plus optional bf16. Timing via in-jit scan chains (see bench.py).
+
+Run: python tools/bench_train.py [--steps 5]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--seq", type=int, default=768)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+    from speech_ssl_compression_tpu.models import init_melhubert_params
+    from speech_ssl_compression_tpu.train.steps import (
+        make_apply_step,
+        make_distill_grad_step,
+        make_melhubert_grad_step,
+        make_optimizer,
+    )
+
+    base = {
+        "feat_emb_dim": 80, "encoder_layers": 12, "encoder_embed_dim": 768,
+        "encoder_ffn_embed_dim": 3072, "encoder_attention_heads": 12,
+        "num_cluster": 512, "mask_prob": 0.7, "mask_length": 5,
+    }
+    cfg = MelHuBERTConfig.from_dict(base)
+    scfg = MelHuBERTConfig.from_dict({**base, "encoder_layers": 6})
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    sparams = init_melhubert_params(jax.random.PRNGKey(1), scfg)
+
+    rng = np.random.default_rng(0)
+    b, t = args.batch, args.seq
+    batch = {
+        "feat": jnp.asarray(rng.standard_normal((b, t, 80)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 512, (b, t)), jnp.int32),
+        "pad_mask": jnp.ones((b, t), jnp.float32),
+    }
+    opt = make_optimizer(lr=1e-4)
+    apply_step = make_apply_step(opt)
+    n = args.steps
+    results = {}
+
+    for dname, dt_ in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        # --- melhubert pre-train step ---------------------------------
+        gs = make_melhubert_grad_step(cfg, accum_steps=1, compute_dtype=dt_)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def chain_mh(p, ost, bt, key):
+            def body(carry, _):
+                p, ost, key = carry
+                key, k2 = jax.random.split(key)
+                loss, grads, _ = gs(p, None, bt, k2)
+                p, ost, _ = apply_step(p, ost, grads, jnp.asarray(1.0))
+                return (p, ost, key), loss
+            (p, ost, _), losses = jax.lax.scan(
+                body, (p, ost, key), None, length=n
+            )
+            return losses[-1]
+
+        float(chain_mh(params, opt_state, batch, jax.random.PRNGKey(2)))
+        t0 = time.time()
+        float(chain_mh(params, opt_state, batch, jax.random.PRNGKey(3)))
+        dt = (time.time() - t0) / n
+        results[f"melhubert_pretrain_steps_per_sec_{dname}"] = round(1 / dt, 2)
+        print(f"melhubert pretrain {dname}: {dt*1e3:.1f} ms/step "
+              f"({1/dt:.2f} steps/s)", flush=True)
+
+        # --- distillation step ----------------------------------------
+        gd = make_distill_grad_step(
+            cfg, scfg, accum_steps=1, temperature=1.0, alpha=1.0,
+            loss_type="nomasked", compute_dtype=dt_,
+        )
+        opt_state_s = opt.init(sparams)
+
+        @jax.jit
+        def chain_kd(sp, tp, ost, bt, key):
+            # NOTE: teacher params must be an argument — closing over them
+            # embeds 360 MB of constants in the HLO (the remote-compile
+            # tunnel rejects bodies that large).
+            def body(carry, _):
+                sp, ost, key = carry
+                key, k2 = jax.random.split(key)
+                loss, grads, _ = gd(sp, tp, bt, k2)
+                sp, ost, _ = apply_step(sp, ost, grads, jnp.asarray(1.0))
+                return (sp, ost, key), loss
+            (sp, ost, _), losses = jax.lax.scan(
+                body, (sp, ost, key), None, length=n
+            )
+            return losses[-1]
+
+        float(chain_kd(sparams, params, opt_state_s, batch,
+                       jax.random.PRNGKey(4)))
+        t0 = time.time()
+        float(chain_kd(sparams, params, opt_state_s, batch,
+                       jax.random.PRNGKey(5)))
+        dt = (time.time() - t0) / n
+        results[f"distillation_steps_per_sec_{dname}"] = round(1 / dt, 2)
+        print(f"distillation {dname}: {dt*1e3:.1f} ms/step "
+              f"({1/dt:.2f} steps/s)", flush=True)
+
+    out = pathlib.Path(__file__).resolve().parent.parent / "BENCH_train.json"
+    out.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
