@@ -1,4 +1,4 @@
-"""Pallas TPU flash attention (forward) with padding/causal masking.
+"""Pallas TPU flash attention (forward + backward) with padding/causal masks.
 
 TPU-native replacement for the reference's unfused attention
 (pytorch_code/forward_multihead_attention.py:39-69: full (B*H, T, T) score
@@ -10,10 +10,15 @@ Head pruning changes only the H dimension of the inputs — the kernel is
 oblivious to per-layer head counts (the per-layer projections upstream decide
 them), which is exactly the property the reference had to fork torch MHA for.
 
-Differentiation: the op carries a custom_vjp whose backward recomputes
-attention with dense XLA ops (O(T^2) but fused and only during training,
-where T<=1536 at reference batch sizes). A Pallas backward kernel is a
-planned optimization; the vjp seam is already in place.
+Backward: flash-style two-kernel VJP. The forward additionally emits the
+per-row softmax log-normalizer (LSE); backward recomputes score tiles in
+VMEM:
+    D_i  = rowsum(dO_i * O_i)
+    P_ij = exp(S_ij - LSE_i)
+    dV_j = sum_i P_ij dO_i
+    dS_ij = P_ij * (dO_i . V_j - D_i)
+    dQ_i = scale * sum_j dS_ij K_j          (kernel 1, grid over Q blocks)
+    dK_j = scale * sum_i dS_ij Q_i          (kernel 2, grid over K blocks)
 """
 
 from __future__ import annotations
@@ -26,16 +31,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import dense_attention
-
 NEG_INF = -1e30
 _BLOCK_Q = 256
 _BLOCK_K = 256
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal,
-               block_k, seq_len):
-    # Block shapes: q (1,1,BQ,d), k/v (1,1,T,d), bias (1,1,T), o (1,1,BQ,d).
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
+                   causal, block_k, seq_len):
+    # Blocks: q (1,1,BQ,d), k/v (1,1,T,d), bias (1,1,T), o (1,1,BQ,d),
+    # lse (1,1,1,BQ).
     q = q_ref[0, 0].astype(jnp.float32) * scale  # (BQ, d)
     bq, d = q.shape
     num_k_blocks = seq_len // block_k
@@ -72,10 +80,11 @@ def _fa_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal,
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc0 = jnp.zeros((bq, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
 
-    out = acc / jnp.maximum(l, 1e-30)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0, 0, 0] = (m + jnp.log(l_safe))[:, 0]
 
 
 def _pad_to(x, target, axis, value=0.0):
@@ -87,16 +96,16 @@ def _pad_to(x, target, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _flash(q, k, v, bias, causal):
-    return _flash_fwd_impl(q, k, v, bias, causal)
+def _pad_sizes(t):
+    block_q = min(_BLOCK_Q, t)
+    block_k = min(_BLOCK_K, t)
+    t_pad = -(-t // max(block_q, block_k)) * max(block_q, block_k)
+    return block_q, block_k, t_pad
 
 
 def _flash_fwd_impl(q, k, v, bias, causal):
     b, h, t, d = q.shape
-    block_q = min(_BLOCK_Q, t)
-    block_k = min(_BLOCK_K, t)
-    t_pad = -(-t // max(block_q, block_k)) * max(block_q, block_k)
+    block_q, block_k, t_pad = _pad_sizes(t)
 
     qp = _pad_to(q, t_pad, axis=2)
     kp = _pad_to(k, t_pad, axis=2)
@@ -105,9 +114,9 @@ def _flash_fwd_impl(q, k, v, bias, causal):
 
     scale = 1.0 / (d ** 0.5)
     grid = (b, h, t_pad // block_q)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(
-            _fa_kernel,
+            _fa_fwd_kernel,
             scale=scale,
             causal=causal,
             block_k=block_k,
@@ -122,38 +131,202 @@ def _flash_fwd_impl(q, k, v, bias, causal):
             pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, t_pad), lambda bi, hi, qi: (bi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, block_q), lambda bi, hi, qi: (bi, hi, 0, qi)
+            ),
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, t_pad), jnp.float32),
+        ),
     )(qp, kp, vp, biasp)
-    return out[:, :, :t, :]
+    return out[:, :, :t, :], lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, dd_ref,
+                      dq_ref, *, scale, causal, block_k, seq_len):
+    # Blocks: q/do/dq (1,1,BQ,d); k/v (1,1,T,d); bias (1,1,T);
+    # lse/dd (1,1,1,BQ).
+    q = q_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0, 0][:, None]
+    dd = dd_ref[0, 0, 0][:, None]
+    bq, d = q.shape
+    qi = pl.program_id(2)
+    num_k_blocks = seq_len // block_k
+
+    def body(ki, dq):
+        k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + bias_ref[0, 0, pl.ds(ki * block_k, block_k)][None, :]
+        if causal:
+            q_pos = qi * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 0
+            )
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1
+            )
+            s = jnp.where(k_pos > q_pos, NEG_INF, s)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - dd)
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq = jax.lax.fori_loop(
+        0, num_k_blocks, body, jnp.zeros((bq, d), jnp.float32)
+    )
+    dq_ref[0, 0] = (scale * dq).astype(dq_ref.dtype)
+
+
+def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                       dd_ref, dk_ref, dv_ref, *, scale, causal, block_q,
+                       seq_len):
+    # Blocks: k/v/dk/dv (1,1,BK,d); q/do (1,1,T,d); bias (1,1,T);
+    # lse/dd (1,1,1,T).
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    bk, d = k.shape
+    ki = pl.program_id(2)
+    num_q_blocks = seq_len // block_q
+    bias = bias_ref[0, 0, pl.ds(ki * bk, bk)][None, :]
+
+    def body(qi, carry):
+        dk, dv = carry
+        q = q_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, 0, pl.ds(qi * block_q, block_q)][:, None]
+        dd = dd_ref[0, 0, 0, pl.ds(qi * block_q, block_q)][:, None]
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK)
+        s = s + bias
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, bk), 0
+            )
+            k_pos = ki * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, bk), 1
+            )
+            s = jnp.where(k_pos > q_pos, NEG_INF, s)
+        p = jnp.exp(s - lse)  # (BQ, BK)
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - dd)
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk, dv
+
+    dk0 = jnp.zeros((bk, d), jnp.float32)
+    dv0 = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q_blocks, body, (dk0, dv0))
+    dk_ref[0, 0] = (scale * dk).astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, bias, causal, out, lse, g):
+    b, h, t, d = q.shape
+    block_q, block_k, t_pad = _pad_sizes(t)
+
+    qp = _pad_to(q, t_pad, axis=2)
+    kp = _pad_to(k, t_pad, axis=2)
+    vp = _pad_to(v, t_pad, axis=2)
+    gp = _pad_to(g, t_pad, axis=2)
+    op = _pad_to(out, t_pad, axis=2)
+    biasp = _pad_to(bias, t_pad, axis=1, value=NEG_INF)[:, None, :]
+    lsep = _pad_to(lse, t_pad, axis=3, value=1.0)  # lse (B,H,1,T)
+
+    # D_i = rowsum(dO_i * O_i), cheap elementwise in XLA
+    dd = jnp.sum(
+        gp.astype(jnp.float32) * op.astype(jnp.float32), axis=-1
+    )[:, :, None, :]  # (B,H,1,T)
+
+    scale = 1.0 / (d ** 0.5)
+
+    qspec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, i: (bi, hi, i, 0))
+    kfull = pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, i: (bi, hi, 0, 0))
+    bspec = pl.BlockSpec((1, 1, t_pad), lambda bi, hi, i: (bi, 0, 0))
+    vec_q = pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, i: (bi, hi, 0, i))
+    vec_full = pl.BlockSpec((1, 1, 1, t_pad), lambda bi, hi, i: (bi, hi, 0, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _fa_bwd_dq_kernel, scale=scale, causal=causal,
+            block_k=block_k, seq_len=t_pad,
+        ),
+        grid=(b, h, t_pad // block_q),
+        in_specs=[qspec, kfull, kfull, bspec, qspec, vec_q, vec_q],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+    )(qp, kp, vp, biasp, gp, lsep, dd)
+
+    kspec = pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, i: (bi, hi, i, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _fa_bwd_dkv_kernel, scale=scale, causal=causal,
+            block_q=block_q, seq_len=t_pad,
+        ),
+        grid=(b, h, t_pad // block_k),
+        in_specs=[kfull, kspec, kspec, bspec, kfull, vec_full, vec_full],
+        out_specs=(kspec, kspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, t_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, t_pad, d), v.dtype),
+        ),
+    )(qp, kp, vp, biasp, gp, lsep, dd)
+
+    return (
+        dq[:, :, :t, :],
+        dk[:, :, :t, :],
+        dv[:, :, :t, :],
+        jnp.zeros_like(bias),  # padding bias carries no useful gradient
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp plumbing
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash(q, k, v, bias, causal):
+    out, _ = _flash_fwd_impl(q, k, v, bias, causal)
+    return out
 
 
 def _flash_fwd(q, k, v, bias, causal):
-    return _flash_fwd_impl(q, k, v, bias, causal), (q, k, v, bias)
+    out, lse = _flash_fwd_impl(q, k, v, bias, causal)
+    return out, (q, k, v, bias, out, lse)
 
 
 def _flash_bwd(causal, res, g):
-    q, k, v, bias = res
-
-    def dense(q, k, v, bias):
-        b, h, t, d = q.shape
-        scale = 1.0 / (d ** 0.5)
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
-            k.astype(jnp.float32), preferred_element_type=jnp.float32,
-        ) + bias[:, None, None, :]
-        if causal:
-            qi = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
-            ki = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-            logits = jnp.where((ki > qi)[None, None], NEG_INF, logits)
-        probs = jax.nn.softmax(logits, axis=-1)
-        return jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(jnp.float32)).astype(q.dtype)
-
-    _, vjp = jax.vjp(dense, q, k, v, bias)
-    dq, dk, dv, dbias = vjp(g)
-    return dq, dk, dv, dbias
+    q, k, v, bias, out, lse = res
+    return _flash_bwd_impl(q, k, v, bias, causal, out, lse, g)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
