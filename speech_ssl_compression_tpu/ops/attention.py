@@ -100,15 +100,17 @@ def multi_head_self_attention(
     v = proj("v_proj").reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
 
     use_flash = impl == "flash" or (
-        impl == "auto"
-        and dropout_p == 0.0
-        and jax.default_backend() == "tpu"
+        impl == "auto" and jax.default_backend() == "tpu"
     )
     if use_flash:
         from .flash_attention import flash_attention
 
         context = flash_attention(
-            q, k, v, key_padding_mask=key_padding_mask, causal=causal
+            q, k, v,
+            key_padding_mask=key_padding_mask,
+            causal=causal,
+            dropout_p=dropout_p,
+            dropout_rng=dropout_rng,
         )
     else:
         context = dense_attention(

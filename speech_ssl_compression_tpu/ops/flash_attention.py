@@ -1,4 +1,5 @@
-"""Pallas TPU flash attention (forward + backward) with padding/causal masks.
+"""Pallas TPU flash attention (forward + backward) with padding/causal masks
+and in-kernel attention dropout.
 
 TPU-native replacement for the reference's unfused attention
 (pytorch_code/forward_multihead_attention.py:39-69: full (B*H, T, T) score
@@ -10,15 +11,20 @@ Head pruning changes only the H dimension of the inputs — the kernel is
 oblivious to per-layer head counts (the per-layer projections upstream decide
 them), which is exactly the property the reference had to fork torch MHA for.
 
-Backward: flash-style two-kernel VJP. The forward additionally emits the
-per-row softmax log-normalizer (LSE); backward recomputes score tiles in
-VMEM:
+Attention dropout runs inside the kernel with the per-core PRNG: each score
+tile (b, h, qi, ki) re-seeds deterministically from (seed, b, h, qi, ki), so
+the backward kernels regenerate bit-identical masks without storing the
+(B, H, T, T) mask. Dropout applies to the normalized probabilities
+(post-softmax, matching torch's F.dropout on attn weights):
+
+    P    = exp(S - LSE)                (true softmax)
+    Pd   = P * M / (1 - p)             (M = keep mask)
+    O    = Pd V
     D_i  = rowsum(dO_i * O_i)
-    P_ij = exp(S_ij - LSE_i)
-    dV_j = sum_i P_ij dO_i
-    dS_ij = P_ij * (dO_i . V_j - D_i)
-    dQ_i = scale * sum_j dS_ij K_j          (kernel 1, grid over Q blocks)
-    dK_j = scale * sum_i dS_ij Q_i          (kernel 2, grid over K blocks)
+    dV   = Pd^T dO
+    dS_ij = Pd_ij (dO_i . V_j) - P_ij D_i
+    dQ_i = scale * sum_j dS_ij K_j     (kernel 1, grid over Q blocks)
+    dK_j = scale * sum_i dS_ij Q_i     (kernel 2, grid over K blocks)
 """
 
 from __future__ import annotations
@@ -36,23 +42,35 @@ _BLOCK_Q = 256
 _BLOCK_K = 256
 
 
+def _tile_keep_mask(seed_ref, b, h, qi, ki, shape, dropout_p):
+    """Deterministic per-tile keep mask from the per-core PRNG.
+    Mosaic supports at most 2 seed values: fold (seed, b, h) into one and
+    (qi, ki) into the other — unique per tile for any fixed seed."""
+    pltpu.prng_seed(
+        seed_ref[0, 0] + b * 131071 + h, qi * 65536 + ki
+    )
+    bits = pltpu.prng_random_bits(shape)  # uint32
+    threshold = jnp.uint32(int((1.0 - dropout_p) * 4294967295.0))
+    return pltpu.bitcast(bits, jnp.uint32) < threshold
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
-def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
-                   causal, block_k, seq_len):
-    # Blocks: q (1,1,BQ,d), k/v (1,1,T,d), bias (1,1,T), o (1,1,BQ,d),
-    # lse (1,1,1,BQ).
+def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
+                   *, scale, causal, block_k, seq_len, dropout_p):
+    # Blocks: q (1,1,BQ,d), k/v (1,1,T,d), bias (1,1,T), seed (1,1) SMEM,
+    # o (1,1,BQ,d), lse (1,1,1,BQ).
     q = q_ref[0, 0].astype(jnp.float32) * scale  # (BQ, d)
     bq, d = q.shape
     num_k_blocks = seq_len // block_k
+    b_idx = pl.program_id(0)
+    h_idx = pl.program_id(1)
     qi = pl.program_id(2)
 
-    def body(ki, carry):
-        m_prev, l_prev, acc = carry
+    def scores(ki):
         k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -66,25 +84,69 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
                 jnp.int32, (bq, block_k), 1
             )
             s = jnp.where(k_pos > q_pos, NEG_INF, s)
+        return s
 
+    if dropout_p == 0.0:
+        # single pass: classic online softmax with rescaled accumulator
+        def body(ki, carry):
+            m_prev, l_prev, acc = carry
+            s = scores(ki)
+            v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(
+                jnp.float32
+            )
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc
+
+        m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        acc0 = jnp.zeros((bq, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
+        l_safe = jnp.maximum(l, 1e-30)
+        o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0, 0] = (m + jnp.log(l_safe))[:, 0]
+        return
+
+    # dropout: pass 1 computes exact softmax statistics, pass 2 applies the
+    # keep mask to the normalized probabilities while accumulating
+    def stat_body(ki, carry):
+        m_prev, l_prev = carry
+        s = scores(ki)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        l_new = l_prev * jnp.exp(m_prev - m_new) + jnp.sum(
+            jnp.exp(s - m_new), axis=-1, keepdims=True
         )
-        return m_new, l_new, acc
+        return m_new, l_new
 
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
+    m, l = jax.lax.fori_loop(0, num_k_blocks, stat_body, (m0, l0))
+    lse = m + jnp.log(jnp.maximum(l, 1e-30))
 
-    l_safe = jnp.maximum(l, 1e-30)
-    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0, 0, 0] = (m + jnp.log(l_safe))[:, 0]
+    def acc_body(ki, acc):
+        s = scores(ki)
+        p = jnp.exp(s - lse)
+        keep = _tile_keep_mask(
+            seed_ref, b_idx, h_idx, qi, ki, p.shape, dropout_p
+        )
+        p = jnp.where(keep, p / (1.0 - dropout_p), 0.0)
+        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        return acc + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(
+        0, num_k_blocks, acc_body, jnp.zeros((bq, d), jnp.float32)
+    )
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+    lse_ref[0, 0, 0] = lse[:, 0]
 
 
 def _pad_to(x, target, axis, value=0.0):
@@ -103,7 +165,7 @@ def _pad_sizes(t):
     return block_q, block_k, t_pad
 
 
-def _flash_fwd_impl(q, k, v, bias, causal):
+def _flash_fwd_impl(q, k, v, bias, seed, causal, dropout_p):
     b, h, t, d = q.shape
     block_q, block_k, t_pad = _pad_sizes(t)
 
@@ -111,6 +173,7 @@ def _flash_fwd_impl(q, k, v, bias, causal):
     kp = _pad_to(k, t_pad, axis=2)
     vp = _pad_to(v, t_pad, axis=2)
     biasp = _pad_to(bias, t_pad, axis=1, value=NEG_INF)[:, None, :]  # (B,1,T)
+    seed2d = seed.reshape(1, 1)
 
     scale = 1.0 / (d ** 0.5)
     grid = (b, h, t_pad // block_q)
@@ -121,6 +184,7 @@ def _flash_fwd_impl(q, k, v, bias, causal):
             causal=causal,
             block_k=block_k,
             seq_len=t_pad,
+            dropout_p=dropout_p,
         ),
         grid=grid,
         in_specs=[
@@ -130,6 +194,10 @@ def _flash_fwd_impl(q, k, v, bias, causal):
             pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, t_pad), lambda bi, hi, qi: (bi, 0, 0)),
+            pl.BlockSpec(
+                (1, 1), lambda bi, hi, qi: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -143,7 +211,7 @@ def _flash_fwd_impl(q, k, v, bias, causal):
             jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, 1, t_pad), jnp.float32),
         ),
-    )(qp, kp, vp, biasp)
+    )(qp, kp, vp, biasp, seed2d)
     return out[:, :, :t, :], lse
 
 
@@ -151,15 +219,16 @@ def _flash_fwd_impl(q, k, v, bias, causal):
 # backward
 # ---------------------------------------------------------------------------
 
-def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, dd_ref,
-                      dq_ref, *, scale, causal, block_k, seq_len):
-    # Blocks: q/do/dq (1,1,BQ,d); k/v (1,1,T,d); bias (1,1,T);
-    # lse/dd (1,1,1,BQ).
+def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
+                      lse_ref, dd_ref, dq_ref, *, scale, causal, block_k,
+                      seq_len, dropout_p):
     q = q_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
     lse = lse_ref[0, 0, 0][:, None]
     dd = dd_ref[0, 0, 0][:, None]
     bq, d = q.shape
+    b_idx = pl.program_id(0)
+    h_idx = pl.program_id(1)
     qi = pl.program_id(2)
     num_k_blocks = seq_len // block_k
 
@@ -180,11 +249,18 @@ def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, dd_ref,
             )
             s = jnp.where(k_pos > q_pos, NEG_INF, s)
         p = jnp.exp(s - lse)
-        dp = jax.lax.dot_general(
+        dpd = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - dd)
+        )  # dO_i . V_j
+        if dropout_p > 0.0:
+            keep = _tile_keep_mask(
+                seed_ref, b_idx, h_idx, qi, ki, p.shape, dropout_p
+            )
+            pd = jnp.where(keep, p / (1.0 - dropout_p), 0.0)
+        else:
+            pd = p
+        ds = pd * dpd - p * dd
         return dq + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -196,14 +272,14 @@ def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, dd_ref,
     dq_ref[0, 0] = (scale * dq).astype(dq_ref.dtype)
 
 
-def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-                       dd_ref, dk_ref, dv_ref, *, scale, causal, block_q,
-                       seq_len):
-    # Blocks: k/v/dk/dv (1,1,BK,d); q/do (1,1,T,d); bias (1,1,T);
-    # lse/dd (1,1,1,T).
+def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
+                       lse_ref, dd_ref, dk_ref, dv_ref, *, scale, causal,
+                       block_q, seq_len, dropout_p):
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0].astype(jnp.float32)
     bk, d = k.shape
+    b_idx = pl.program_id(0)
+    h_idx = pl.program_id(1)
     ki = pl.program_id(2)
     num_q_blocks = seq_len // block_q
     bias = bias_ref[0, 0, pl.ds(ki * bk, bk)][None, :]
@@ -228,15 +304,23 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
             )
             s = jnp.where(k_pos > q_pos, NEG_INF, s)
         p = jnp.exp(s - lse)  # (BQ, BK)
+        if dropout_p > 0.0:
+            # NOTE argument order (qi, ki) must match the forward tiles
+            keep = _tile_keep_mask(
+                seed_ref, b_idx, h_idx, qi, ki, p.shape, dropout_p
+            )
+            pd = jnp.where(keep, p / (1.0 - dropout_p), 0.0)
+        else:
+            pd = p
         dv = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            pd, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dp = jax.lax.dot_general(
+        dpd = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - dd)
+        ds = pd * dpd - p * dd
         dk = dk + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -250,7 +334,7 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd_impl(q, k, v, bias, causal, out, lse, g):
+def _flash_bwd_impl(q, k, v, bias, seed, causal, dropout_p, out, lse, g):
     b, h, t, d = q.shape
     block_q, block_k, t_pad = _pad_sizes(t)
 
@@ -260,9 +344,9 @@ def _flash_bwd_impl(q, k, v, bias, causal, out, lse, g):
     gp = _pad_to(g, t_pad, axis=2)
     op = _pad_to(out, t_pad, axis=2)
     biasp = _pad_to(bias, t_pad, axis=1, value=NEG_INF)[:, None, :]
-    lsep = _pad_to(lse, t_pad, axis=3, value=1.0)  # lse (B,H,1,T)
+    lsep = _pad_to(lse, t_pad, axis=3, value=1.0)
+    seed2d = seed.reshape(1, 1)
 
-    # D_i = rowsum(dO_i * O_i), cheap elementwise in XLA
     dd = jnp.sum(
         gp.astype(jnp.float32) * op.astype(jnp.float32), axis=-1
     )[:, :, None, :]  # (B,H,1,T)
@@ -272,40 +356,44 @@ def _flash_bwd_impl(q, k, v, bias, causal, out, lse, g):
     qspec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, i: (bi, hi, i, 0))
     kfull = pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, i: (bi, hi, 0, 0))
     bspec = pl.BlockSpec((1, 1, t_pad), lambda bi, hi, i: (bi, 0, 0))
+    sspec = pl.BlockSpec((1, 1), lambda bi, hi, i: (0, 0),
+                         memory_space=pltpu.SMEM)
     vec_q = pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, i: (bi, hi, 0, i))
     vec_full = pl.BlockSpec((1, 1, 1, t_pad), lambda bi, hi, i: (bi, hi, 0, 0))
 
     dq = pl.pallas_call(
         functools.partial(
             _fa_bwd_dq_kernel, scale=scale, causal=causal,
-            block_k=block_k, seq_len=t_pad,
+            block_k=block_k, seq_len=t_pad, dropout_p=dropout_p,
         ),
         grid=(b, h, t_pad // block_q),
-        in_specs=[qspec, kfull, kfull, bspec, qspec, vec_q, vec_q],
+        in_specs=[qspec, kfull, kfull, bspec, sspec, qspec, vec_q, vec_q],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
-    )(qp, kp, vp, biasp, gp, lsep, dd)
+    )(qp, kp, vp, biasp, seed2d, gp, lsep, dd)
 
     kspec = pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, i: (bi, hi, i, 0))
     dk, dv = pl.pallas_call(
         functools.partial(
             _fa_bwd_dkv_kernel, scale=scale, causal=causal,
-            block_q=block_q, seq_len=t_pad,
+            block_q=block_q, seq_len=t_pad, dropout_p=dropout_p,
         ),
         grid=(b, h, t_pad // block_k),
-        in_specs=[kfull, kspec, kspec, bspec, kfull, vec_full, vec_full],
+        in_specs=[kfull, kspec, kspec, bspec, sspec, kfull, vec_full,
+                  vec_full],
         out_specs=(kspec, kspec),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, t_pad, d), k.dtype),
             jax.ShapeDtypeStruct((b, h, t_pad, d), v.dtype),
         ),
-    )(qp, kp, vp, biasp, gp, lsep, dd)
+    )(qp, kp, vp, biasp, seed2d, gp, lsep, dd)
 
     return (
         dq[:, :, :t, :],
         dk[:, :, :t, :],
         dv[:, :, :t, :],
         jnp.zeros_like(bias),  # padding bias carries no useful gradient
+        jnp.zeros_like(seed),  # seed is not differentiable
     )
 
 
@@ -313,20 +401,20 @@ def _flash_bwd_impl(q, k, v, bias, causal, out, lse, g):
 # custom_vjp plumbing
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _flash(q, k, v, bias, causal):
-    out, _ = _flash_fwd_impl(q, k, v, bias, causal)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash(q, k, v, bias, seed, causal, dropout_p):
+    out, _ = _flash_fwd_impl(q, k, v, bias, seed, causal, dropout_p)
     return out
 
 
-def _flash_fwd(q, k, v, bias, causal):
-    out, lse = _flash_fwd_impl(q, k, v, bias, causal)
-    return out, (q, k, v, bias, out, lse)
+def _flash_fwd(q, k, v, bias, seed, causal, dropout_p):
+    out, lse = _flash_fwd_impl(q, k, v, bias, seed, causal, dropout_p)
+    return out, (q, k, v, bias, seed, out, lse)
 
 
-def _flash_bwd(causal, res, g):
-    q, k, v, bias, out, lse = res
-    return _flash_bwd_impl(q, k, v, bias, causal, out, lse, g)
+def _flash_bwd(causal, dropout_p, res, g):
+    q, k, v, bias, seed, out, lse = res
+    return _flash_bwd_impl(q, k, v, bias, seed, causal, dropout_p, out, lse, g)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -339,10 +427,19 @@ def flash_attention(
     *,
     key_padding_mask: Optional[jax.Array] = None,  # (B, T) bool, True = PAD
     causal: bool = False,
+    dropout_p: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     b, _, t, _ = q.shape
     if key_padding_mask is None:
         bias = jnp.zeros((b, t), jnp.float32)
     else:
         bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
-    return _flash(q, k, v, bias, causal)
+    if dropout_p > 0.0:
+        assert dropout_rng is not None, "attention dropout requires an rng"
+        seed = jax.random.randint(
+            dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+        )
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    return _flash(q, k, v, bias, seed, causal, float(dropout_p))

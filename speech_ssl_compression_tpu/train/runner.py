@@ -552,18 +552,26 @@ class Runner:
                 self.rng, k = jax.random.split(self.rng)
                 jb = {k2: jnp.asarray(v) for k2, v in batch.items()}
 
-                if self.mode == "distillation":
-                    loss, grads, logs = self.grad_step(
-                        self.params, self.teacher_params, jb, k
-                    )
-                else:
-                    loss, grads, logs = self.grad_step(
-                        self.params, self.masks, jb, k
-                    )
+                try:
+                    if self.mode == "distillation":
+                        loss, grads, logs = self.grad_step(
+                            self.params, self.teacher_params, jb, k
+                        )
+                    else:
+                        loss, grads, logs = self.grad_step(
+                            self.params, self.masks, jb, k
+                        )
+                    loss_value = float(loss)
+                except Exception as e:  # noqa: BLE001
+                    # OOM-recovery parity (reference runner.py:379-386):
+                    # drop the batch and keep training
+                    if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                        print(f"[Runner] - OOM at step {global_step}; skipping batch")
+                        grads_acc = None
+                        continue
+                    raise
                 grads_acc = accumulate_grads(grads_acc, grads)
                 sample_size = 1  # reference melhubert expert returns (loss, 1)
-
-                loss_value = float(loss)
                 window_loss += loss_value
                 window_count += sample_size
                 all_sample_size += sample_size
