@@ -58,27 +58,32 @@ def main():
     n = args.steps
     results = {}
 
+    def fence(tree):
+        """Force the whole dependency chain by fetching one scalar."""
+        leaf = jax.tree.leaves(tree)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
     for dname, dt_ in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         # --- melhubert pre-train step ---------------------------------
+        # Host-level chaining: each step consumes the previous params, so
+        # one final scalar fetch forces the full serialized chain (the
+        # remote backend's block_until_ready does not sync, and in-jit
+        # scan chains compile too slowly over the tunnel).
         gs = make_melhubert_grad_step(cfg, accum_steps=1, compute_dtype=dt_)
         opt_state = opt.init(params)
 
-        @jax.jit
-        def chain_mh(p, ost, bt, key):
-            def body(carry, _):
-                p, ost, key = carry
-                key, k2 = jax.random.split(key)
-                loss, grads, _ = gs(p, None, bt, k2)
-                p, ost, _ = apply_step(p, ost, grads, jnp.asarray(1.0))
-                return (p, ost, key), loss
-            (p, ost, _), losses = jax.lax.scan(
-                body, (p, ost, key), None, length=n
-            )
-            return losses[-1]
+        def one_step(p, ost, key, gstep):
+            key, k2 = jax.random.split(key)
+            _, grads, _ = gstep(p, None, batch, k2)
+            p, ost, _ = apply_step(p, ost, grads, jnp.asarray(1.0))
+            return p, ost, key
 
-        float(chain_mh(params, opt_state, batch, jax.random.PRNGKey(2)))
+        p, ost, key = one_step(params, opt_state, jax.random.PRNGKey(2), gs)
+        fence(p)  # compile + warm
         t0 = time.time()
-        float(chain_mh(params, opt_state, batch, jax.random.PRNGKey(3)))
+        for _ in range(n):
+            p, ost, key = one_step(p, ost, key, gs)
+        fence(p)
         dt = (time.time() - t0) / n
         results[f"melhubert_pretrain_steps_per_sec_{dname}"] = round(1 / dt, 2)
         print(f"melhubert pretrain {dname}: {dt*1e3:.1f} ms/step "
@@ -91,27 +96,18 @@ def main():
         )
         opt_state_s = opt.init(sparams)
 
-        @jax.jit
-        def chain_kd(sp, tp, ost, bt, key):
-            # NOTE: teacher params must be an argument — closing over them
-            # embeds 360 MB of constants in the HLO (the remote-compile
-            # tunnel rejects bodies that large).
-            def body(carry, _):
-                sp, ost, key = carry
-                key, k2 = jax.random.split(key)
-                loss, grads, _ = gd(sp, tp, bt, k2)
-                sp, ost, _ = apply_step(sp, ost, grads, jnp.asarray(1.0))
-                return (sp, ost, key), loss
-            (sp, ost, _), losses = jax.lax.scan(
-                body, (sp, ost, key), None, length=n
-            )
-            return losses[-1]
+        def kd_step(sp, ost, key):
+            key, k2 = jax.random.split(key)
+            _, grads, _ = gd(sp, params, batch, k2)
+            sp, ost, _ = apply_step(sp, ost, grads, jnp.asarray(1.0))
+            return sp, ost, key
 
-        float(chain_kd(sparams, params, opt_state_s, batch,
-                       jax.random.PRNGKey(4)))
+        sp, ost, key = kd_step(sparams, opt_state_s, jax.random.PRNGKey(4))
+        fence(sp)
         t0 = time.time()
-        float(chain_kd(sparams, params, opt_state_s, batch,
-                       jax.random.PRNGKey(5)))
+        for _ in range(n):
+            sp, ost, key = kd_step(sp, ost, key)
+        fence(sp)
         dt = (time.time() - t0) / n
         results[f"distillation_steps_per_sec_{dname}"] = round(1 / dt, 2)
         print(f"distillation {dname}: {dt*1e3:.1f} ms/step "
