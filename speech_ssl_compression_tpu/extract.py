@@ -15,7 +15,7 @@ extract_feature.py:116-137).
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import jax

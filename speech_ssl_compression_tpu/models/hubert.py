@@ -26,7 +26,6 @@ from ..ops.masking import compute_span_mask
 from .conv_frontend import (
     conv_downsample_rate,
     conv_frontend_forward,
-    conv_output_length,
     init_conv_frontend,
 )
 from .encoder import (

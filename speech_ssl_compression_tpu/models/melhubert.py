@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from ..configs import MelHuBERTConfig
 from ..ops.masking import compute_span_mask
 from .encoder import (
-    _dropout,
     _torch_linear_uniform,
     encoder_forward,
     init_encoder,

@@ -182,8 +182,6 @@ class Runner:
 
         init_w = getattr(self.args, "initial_weight", None)
         if init_w:
-            from ..extract import load_any_checkpoint
-
             if init_w.endswith(".npz"):
                 state = load_checkpoint(init_w)
                 self.params = jax.tree.map(jnp.asarray, state["params"])

@@ -17,7 +17,7 @@ runner.py:307-311); params/optimizer state stay fp32.
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

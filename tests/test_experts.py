@@ -1,0 +1,110 @@
+"""Pretrain-expert compat layer tests (reference contract:
+forward -> (loss, sample_size), load_model, add_state_to_save)."""
+
+import numpy as np
+import pytest
+
+TINY = {
+    "feat_emb_dim": 16,
+    "encoder_layers": 1,
+    "encoder_embed_dim": 32,
+    "encoder_attention_heads": 2,
+    "head_dim": 16,
+    "encoder_ffn_embed_dim": 64,
+    "num_cluster": 8,
+    "conv_pos": 8,
+    "conv_pos_groups": 2,
+    "mask_prob": 0.65,
+    "mask_length": 3,
+    "dropout": 0.0,
+    "attention_dropout": 0.0,
+    "activation_dropout": 0.0,
+}
+
+
+def _data(seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        rng.standard_normal((2, 16, 16)).astype(np.float32),
+        rng.integers(0, 8, (2, 16)),
+        np.ones((2, 16), np.float32),
+        [16, 16],
+    ]
+
+
+def test_melhubert_expert_contract():
+    from speech_ssl_compression_tpu.upstream import MelHuBERTPretrainExpert
+
+    exp = MelHuBERTPretrainExpert({"melhubert": TINY})
+    assert hasattr(exp, "forward")
+    assert hasattr(exp, "load_model")
+    assert hasattr(exp, "add_state_to_save")
+
+    loss, sample_size = exp.forward(_data(), global_step=1, log_step=10)
+    assert np.isfinite(float(loss))
+    assert sample_size == 1
+
+    states = exp.add_state_to_save({"Step": 3})
+    assert "model" in states and "Upstream_Config" in states
+    assert states["Step"] == 3
+    # torch-style naming in the exported state dict
+    assert "encoder.layers.0.self_attn.q_proj.weight" in states["model"]
+
+    exp.load_model({"model": states["model"]})
+    loss2, _ = exp.forward(_data())
+    assert np.isfinite(float(loss2))
+
+
+def test_distiller_expert_contract(tmp_path):
+    import jax
+
+    from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+    from speech_ssl_compression_tpu.models import init_melhubert_params
+    from speech_ssl_compression_tpu.utils.checkpoint import save_checkpoint
+    from speech_ssl_compression_tpu.upstream import MelHuBERTDistillerExpert
+
+    cfg = MelHuBERTConfig.from_dict(TINY)
+    tparams = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    teacher = str(tmp_path / "teacher.npz")
+    save_checkpoint(teacher, tparams,
+                    meta={"Upstream_Config": {"melhubert": TINY}})
+
+    up = {
+        "student": dict(TINY, initial_from_teacher=True),
+        "teacher": dict(TINY),
+        "loss_param": {"T": 2, "alpha": 0.5, "type": "masked"},
+    }
+    exp = MelHuBERTDistillerExpert(up, teacher)
+    # (loss, sample_size) — the reference returns a bare loss and would
+    # crash its own runner (SURVEY.md §2.5); fixed contract here
+    loss, sample_size = exp.forward(_data(), global_step=1)
+    assert np.isfinite(float(loss))
+    assert sample_size == 1
+
+    states = exp.add_state_to_save({})
+    assert "model" in states
+
+
+def test_distiller_accepts_legacy_melhubert_key(tmp_path):
+    import jax
+
+    from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+    from speech_ssl_compression_tpu.models import init_melhubert_params
+    from speech_ssl_compression_tpu.utils.checkpoint import save_checkpoint
+    from speech_ssl_compression_tpu.upstream import MelHuBERTDistillerExpert
+
+    cfg = MelHuBERTConfig.from_dict(TINY)
+    tparams = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    teacher = str(tmp_path / "teacher.npz")
+    save_checkpoint(teacher, tparams,
+                    meta={"Upstream_Config": {"melhubert": TINY}})
+
+    # legacy distillation/config ships the student under "melhubert"
+    up = {
+        "melhubert": dict(TINY),
+        "teacher": dict(TINY),
+        "loss_param": {"T": 1, "alpha": 1, "type": "nomasked"},
+    }
+    exp = MelHuBERTDistillerExpert(up, teacher)
+    loss, _ = exp.forward(_data())
+    assert np.isfinite(float(loss))

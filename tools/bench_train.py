@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--seq", type=int, default=768)
+    ap.add_argument("--dtypes", default="f32,bf16")
     args = ap.parse_args()
 
     import jax
@@ -63,7 +64,9 @@ def main():
         leaf = jax.tree.leaves(tree)[0]
         return float(jnp.sum(leaf.astype(jnp.float32)))
 
-    for dname, dt_ in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+    dtype_map = {"f32": jnp.float32, "bf16": jnp.bfloat16}
+    for dname in args.dtypes.split(","):
+        dt_ = dtype_map[dname]
         # --- melhubert pre-train step ---------------------------------
         # Host-level chaining: each step consumes the previous params, so
         # one final scalar fetch forces the full serialized chain (the
@@ -114,6 +117,10 @@ def main():
               f"({1/dt:.2f} steps/s)", flush=True)
 
     out = pathlib.Path(__file__).resolve().parent.parent / "BENCH_train.json"
+    if out.exists():
+        prev = json.loads(out.read_text())
+        prev.update(results)
+        results = prev
     out.write_text(json.dumps(results, indent=2))
     print(json.dumps(results))
 
