@@ -42,6 +42,7 @@ from ..compress.schedule import set_prune_interval, sparsity_ladder, weight_prun
 from ..compress.distillation import init_student_from_teacher
 from ..data.bucket_dataset import MelFeatBuckets, PrefetchIterator
 from ..models import init_melhubert_params, melhubert_forward
+from ..parallel import batch_sharding, make_mesh, shard_params
 from ..utils.checkpoint import save_checkpoint, load_checkpoint, restore_opt_state
 from .steps import (
     make_apply_step,
@@ -82,6 +83,19 @@ class Runner:
             self._init_distillation()
         else:
             self._init_melhubert()
+
+        # ------- device mesh (replaces torch DataParallel, SURVEY §2.8) --
+        tp = int(getattr(args, "model_parallel", 1) or 1)
+        self.mesh = make_mesh(model_parallel=tp)
+        self.n_devices = int(np.prod(list(self.mesh.shape.values())))
+        if self.n_devices > 1:
+            print(f"[Runner] - Device mesh: {dict(self.mesh.shape)}")
+            self.params = shard_params(self.params, self.mesh,
+                                       tensor_parallel=tp > 1)
+            if self.teacher_params is not None:
+                self.teacher_params = shard_params(
+                    self.teacher_params, self.mesh, tensor_parallel=tp > 1
+                )
 
         # frame-period sanity (reference runner.py:48-52)
         fp = getattr(args, "frame_period", 20)
@@ -297,6 +311,14 @@ class Runner:
     def _reset_optimizer(self):
         self.opt_state = self.optimizer.init(self.params)
 
+    def _reshard(self):
+        """Re-apply mesh shardings after a structured prune event produced
+        host-resident (unsharded) arrays."""
+        if self.n_devices > 1:
+            tp = self.mesh.shape.get("model", 1)
+            self.params = shard_params(self.params, self.mesh,
+                                       tensor_parallel=tp > 1)
+
     # ------------------------------------------------------------------
     def _get_dataloader(self):
         datarc = self.runner_config["datarc"]
@@ -309,6 +331,19 @@ class Runner:
             max_timestep=int(datarc.get("max_timestep", 0)),
             seed=getattr(self.args, "seed", 1337),
         )
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch: dict) -> dict:
+        """Shard the batch over the mesh's data axis (grads are psum'd by
+        XLA automatically); replicate when the batch doesn't divide."""
+        dp = self.mesh.shape.get("data", 1)
+        out = {}
+        for k2, v in batch.items():
+            arr = jnp.asarray(v)
+            if self.n_devices > 1 and arr.ndim >= 1 and arr.shape[0] % dp == 0:
+                arr = jax.device_put(arr, batch_sharding(self.mesh, arr.ndim))
+            out[k2] = arr
+        return out
 
     # ------------------------------------------------------------------
     def save(self, global_step: int, name: str, total_step: Optional[int] = None):
@@ -371,6 +406,7 @@ class Runner:
             total_heads = sum(self.cfg.encoder_attention_heads)
             self.save(global_step, f"states_prune_{total_heads}.npz")
             self._head_prune_event()
+            self._reshard()
             self._reset_optimizer()
             self._rebuild_steps()
         elif self.mode == "row-pruning" and global_step in self.prune_steps:
@@ -384,6 +420,7 @@ class Runner:
                 f"[Row Pruning] {min(self.cfg.encoder_ffn_embed_dim)} hidden "
                 "dims remain in FFN"
             )
+            self._reshard()
             self._reset_optimizer()
             self._rebuild_steps()
 
@@ -548,7 +585,7 @@ class Runner:
 
                 global_step = pbar["n"] + 1
                 self.rng, k = jax.random.split(self.rng)
-                jb = {k2: jnp.asarray(v) for k2, v in batch.items()}
+                jb = self._device_batch(batch)
 
                 try:
                     if self.mode == "distillation":

@@ -40,6 +40,7 @@ from ..models.wav2vec2 import (
     wav2vec2_forward,
     wav2vec2_pretrain_loss,
 )
+from ..parallel import batch_sharding, make_mesh, shard_params
 from ..utils.checkpoint import save_checkpoint
 from .steps import make_apply_step, make_optimizer, cast_for_compute
 
@@ -80,6 +81,14 @@ class WaveRunner:
 
         n = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(self.params))
         print(f"[WaveRunner] - {self.upstream}: {n} parameters")
+
+        tp = int(getattr(args, "model_parallel", 1) or 1)
+        self.mesh = make_mesh(model_parallel=tp)
+        self.n_devices = int(np.prod(list(self.mesh.shape.values())))
+        if self.n_devices > 1:
+            print(f"[WaveRunner] - Device mesh: {dict(self.mesh.shape)}")
+            self.params = shard_params(self.params, self.mesh,
+                                       tensor_parallel=tp > 1)
 
         # weight pruning (only compression mode wired for wave models,
         # matching the reference's shipped configs)
@@ -209,9 +218,19 @@ class WaveRunner:
 
     def _collate_device_batch(self, batch):
         """Pad labels to conv-frame length + encode through dictionaries."""
+        dp = self.mesh.shape.get("data", 1)
+
+        def put(arr):
+            arr = jnp.asarray(arr)
+            if self.n_devices > 1 and arr.shape[0] % dp == 0:
+                return jax.device_put(
+                    arr, batch_sharding(self.mesh, arr.ndim)
+                )
+            return arr
+
         out = {
-            "source": jnp.asarray(batch["source"]),
-            "length": jnp.asarray(batch["length"]),
+            "source": put(batch["source"]),
+            "length": put(batch["length"]),
         }
         if self.upstream == "hubert":
             t_frames = conv_output_length(
@@ -226,7 +245,7 @@ class WaveRunner:
                     # "5" -> dict index 4+5 for in-order cluster dicts)
                     n = min(len(labs), t_frames)
                     arr[bi, :n] = labs[:n] + 4
-                target_list.append(jnp.asarray(arr))
+                target_list.append(put(arr))
             out["target_list"] = target_list
         return out
 
