@@ -197,6 +197,16 @@ class HuBERTConfig:
             kwargs["latent_temp"] = tuple(float(x) for x in cfg["latent_temp"])
         return cls(**kwargs)
 
+    def with_heads(self, heads_per_layer):
+        return dataclasses.replace(
+            self, encoder_attention_heads=tuple(int(h) for h in heads_per_layer)
+        )
+
+    def with_ffn_dims(self, ffn_per_layer):
+        return dataclasses.replace(
+            self, encoder_ffn_embed_dim=tuple(int(f) for f in ffn_per_layer)
+        )
+
 
 def _parse_conv_spec(spec: str):
     """Safely evaluate fairseq-style conv specs like
@@ -320,3 +330,13 @@ class Wav2Vec2Config:
         if "latent_temp" in cfg:
             kwargs["latent_temp"] = tuple(float(x) for x in cfg["latent_temp"])
         return cls(**kwargs)
+
+    def with_heads(self, heads_per_layer):
+        return dataclasses.replace(
+            self, encoder_attention_heads=tuple(int(h) for h in heads_per_layer)
+        )
+
+    def with_ffn_dims(self, ffn_per_layer):
+        return dataclasses.replace(
+            self, encoder_ffn_embed_dim=tuple(int(f) for f in ffn_per_layer)
+        )

@@ -22,8 +22,14 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import HuBERTConfig, Wav2Vec2Config
+from ..compress import head_pruning as hp
+from ..compress import row_pruning as rp
 from ..compress import weight_pruning as wp
-from ..compress.schedule import sparsity_ladder, weight_prune_steps
+from ..compress.schedule import (
+    set_prune_interval,
+    sparsity_ladder,
+    weight_prune_steps,
+)
 from ..data.bucket_dataset import PrefetchIterator
 from ..data.dictionary import Dictionary
 from ..data.hubert_dataset import HubertWaveDataset
@@ -90,11 +96,30 @@ class WaveRunner:
             self.params = shard_params(self.params, self.mesh,
                                        tensor_parallel=tp > 1)
 
-        # weight pruning (only compression mode wired for wave models,
-        # matching the reference's shipped configs)
+        # compression on the shared encoder structure (the reference ships
+        # weight/row-pruning configs for hubert and wav2vec2 too:
+        # weight_pruning/config/hubert_config_runner.yaml,
+        # row_pruning/config/hubert_config_runner.yaml, ...)
         self.masks = None
         self.wp_state: Optional[wp.WeightPruningState] = None
         self.prune_steps = []
+        self.pruned_heads: list = []
+        if self.mode in ("head-pruning", "row-pruning"):
+            pc = runner_config["prune"]
+            self.total_prune_step = pc["total_steps"]
+            self.prune_steps = set_prune_interval(
+                pc["interval"], pc["warm_up"], pc["total_steps"]
+            )
+            if self.mode == "head-pruning":
+                if pc.get("metric", "l1") == "l1":
+                    self.num_heads_each_step = self.cfg.encoder_layers
+                else:
+                    raise NotImplementedError(
+                        "data-driven head scoring is MelHuBERT-only (as in "
+                        "the reference, hp_utils.py:242 uses MelFeatDataset)"
+                    )
+            else:
+                self.num_rows_each_step = pc["num_rows_each_step"]
         if self.mode == "weight-pruning":
             pc = runner_config["prune"]
             n_iters = pc.get("n_iters", 38)
@@ -259,6 +284,8 @@ class WaveRunner:
         }
         if self.wp_state is not None:
             meta["Pruning"] = self.wp_state.to_meta()
+        if self.pruned_heads:
+            meta["Pruned_heads"] = self.pruned_heads
         save_checkpoint(
             os.path.join(self.expdir, name),
             self.params,
@@ -307,6 +334,51 @@ class WaveRunner:
                         self.prune_steps.append(
                             max(self.prune_steps) + self.wp_state.period
                         )
+                elif (
+                    self.mode == "head-pruning"
+                    and step in self.prune_steps
+                    and backward % accum == 0
+                ):
+                    self.save(
+                        step,
+                        f"states_prune_{sum(self.cfg.encoder_attention_heads)}.npz",
+                    )
+                    scores = hp.l1_head_scores(self.params, self.cfg)
+                    group = hp.select_heads_to_prune(
+                        scores, self.num_heads_each_step,
+                        self.runner_config["prune"].get("target", "by_layer"),
+                        self.cfg.encoder_layers,
+                    )
+                    self.pruned_heads.append(
+                        {int(k): list(v) for k, v in group.items()}
+                    )
+                    self.params, self.cfg = hp.prune_heads(
+                        self.params, self.cfg, group
+                    )
+                    print(
+                        f"[WaveRunner/HP] "
+                        f"{sum(self.cfg.encoder_attention_heads)} heads remain"
+                    )
+                    self.opt_state = self.optimizer.init(self.params)
+                    self._build_grad_step()
+                elif (
+                    self.mode == "row-pruning"
+                    and step in self.prune_steps
+                    and backward % accum == 0
+                ):
+                    self.save(
+                        step,
+                        f"states_prune_{min(self.cfg.encoder_ffn_embed_dim)}.npz",
+                    )
+                    self.params, self.cfg = rp.prune_rows(
+                        self.params, self.cfg, self.num_rows_each_step
+                    )
+                    print(
+                        f"[WaveRunner/RP] "
+                        f"{min(self.cfg.encoder_ffn_embed_dim)} FFN dims remain"
+                    )
+                    self.opt_state = self.optimizer.init(self.params)
+                    self._build_grad_step()
 
                 self.rng, k = jax.random.split(self.rng)
                 jb = self._collate_device_batch(batch)

@@ -114,3 +114,55 @@ def test_wav2vec2_wave_runner_smoke(tmp_path):
     runner = WaveRunner(args, runner_cfg, upstream_cfg)
     runner.train()
     assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))
+
+
+def test_hubert_head_and_row_pruning(tmp_path):
+    """Head/row pruning on the shared encoder structure works for HuBERT
+    (reference ships hubert pruning configs)."""
+    data = make_wav_dataset(tmp_path)
+    for mode, prune_cfg, check in (
+        (
+            "head-pruning",
+            {"metric": "l1", "target": "by_layer", "total_steps": 1,
+             "interval": 1, "warm_up": 1},
+            lambda r: r.cfg.encoder_attention_heads == (1,),
+        ),
+        (
+            "row-pruning",
+            {"num_rows_each_step": 16, "total_steps": 1, "interval": 1,
+             "warm_up": 1},
+            lambda r: r.cfg.encoder_ffn_embed_dim == (48,),
+        ),
+    ):
+        runner_cfg = {
+            "runner": {"total_steps": 3, "gradient_clipping": 10.0,
+                       "gradient_accumulate_steps": 1, "log_step": 1,
+                       "bf16": False},
+            "optimizer": {"lr": 1e-4},
+            "datarc": {"train_batch_size": 2},
+            "prune": prune_cfg,
+            "task": {
+                "data": data, "label_dir": data, "labels": ["km"],
+                "label_rate": 50, "sample_rate": 16000,
+                "max_sample_size": 4000, "min_sample_size": 1000,
+                "pad_audio": False, "random_crop": True,
+            },
+        }
+        upstream_cfg = {
+            "hubert": {
+                "label_rate": 50,
+                "encoder_layers": 1, "encoder_embed_dim": 32,
+                "encoder_attention_heads": 2, "head_dim": 16,
+                "encoder_ffn_embed_dim": 64,
+                "conv_feature_layers": CONV,
+                "final_dim": 16, "conv_pos": 16, "conv_pos_groups": 4,
+                "mask_prob": 0.65, "mask_length": 4,
+                "dropout": 0.0, "attention_dropout": 0.0,
+                "activation_dropout": 0.0,
+            }
+        }
+        args = _args(tmp_path, mode, "hubert")
+        args.expdir = str(tmp_path / f"exp_{mode}")
+        runner = WaveRunner(args, runner_cfg, upstream_cfg)
+        runner.train()
+        assert check(runner), (mode, runner.cfg)
