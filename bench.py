@@ -67,27 +67,30 @@ def main():
     feat = np.tile(feat, (reps, 1, 1))
     pad_mask = np.tile(pad_mask, (reps, 1))
 
-    # Timing methodology: N forwards chained inside ONE jit (each iteration
-    # consumes the previous output) ending in a scalar fetch — the remote
-    # (axon) backend's block_until_ready does not actually synchronize, so
-    # free-running dispatch loops measure nothing.
-    n_rep = 10
+    # Timing methodology: host-level dependency chain — each iteration
+    # consumes the previous output, and a single scalar fetch at the end
+    # forces the whole serialized chain. (The remote (axon) backend's
+    # block_until_ready does not actually synchronize, so free-running
+    # dispatch loops measure nothing; and in-jit scan chains compile too
+    # slowly over the remote-compile tunnel.)
+    n_rep = 20
 
     @jax.jit
-    def chained(params, feat, pad_mask):
-        def body(x, _):
-            out = melhubert_forward(
-                params, cfg, x, pad_mask, mask=False, no_pred=True
-            )
-            return x + 1e-12 * out["hidden"][:, :, :80], ()
-        x, _ = jax.lax.scan(body, feat, None, length=n_rep)
-        return jnp.sum(x)
+    def step(params, x, pad_mask):
+        out = melhubert_forward(
+            params, cfg, x, pad_mask, mask=False, no_pred=True
+        )
+        return x + 1e-12 * out["hidden"][:, :, :80]
 
     jf = jnp.asarray(feat)
     jp = jnp.asarray(pad_mask)
-    float(chained(params, jf, jp))  # compile + warm
+    x = step(params, jf, jp)
+    float(jnp.sum(x))  # compile + warm
     t0 = time.time()
-    float(chained(params, jf, jp))
+    x = jf
+    for _ in range(n_rep):
+        x = step(params, x, jp)
+    float(jnp.sum(x))
     dt = (time.time() - t0) / n_rep
 
     n_frames = int(sum(lengths)) * reps
