@@ -62,7 +62,10 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
                    *, scale, causal, block_k, seq_len, dropout_p):
     # Blocks: q (1,1,BQ,d), k/v (1,1,T,d), bias (1,1,T), seed (1,1) SMEM,
     # o (1,1,BQ,d), lse (1,1,1,BQ).
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # (BQ, d)
+    # MXU dots run in the input dtype (native bf16 when inputs are bf16)
+    # with f32 accumulation; softmax statistics always in f32.
+    in_dtype = q_ref.dtype
+    q = q_ref[0, 0] * jnp.asarray(scale, in_dtype)  # (BQ, d)
     bq, d = q.shape
     num_k_blocks = seq_len // block_k
     b_idx = pl.program_id(0)
@@ -70,11 +73,11 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
     qi = pl.program_id(2)
 
     def scores(ki):
-        k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (BQ, BK)
+        )  # (BQ, BK) f32
         s = s + bias_ref[0, 0, pl.ds(ki * block_k, block_k)][None, :]
         if causal:
             q_pos = qi * bq + jax.lax.broadcasted_iota(
@@ -91,15 +94,13 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
         def body(ki, carry):
             m_prev, l_prev, acc = carry
             s = scores(ki)
-            v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(
-                jnp.float32
-            )
+            v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(s - m_new)
             l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
             acc = acc * alpha + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
+                p.astype(in_dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             return m_new, l_new, acc
@@ -136,9 +137,9 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
             seed_ref, b_idx, h_idx, qi, ki, p.shape, dropout_p
         )
         p = jnp.where(keep, p / (1.0 - dropout_p), 0.0)
-        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :]
         return acc + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(in_dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -222,8 +223,9 @@ def _flash_fwd_impl(q, k, v, bias, seed, causal, dropout_p):
 def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
                       lse_ref, dd_ref, dq_ref, *, scale, causal, block_k,
                       seq_len, dropout_p):
-    q = q_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    in_dtype = q_ref.dtype
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
     lse = lse_ref[0, 0, 0][:, None]
     dd = dd_ref[0, 0, 0][:, None]
     bq, d = q.shape
@@ -233,8 +235,8 @@ def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
     num_k_blocks = seq_len // block_k
 
     def body(ki, dq):
-        k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :]
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -262,7 +264,7 @@ def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
             pd = p
         ds = pd * dpd - p * dd
         return dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds.astype(in_dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -275,8 +277,9 @@ def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
 def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
                        lse_ref, dd_ref, dk_ref, dv_ref, *, scale, causal,
                        block_q, seq_len, dropout_p):
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    in_dtype = q_ref.dtype
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     bk, d = k.shape
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
@@ -286,8 +289,8 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
 
     def body(qi, carry):
         dk, dv = carry
-        q = q_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, 0, pl.ds(qi * block_q, block_q), :]
+        do = do_ref[0, 0, pl.ds(qi * block_q, block_q), :]
         lse = lse_ref[0, 0, 0, pl.ds(qi * block_q, block_q)][:, None]
         dd = dd_ref[0, 0, 0, pl.ds(qi * block_q, block_q)][:, None]
         s = scale * jax.lax.dot_general(
@@ -313,7 +316,7 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
         else:
             pd = p
         dv = dv + jax.lax.dot_general(
-            pd, do, (((0,), (0,)), ((), ())),
+            pd.astype(in_dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dpd = jax.lax.dot_general(
@@ -322,7 +325,7 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
         )
         ds = pd * dpd - p * dd
         dk = dk + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds.astype(in_dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return dk, dv
