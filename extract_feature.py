@@ -39,6 +39,10 @@ def get_args():
                         default=960)
     parser.add_argument("--backend", default=None,
                         help="jax platform override (e.g. cpu)")
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="compute dtype (bfloat16 trades ~1e-1 worst-case "
+                             "rel err for throughput)")
     parser.add_argument("--wav", nargs="*", default=None,
                         help="optional custom audio paths")
     return parser.parse_args()
@@ -60,9 +64,12 @@ def main():
     ]
     print(f"[Extractor] - Extracting feature from these files: {wav_path}")
 
+    import jax.numpy as jnp
+
     mean_std = EXAMPLE_DIR / f"libri-{args.hours}-mean-std.npy"
     extractor = MelHuBERTExtractor(
-        args.checkpoint, fp=args.fp, mean_std_npy_path=str(mean_std)
+        args.checkpoint, fp=args.fp, mean_std_npy_path=str(mean_std),
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
     print(
         f"[Extractor] - Successfully load model with "

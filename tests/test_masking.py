@@ -48,3 +48,29 @@ def test_mask_deterministic_given_key():
     a = compute_span_mask(rng, lengths, 64, mask_prob=0.65, mask_length=10)
     b = compute_span_mask(rng, lengths, 64, mask_prob=0.65, mask_length=10)
     assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_block_mask_1d():
+    from speech_ssl_compression_tpu.ops.block_masking import (
+        compute_block_mask_1d,
+    )
+
+    rng = np.random.default_rng(0)
+    m = compute_block_mask_1d((4, 100), 0.5, 5, rng=rng)
+    assert m.shape == (4, 100)
+    # require_same_masks: exactly int(L * p) per row
+    assert (m.sum(1) == 50).all()
+
+    m2 = compute_block_mask_1d((4, 100), 0.5, 5, inverse_mask=True, rng=rng)
+    assert (m2.sum(1) == 50).all()
+
+    m3 = compute_block_mask_1d(
+        (2, 100), 0.3, 5, non_overlapping=True, require_same_masks=False,
+        rng=rng,
+    )
+    # non-overlapping grid blocks: runs are multiples of mask_length
+    for row in m3:
+        padded = np.concatenate([[0], row.astype(int), [0]])
+        diff = np.diff(padded)
+        runs = np.where(diff == -1)[0] - np.where(diff == 1)[0]
+        assert all(r % 5 == 0 for r in runs), runs
