@@ -62,10 +62,26 @@ def main():
     )
     params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
 
-    # Serve-style batch: the two utterances replicated 4x (B=8).
+    # Serve-style batch: the two utterances replicated 4x (8 utterances),
+    # sequence-packed into fixed-capacity rows with segment-masked flash
+    # attention (block-diagonal) — identical outputs to the padded forward,
+    # ~2x less padding waste (tests/test_packing.py proves parity).
     reps = 4
     feat = np.tile(feat, (reps, 1, 1))
     pad_mask = np.tile(pad_mask, (reps, 1))
+    all_lengths = lengths * reps
+
+    from speech_ssl_compression_tpu.extract import MelHuBERTExtractor
+    from speech_ssl_compression_tpu.ops.packing import (
+        build_pack_arrays,
+        plan_packing,
+    )
+
+    b, t, _ = feat.shape
+    rows = plan_packing(all_lengths, t)
+    gather_idx, seg_ids, unpack_idx = build_pack_arrays(
+        all_lengths, rows, t, t
+    )
 
     # Timing methodology: host-level dependency chain — each iteration
     # consumes the previous output, and a single scalar fetch at the end
@@ -75,25 +91,28 @@ def main():
     # slowly over the remote-compile tunnel.)
     n_rep = 20
 
+    packed_impl = MelHuBERTExtractor._packed_impl
+
     @jax.jit
-    def step(params, x, pad_mask):
-        out = melhubert_forward(
-            params, cfg, x, pad_mask, mask=False, no_pred=True
-        )
+    def step(params, x, pad_mask, gi, si, ui):
+        out = packed_impl(cfg, "default", params, x, pad_mask, gi, si, ui)
         return x + 1e-12 * out["hidden"][:, :, :80]
 
     jf = jnp.asarray(feat)
     jp = jnp.asarray(pad_mask)
-    x = step(params, jf, jp)
+    gi = jnp.asarray(gather_idx)
+    si = jnp.asarray(seg_ids)
+    ui = jnp.asarray(unpack_idx)
+    x = step(params, jf, jp, gi, si, ui)
     float(jnp.sum(x))  # compile + warm
     t0 = time.time()
     x = jf
     for _ in range(n_rep):
-        x = step(params, x, jp)
+        x = step(params, x, jp, gi, si, ui)
     float(jnp.sum(x))
     dt = (time.time() - t0) / n_rep
 
-    n_frames = int(sum(lengths)) * reps
+    n_frames = int(sum(all_lengths))
     fps = n_frames / dt
 
     baseline_path = pathlib.Path(__file__).parent / "BASELINE_local.json"

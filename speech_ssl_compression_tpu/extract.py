@@ -23,7 +23,9 @@ import jax.numpy as jnp
 
 from .configs import MelHuBERTConfig
 from .models import melhubert_forward
+from .models.encoder import encoder_layers_forward, encoder_prologue
 from .ops.fbank import kaldi_fbank_np, normalize_fbank, stack_frame_pairs_np
+from .ops.packing import build_pack_arrays, plan_packing
 from .data.audio import read_audio
 
 
@@ -169,3 +171,71 @@ class MelHuBERTExtractor:
             assert sr == 16000, f"{p}: expected 16 kHz, got {sr}"
             wavs.append(wav[0])
         return self.forward(wavs)
+
+    # ------------------------------------------------------------------
+    # sequence-packed extraction: identical outputs, less padding waste
+    # ------------------------------------------------------------------
+    @staticmethod
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _packed_impl(cfg, precision, params, feat, pad_mask, gather_idx,
+                     seg_ids, unpack_idx):
+        with jax.default_matmul_precision(precision):
+            valid = pad_mask.astype(bool)
+            x = feat
+            if "pre_extract_proj" in params:
+                p = params["pre_extract_proj"]
+                x = x @ p["kernel"] + p["bias"]
+            pre_feat = x
+            enc = params["encoder"]
+            # prologue per utterance: the conv positional embedding must not
+            # cross utterance boundaries
+            x = encoder_prologue(x, enc, cfg, padding_mask=~valid)
+
+            b, t, d = x.shape
+            r, s = gather_idx.shape
+            flat = x.reshape(b * t, d)
+            xp = flat[gather_idx.reshape(-1)].reshape(r, s, d)
+            hidden_p, layer_hiddens_p, _ = encoder_layers_forward(
+                xp, enc, cfg,
+                padding_mask=seg_ids == 0,
+                segment_ids=seg_ids,
+                get_hidden=True,
+            )
+
+            def unpack(h):
+                hflat = h.reshape(r * s, d)
+                out = hflat[unpack_idx.reshape(-1)].reshape(b, t, d)
+                return jnp.where(valid[:, :, None], out, 0.0)
+
+            return {
+                "hidden": unpack(hidden_p),
+                "layer_hiddens": [unpack(h) for h in layer_hiddens_p],
+                "pre_feat": pre_feat,
+            }
+
+    def forward_packed(self, wavs: Sequence[np.ndarray],
+                       capacity: Optional[int] = None) -> dict:
+        """Like :meth:`forward` but packs utterances into fixed-capacity
+        rows with segment-masked attention (block-diagonal). Outputs match
+        the unpacked path."""
+        feat, pad_mask, lengths = self.featurize(wavs)
+        b, t, _ = feat.shape
+        cap = capacity or t
+        cap = max(cap, max(lengths))
+        cap = -(-cap // self.pad_multiple) * self.pad_multiple
+        rows = plan_packing(lengths, cap)
+        gather_idx, seg_ids, unpack_idx = build_pack_arrays(
+            lengths, rows, cap, t
+        )
+        out = self._packed_impl(
+            self.cfg, self.matmul_precision, self.params,
+            jnp.asarray(feat, self.dtype), jnp.asarray(pad_mask),
+            jnp.asarray(gather_idx), jnp.asarray(seg_ids),
+            jnp.asarray(unpack_idx),
+        )
+        return {
+            "hidden_states": [out["pre_feat"]] + list(out["layer_hiddens"]),
+            "last_hidden_state": out["hidden"],
+            "lengths": lengths,
+            "n_packed_rows": len(rows),
+        }

@@ -171,6 +171,7 @@ def encoder_layer_forward(
     rng: Optional[jax.Array],
     deterministic: bool,
     head_probe: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,
     attn_impl: str = "auto",
     activation_fn: str = "gelu",
 ):
@@ -191,6 +192,7 @@ def encoder_layer_forward(
             dropout_rng=r_attn,
             dropout_p=0.0 if deterministic else attention_dropout,
             head_probe=head_probe,
+            segment_ids=segment_ids,
             impl=attn_impl,
         )
 
@@ -229,22 +231,19 @@ def encoder_layer_forward(
     return x, context
 
 
-def encoder_forward(
+def encoder_prologue(
     x: jax.Array,  # (B, T, D)
     params: dict,
     cfg,
     *,
     padding_mask: Optional[jax.Array] = None,  # (B, T) bool, True = PAD
-    causal: bool = False,
-    get_hidden: bool = False,
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
-    head_probes=None,  # list per layer or None
-    attn_impl: str = "auto",
-    remat: bool = False,
 ):
-    """Reference TransformerEncoder.extract_features + forward
-    (module.py:215-257). Returns (x, layer_hiddens, contexts)."""
+    """Everything before the transformer layers: zero padded positions, conv
+    positional embedding, (post-LN) encoder LayerNorm, input dropout
+    (reference module.py:226-236). Split out so sequence packing can run it
+    per-utterance — the conv must not cross utterance boundaries."""
     if padding_mask is not None:
         x = jnp.where(padding_mask[:, :, None], 0.0, x)
 
@@ -255,7 +254,26 @@ def encoder_forward(
     if rng is not None:
         rng, r0 = jax.random.split(rng)
         x = _dropout(x, r0, cfg.dropout, deterministic)
+    return x
 
+
+def encoder_layers_forward(
+    x: jax.Array,  # (B, T, D)
+    params: dict,
+    cfg,
+    *,
+    padding_mask: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,
+    causal: bool = False,
+    get_hidden: bool = False,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    head_probes=None,
+    attn_impl: str = "auto",
+    remat: bool = False,
+):
+    """The transformer layer stack + final (pre-LN) norm (reference
+    module.py:242-257). Returns (x, layer_hiddens, contexts)."""
     layer_hiddens = []
     contexts = []
     for i, lp in enumerate(params["layers"]):
@@ -277,6 +295,7 @@ def encoder_forward(
                 rng=lr,
                 deterministic=deterministic,
                 head_probe=None if head_probes is None else head_probes[i],
+                segment_ids=segment_ids,
                 attn_impl=attn_impl,
                 activation_fn=cfg.activation_fn,
             )
@@ -304,3 +323,41 @@ def encoder_forward(
         x = layer_norm(x, params["layer_norm"])
 
     return x, layer_hiddens, contexts
+
+
+def encoder_forward(
+    x: jax.Array,  # (B, T, D)
+    params: dict,
+    cfg,
+    *,
+    padding_mask: Optional[jax.Array] = None,  # (B, T) bool, True = PAD
+    causal: bool = False,
+    get_hidden: bool = False,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    head_probes=None,  # list per layer or None
+    attn_impl: str = "auto",
+    remat: bool = False,
+):
+    """Reference TransformerEncoder.extract_features + forward
+    (module.py:215-257). Returns (x, layer_hiddens, contexts)."""
+    pro_rng = layers_rng = None
+    if rng is not None:
+        pro_rng, layers_rng = jax.random.split(rng)
+    x = encoder_prologue(
+        x, params, cfg,
+        padding_mask=padding_mask,
+        rng=pro_rng,
+        deterministic=deterministic,
+    )
+    return encoder_layers_forward(
+        x, params, cfg,
+        padding_mask=padding_mask,
+        causal=causal,
+        get_hidden=get_hidden,
+        rng=layers_rng,
+        deterministic=deterministic,
+        head_probes=head_probes,
+        attn_impl=attn_impl,
+        remat=remat,
+    )

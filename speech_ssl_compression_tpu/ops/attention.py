@@ -37,6 +37,7 @@ def dense_attention(
     causal: bool = False,
     dropout_rng: Optional[jax.Array] = None,
     dropout_p: float = 0.0,
+    segment_ids: Optional[jax.Array] = None,  # (B, T) int; equal ids attend
 ) -> jax.Array:
     """Dense scaled-dot-product attention, O(T^2) memory, XLA-fused.
 
@@ -52,6 +53,9 @@ def dense_attention(
     if key_padding_mask is not None:
         bias = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, 0.0)
         logits = logits + bias
+    if segment_ids is not None:
+        same = segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+        logits = jnp.where(same, logits, NEG_INF)
     if causal:
         # Reference builds this with a Python loop on host (model.py:121-132);
         # a broadcasted iota comparison is the XLA-native equivalent.
@@ -78,6 +82,7 @@ def multi_head_self_attention(
     dropout_rng: Optional[jax.Array] = None,
     dropout_p: float = 0.0,
     head_probe: Optional[jax.Array] = None,  # (B, H, T, d) zeros, for scoring
+    segment_ids: Optional[jax.Array] = None,  # (B, T): sequence packing
     impl: str = "auto",
 ):
     """Self-attention block with separate q/k/v/out projections.
@@ -111,6 +116,7 @@ def multi_head_self_attention(
             causal=causal,
             dropout_p=dropout_p,
             dropout_rng=dropout_rng,
+            segment_ids=segment_ids,
         )
     else:
         context = dense_attention(
@@ -119,6 +125,7 @@ def multi_head_self_attention(
             causal=causal,
             dropout_rng=dropout_rng,
             dropout_p=dropout_p,
+            segment_ids=segment_ids,
         )
 
     if head_probe is not None:

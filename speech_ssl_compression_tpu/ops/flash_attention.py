@@ -58,9 +58,10 @@ def _tile_keep_mask(seed_ref, b, h, qi, ki, shape, dropout_p):
 # forward
 # ---------------------------------------------------------------------------
 
-def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
-                   *, scale, causal, block_k, seq_len, dropout_p):
-    # Blocks: q (1,1,BQ,d), k/v (1,1,T,d), bias (1,1,T), seed (1,1) SMEM,
+def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, seed_ref, o_ref,
+                   lse_ref, *, scale, causal, block_k, seq_len, dropout_p,
+                   use_segments):
+    # Blocks: q (1,1,BQ,d), k/v (1,1,T,d), bias/seg (1,1,T), seed (1,1) SMEM,
     # o (1,1,BQ,d), lse (1,1,1,BQ).
     # MXU dots run in the input dtype (native bf16 when inputs are bf16)
     # with f32 accumulation; softmax statistics always in f32.
@@ -79,6 +80,10 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
             preferred_element_type=jnp.float32,
         )  # (BQ, BK) f32
         s = s + bias_ref[0, 0, pl.ds(ki * block_k, block_k)][None, :]
+        if use_segments:
+            seg_q = seg_ref[0, 0, pl.ds(qi * bq, bq)]
+            seg_k = seg_ref[0, 0, pl.ds(ki * block_k, block_k)]
+            s = jnp.where(seg_q[:, None] != seg_k[None, :], NEG_INF, s)
         if causal:
             q_pos = qi * bq + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, block_k), 0
@@ -166,7 +171,8 @@ def _pad_sizes(t):
     return block_q, block_k, t_pad
 
 
-def _flash_fwd_impl(q, k, v, bias, seed, causal, dropout_p):
+def _flash_fwd_impl(q, k, v, bias, seg, seed, causal, dropout_p,
+                    use_segments):
     b, h, t, d = q.shape
     block_q, block_k, t_pad = _pad_sizes(t)
 
@@ -174,6 +180,7 @@ def _flash_fwd_impl(q, k, v, bias, seed, causal, dropout_p):
     kp = _pad_to(k, t_pad, axis=2)
     vp = _pad_to(v, t_pad, axis=2)
     biasp = _pad_to(bias, t_pad, axis=1, value=NEG_INF)[:, None, :]  # (B,1,T)
+    segp = _pad_to(seg, t_pad, axis=1, value=-1)[:, None, :]  # (B,1,T)
     seed2d = seed.reshape(1, 1)
 
     scale = 1.0 / (d ** 0.5)
@@ -186,6 +193,7 @@ def _flash_fwd_impl(q, k, v, bias, seed, causal, dropout_p):
             block_k=block_k,
             seq_len=t_pad,
             dropout_p=dropout_p,
+            use_segments=use_segments,
         ),
         grid=grid,
         in_specs=[
@@ -194,6 +202,7 @@ def _flash_fwd_impl(q, k, v, bias, seed, causal, dropout_p):
             ),
             pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, hi, qi: (bi, 0, 0)),
             pl.BlockSpec((1, 1, t_pad), lambda bi, hi, qi: (bi, 0, 0)),
             pl.BlockSpec(
                 (1, 1), lambda bi, hi, qi: (0, 0),
@@ -212,7 +221,7 @@ def _flash_fwd_impl(q, k, v, bias, seed, causal, dropout_p):
             jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, 1, t_pad), jnp.float32),
         ),
-    )(qp, kp, vp, biasp, seed2d)
+    )(qp, kp, vp, biasp, segp, seed2d)
     return out[:, :, :t, :], lse
 
 
@@ -220,9 +229,9 @@ def _flash_fwd_impl(q, k, v, bias, seed, causal, dropout_p):
 # backward
 # ---------------------------------------------------------------------------
 
-def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
-                      lse_ref, dd_ref, dq_ref, *, scale, causal, block_k,
-                      seq_len, dropout_p):
+def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, seed_ref,
+                      do_ref, lse_ref, dd_ref, dq_ref, *, scale, causal,
+                      block_k, seq_len, dropout_p, use_segments):
     in_dtype = q_ref.dtype
     q = q_ref[0, 0]
     do = do_ref[0, 0]
@@ -242,6 +251,10 @@ def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
             preferred_element_type=jnp.float32,
         )
         s = s + bias_ref[0, 0, pl.ds(ki * block_k, block_k)][None, :]
+        if use_segments:
+            seg_q = seg_ref[0, 0, pl.ds(qi * bq, bq)]
+            seg_k = seg_ref[0, 0, pl.ds(ki * block_k, block_k)]
+            s = jnp.where(seg_q[:, None] != seg_k[None, :], NEG_INF, s)
         if causal:
             q_pos = qi * bq + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, block_k), 0
@@ -274,9 +287,9 @@ def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
     dq_ref[0, 0] = (scale * dq).astype(dq_ref.dtype)
 
 
-def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
-                       lse_ref, dd_ref, dk_ref, dv_ref, *, scale, causal,
-                       block_q, seq_len, dropout_p):
+def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, seed_ref,
+                       do_ref, lse_ref, dd_ref, dk_ref, dv_ref, *, scale,
+                       causal, block_q, seq_len, dropout_p, use_segments):
     in_dtype = q_ref.dtype
     k = k_ref[0, 0]
     v = v_ref[0, 0]
@@ -298,6 +311,10 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
             preferred_element_type=jnp.float32,
         )  # (BQ, BK)
         s = s + bias
+        if use_segments:
+            seg_q = seg_ref[0, 0, pl.ds(qi * block_q, block_q)]
+            seg_k = seg_ref[0, 0, pl.ds(ki * bk, bk)]
+            s = jnp.where(seg_q[:, None] != seg_k[None, :], NEG_INF, s)
         if causal:
             q_pos = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, bk), 0
@@ -337,7 +354,8 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd_impl(q, k, v, bias, seed, causal, dropout_p, out, lse, g):
+def _flash_bwd_impl(q, k, v, bias, seg, seed, causal, dropout_p,
+                    use_segments, out, lse, g):
     b, h, t, d = q.shape
     block_q, block_k, t_pad = _pad_sizes(t)
 
@@ -347,6 +365,7 @@ def _flash_bwd_impl(q, k, v, bias, seed, causal, dropout_p, out, lse, g):
     gp = _pad_to(g, t_pad, axis=2)
     op = _pad_to(out, t_pad, axis=2)
     biasp = _pad_to(bias, t_pad, axis=1, value=NEG_INF)[:, None, :]
+    segp = _pad_to(seg, t_pad, axis=1, value=-1)[:, None, :]
     lsep = _pad_to(lse, t_pad, axis=3, value=1.0)
     seed2d = seed.reshape(1, 1)
 
@@ -368,34 +387,38 @@ def _flash_bwd_impl(q, k, v, bias, seed, causal, dropout_p, out, lse, g):
         functools.partial(
             _fa_bwd_dq_kernel, scale=scale, causal=causal,
             block_k=block_k, seq_len=t_pad, dropout_p=dropout_p,
+            use_segments=use_segments,
         ),
         grid=(b, h, t_pad // block_q),
-        in_specs=[qspec, kfull, kfull, bspec, sspec, qspec, vec_q, vec_q],
+        in_specs=[qspec, kfull, kfull, bspec, bspec, sspec, qspec, vec_q,
+                  vec_q],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
-    )(qp, kp, vp, biasp, seed2d, gp, lsep, dd)
+    )(qp, kp, vp, biasp, segp, seed2d, gp, lsep, dd)
 
     kspec = pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, i: (bi, hi, i, 0))
     dk, dv = pl.pallas_call(
         functools.partial(
             _fa_bwd_dkv_kernel, scale=scale, causal=causal,
             block_q=block_q, seq_len=t_pad, dropout_p=dropout_p,
+            use_segments=use_segments,
         ),
         grid=(b, h, t_pad // block_k),
-        in_specs=[kfull, kspec, kspec, bspec, sspec, kfull, vec_full,
+        in_specs=[kfull, kspec, kspec, bspec, bspec, sspec, kfull, vec_full,
                   vec_full],
         out_specs=(kspec, kspec),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, t_pad, d), k.dtype),
             jax.ShapeDtypeStruct((b, h, t_pad, d), v.dtype),
         ),
-    )(qp, kp, vp, biasp, seed2d, gp, lsep, dd)
+    )(qp, kp, vp, biasp, segp, seed2d, gp, lsep, dd)
 
     return (
         dq[:, :, :t, :],
         dk[:, :, :t, :],
         dv[:, :, :t, :],
         jnp.zeros_like(bias),  # padding bias carries no useful gradient
+        jnp.zeros_like(seg),   # segment ids are not differentiable
         jnp.zeros_like(seed),  # seed is not differentiable
     )
 
@@ -404,20 +427,26 @@ def _flash_bwd_impl(q, k, v, bias, seed, causal, dropout_p, out, lse, g):
 # custom_vjp plumbing
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _flash(q, k, v, bias, seed, causal, dropout_p):
-    out, _ = _flash_fwd_impl(q, k, v, bias, seed, causal, dropout_p)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _flash(q, k, v, bias, seg, seed, causal, dropout_p, use_segments):
+    out, _ = _flash_fwd_impl(
+        q, k, v, bias, seg, seed, causal, dropout_p, use_segments
+    )
     return out
 
 
-def _flash_fwd(q, k, v, bias, seed, causal, dropout_p):
-    out, lse = _flash_fwd_impl(q, k, v, bias, seed, causal, dropout_p)
-    return out, (q, k, v, bias, seed, out, lse)
+def _flash_fwd(q, k, v, bias, seg, seed, causal, dropout_p, use_segments):
+    out, lse = _flash_fwd_impl(
+        q, k, v, bias, seg, seed, causal, dropout_p, use_segments
+    )
+    return out, (q, k, v, bias, seg, seed, out, lse)
 
 
-def _flash_bwd(causal, dropout_p, res, g):
-    q, k, v, bias, seed, out, lse = res
-    return _flash_bwd_impl(q, k, v, bias, seed, causal, dropout_p, out, lse, g)
+def _flash_bwd(causal, dropout_p, use_segments, res, g):
+    q, k, v, bias, seg, seed, out, lse = res
+    return _flash_bwd_impl(
+        q, k, v, bias, seg, seed, causal, dropout_p, use_segments, out, lse, g
+    )
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -432,12 +461,20 @@ def flash_attention(
     causal: bool = False,
     dropout_p: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,  # (B, T) int32; attention is
+    # restricted to equal ids (sequence-packing support)
 ) -> jax.Array:
     b, _, t, _ = q.shape
     if key_padding_mask is None:
         bias = jnp.zeros((b, t), jnp.float32)
     else:
         bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
+    if segment_ids is None:
+        seg = jnp.zeros((b, t), jnp.int32)
+        use_segments = False
+    else:
+        seg = segment_ids.astype(jnp.int32)
+        use_segments = True
     if dropout_p > 0.0:
         assert dropout_rng is not None, "attention dropout requires an rng"
         seed = jax.random.randint(
@@ -445,4 +482,5 @@ def flash_attention(
         )
     else:
         seed = jnp.zeros((1,), jnp.int32)
-    return _flash(q, k, v, bias, seed, causal, float(dropout_p))
+    return _flash(q, k, v, bias, seg, seed, causal, float(dropout_p),
+                  use_segments)
