@@ -20,6 +20,13 @@ import numpy as np  # noqa: E402
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=4,
+                    help="serve-batch size = 2 utterances x reps")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -66,7 +73,7 @@ def main():
     # sequence-packed into fixed-capacity rows with segment-masked flash
     # attention (block-diagonal) — identical outputs to the padded forward,
     # ~2x less padding waste (tests/test_packing.py proves parity).
-    reps = 4
+    reps = args.reps
     feat = np.tile(feat, (reps, 1, 1))
     pad_mask = np.tile(pad_mask, (reps, 1))
     all_lengths = lengths * reps

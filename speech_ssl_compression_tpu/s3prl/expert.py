@@ -30,9 +30,14 @@ def _to_numpy_wave(w):
 
 class UpstreamExpert:
     def __init__(self, ckpt: str, mode: str = "melhubert", fp: int = 20,
-                 mean_std_npy_path: str = None, model_config=None, **kwargs):
+                 mean_std_npy_path: str = None, model_config=None,
+                 packed: bool = False, **kwargs):
+        """packed=True serves batches with sequence packing (segment-masked
+        attention): identical outputs, ~2x throughput on mixed-length
+        batches."""
         self.mode = mode
         self.fp = fp
+        self.packed = packed
         self.extractor = MelHuBERTExtractor(
             ckpt, fp=fp, mean_std_npy_path=mean_std_npy_path
         )
@@ -43,7 +48,10 @@ class UpstreamExpert:
 
     def forward(self, wavs: Sequence, no_pred: bool = True, norm: bool = True):
         waves = [_to_numpy_wave(w) for w in wavs]
-        out = self.extractor.forward(waves)
+        if self.packed and len(waves) > 1:
+            out = self.extractor.forward_packed(waves)
+        else:
+            out = self.extractor.forward(waves)
         return {
             "hidden_states": out["hidden_states"],
             "last_hidden_state": out["last_hidden_state"],
