@@ -7,3 +7,7 @@ from .fbank import (
     normalize_fbank,
 )
 from .masking import compute_span_mask
+from .block_masking import compute_block_mask_1d
+from .attention import dense_attention, multi_head_self_attention
+from .activations import get_activation_fn
+from .packing import build_pack_arrays, plan_packing
