@@ -215,7 +215,19 @@ def wav2vec2_forward(
         y[:, :, None, :], neg_idx[..., None], axis=1
     )  # (B, T, N, D)
 
-    # cosine similarities (reference compute_preds, model.py:672-692)
+    pos_logit, neg_logit = contrastive_logits(
+        x_proj, y, negs, cfg.logit_temp
+    )
+    out["pos_logit"] = pos_logit
+    out["neg_logit"] = neg_logit
+    return out
+
+
+def contrastive_logits(x_proj, y, negs, logit_temp):
+    """Cosine similarities of predictions vs positive/negative targets
+    (reference compute_preds, model.py:672-692): negatives identical to the
+    positive get -inf. Returns (pos (B,T), neg (B,T,N))."""
+
     def cos(a, b):
         a = a.astype(jnp.float32)
         b = b.astype(jnp.float32)
@@ -223,17 +235,13 @@ def wav2vec2_forward(
         b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-8)
         return jnp.sum(a * b, axis=-1)
 
-    pos_logit = cos(x_proj, y) / cfg.logit_temp  # (B, T)
-    neg_logit = cos(x_proj[:, :, None, :], negs) / cfg.logit_temp  # (B, T, N)
-    # negatives identical to the positive get -inf (reference :688-691)
+    pos_logit = cos(x_proj, y) / logit_temp  # (B, T)
+    neg_logit = cos(x_proj[:, :, None, :], negs) / logit_temp  # (B, T, N)
     neg_is_pos = jnp.all(
         jnp.isclose(negs, y[:, :, None, :], atol=0.0), axis=-1
     )
     neg_logit = jnp.where(neg_is_pos, -jnp.inf, neg_logit)
-
-    out["pos_logit"] = pos_logit
-    out["neg_logit"] = neg_logit
-    return out
+    return pos_logit, neg_logit
 
 
 def wav2vec2_pretrain_loss(

@@ -50,6 +50,28 @@ def test_kd_loss_matches_torch():
     assert abs(float(total) - ref_total) < 1e-5, (float(total), ref_total)
     assert abs(float(logs["hard_loss"]) - float(hard)) < 1e-5
     assert abs(float(logs["soft_loss"]) - float(soft)) < 1e-5
+    t_ce = F.cross_entropy(t_sel, l_sel)
+    assert abs(float(logs["teacher_loss"]) - float(t_ce)) < 1e-5
+
+    # 'nomasked' branch selects the complement (reference :135-139)
+    sel_u = (~mask_idx) & (pad > 0)
+    s_u = torch.from_numpy(s_logits[sel_u])
+    t_u = torch.from_numpy(t_logits[sel_u])
+    l_u = torch.from_numpy(labels[sel_u])
+    hard_u = F.cross_entropy(s_u, l_u)
+    soft_u = torch.nn.KLDivLoss(reduction="batchmean")(
+        F.log_softmax(s_u / T_temp, dim=1), F.softmax(t_u / T_temp, dim=1)
+    )
+    ref_u = float(hard_u * (1 - alpha) + soft_u * alpha)
+    total_u, _ = distillation_loss(
+        {"logits": jnp.asarray(s_logits),
+         "mask_indices": jnp.asarray(mask_idx)},
+        {"logits": jnp.asarray(t_logits)},
+        jnp.asarray(labels, jnp.int32),
+        jnp.asarray(pad),
+        temperature=T_temp, alpha=alpha, loss_type="nomasked",
+    )
+    assert abs(float(total_u) - ref_u) < 1e-5, (float(total_u), ref_u)
 
 
 def test_hubert_nce_matches_torch():
@@ -66,7 +88,7 @@ def test_hubert_nce_matches_torch():
     target = rng.integers(0, n_cls, (b, t))
     select = rng.random((b, t)) < 0.6
     select[:, 0] = True
-    logit_temp = 0.1
+    logit_temp = 0.07  # non-default on purpose: pins config plumbing
 
     # torch reference-style computation on the gathered frames
     xg = torch.from_numpy(x[select])              # (S, d)
@@ -132,10 +154,24 @@ def test_wav2vec2_infonce_matches_torch():
         )
     )
 
+    # padding exclusion must be active: pad out the tail of row 1 and keep
+    # the torch reference restricted to non-padded selected frames
+    padding = np.zeros((b, t), bool)
+    padding[1, 5:] = True
+    sel_np = sel & ~padding
+    logits2 = np.concatenate([pos[..., None], neg], axis=-1)[sel_np]
+    ref2 = float(
+        F.cross_entropy(
+            torch.from_numpy(logits2),
+            torch.zeros(logits2.shape[0], dtype=torch.long),
+            reduction="sum",
+        )
+    )
+
     cfg = Wav2Vec2Config.from_dict({"encoder_layers": 1})
     out = {
         "mask_indices": jnp.asarray(sel),
-        "padding_mask": jnp.zeros((b, t), bool),
+        "padding_mask": jnp.asarray(padding),
         "pos_logit": jnp.asarray(pos),
         "neg_logit": jnp.asarray(neg),
         "features_pen": jnp.asarray(0.0),
@@ -143,5 +179,43 @@ def test_wav2vec2_infonce_matches_torch():
     loss, sample_size, logs = wav2vec2_pretrain_loss(
         out, cfg, loss_weights=(0.0, 0.0)
     )
-    assert int(sample_size) == int(sel.sum())
-    assert abs(float(loss) - ref) / abs(ref) < 1e-5, (float(loss), ref)
+    assert int(sample_size) == int(sel_np.sum())
+    assert abs(float(loss) - ref2) / abs(ref2) < 1e-5, (float(loss), ref2)
+
+
+def test_wav2vec2_contrastive_logits_match_torch():
+    """The actual logit path (reference compute_preds model.py:672-692):
+    cosine similarity / logit_temp with neg_is_pos -> -inf."""
+    from speech_ssl_compression_tpu.models.wav2vec2 import contrastive_logits
+
+    rng = np.random.default_rng(5)
+    b, t, n, d = 2, 6, 4, 16
+    x = rng.standard_normal((b, t, d)).astype(np.float32)
+    y = rng.standard_normal((b, t, d)).astype(np.float32)
+    negs = rng.standard_normal((b, t, n, d)).astype(np.float32)
+    negs[0, 2, 1] = y[0, 2]  # one negative equals its positive
+    logit_temp = 0.13
+
+    pos_j, neg_j = contrastive_logits(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(negs), logit_temp
+    )
+
+    xt = torch.from_numpy(x)
+    yt = torch.from_numpy(y)
+    nt = torch.from_numpy(negs)
+    pos_ref = torch.cosine_similarity(xt, yt, dim=-1) / logit_temp
+    neg_ref = torch.cosine_similarity(
+        xt.unsqueeze(2), nt, dim=-1
+    ) / logit_temp
+    neg_is_pos = (nt == yt.unsqueeze(2)).all(-1)
+    neg_ref[neg_is_pos] = float("-inf")
+
+    np.testing.assert_allclose(
+        np.asarray(pos_j), pos_ref.numpy(), rtol=1e-4, atol=1e-5
+    )
+    got = np.asarray(neg_j)
+    want = neg_ref.numpy()
+    np.testing.assert_array_equal(np.isinf(got), np.isinf(want))
+    finite = ~np.isinf(want)
+    np.testing.assert_allclose(got[finite], want[finite], rtol=1e-4,
+                               atol=1e-5)
