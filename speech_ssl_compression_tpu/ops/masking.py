@@ -77,6 +77,11 @@ def compute_span_mask(
     # Valid start positions: [0, sz - mask_length). Reference draws starts
     # from np.random.choice(sz - min_len) (data_utils.py:129). Guard tiny rows.
     n_starts = jnp.maximum(lengths - mask_length, 1)  # (B,)
+    # Short rows: never request more spans than valid start positions
+    # (top_k would otherwise pick -inf-scored invalid starts; the reference
+    # instead shrinks the span length, data_utils.py:126-127 — clamping the
+    # count keeps short rows partially unmasked, which is the intent).
+    num_mask = jnp.minimum(num_mask, n_starts)
 
     # Uniform sample w/o replacement via top-k of uniform scores over valid
     # positions; invalid positions get score -inf so they are never picked.

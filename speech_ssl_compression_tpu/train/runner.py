@@ -126,6 +126,14 @@ class Runner:
                 if "Pruning" in self._resumed_meta:
                     self.wp_state.load_meta(self._resumed_meta["Pruning"])
         elif self.mode in ("head-pruning", "row-pruning"):
+            if self.masks is not None:
+                # starting from a weight-pruned checkpoint: fold the masks
+                # permanently before structured pruning (scores must see the
+                # zeroed weights, and prune events change shapes the mask
+                # tree would no longer match)
+                print("[Runner] - Folding weight-pruning masks into params")
+                self.params = wp.fold_masks(self.params, self.masks)
+                self.masks = None
             pc = runner_config["prune"]
             self.total_prune_step = pc["total_steps"]
             self.prune_steps = set_prune_interval(
@@ -261,8 +269,14 @@ class Runner:
         self.cfg = MelHuBERTConfig.from_dict(student_dict)
 
         if init_w.endswith(".npz"):
-            state = load_checkpoint(init_w)
-            tparams = state["params"]
+            # load_any_checkpoint folds weight-pruning masks and infers
+            # pruned per-layer head/FFN dims from the stored shapes (a
+            # weight-pruned teacher must run at its true sparsity, a
+            # head-pruned teacher with its true head counts)
+            from ..extract import load_any_checkpoint
+
+            tparams, tcfg, _ = load_any_checkpoint(init_w)
+            self.teacher_cfg = tcfg
         else:
             tparams, _, tcfg, _ = load_reference_checkpoint(init_w)
             self.teacher_cfg = tcfg
@@ -393,15 +407,14 @@ class Runner:
                 f"{prefix}before-pruning-states-{global_step}-sparsity-{cur}.npz",
                 total_step=pbar_state["total"],
             )
-            self.params, self.masks, status = wp.prune_event(
+            self.params, self.masks, _ = wp.prune_event(
                 self.params, self.masks, self.wp_state
             )
-            if True:
-                print(
-                    f"[Weight Pruning] - iter {self.wp_state.pruning_times} "
-                    f"at step {global_step}, sparsity "
-                    f"{wp.sparsity_of(self.masks):.4f}"
-                )
+            print(
+                f"[Weight Pruning] - iter {self.wp_state.pruning_times} "
+                f"at step {global_step}, sparsity "
+                f"{wp.sparsity_of(self.masks):.4f}"
+            )
         elif self.mode == "head-pruning" and global_step in self.prune_steps:
             total_heads = sum(self.cfg.encoder_attention_heads)
             self.save(global_step, f"states_prune_{total_heads}.npz")
@@ -483,12 +496,7 @@ class Runner:
             (loss, contexts), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(probes)
-            per_layer = [
-                jnp.sum(jnp.abs(jnp.einsum("bhli,bhli->bhl", cg, c)),
-                        axis=(0, 2))
-                for cg, c in zip(grads, contexts)
-            ]
-            return loss, per_layer
+            return loss, hp.data_driven_scores_from_grads(contexts, grads)
 
         scores = [
             np.zeros((h,), np.float64) for h in cfg.encoder_attention_heads
@@ -596,7 +604,6 @@ class Runner:
                         loss, grads, logs = self.grad_step(
                             self.params, self.masks, jb, k
                         )
-                    loss_value = float(loss)
                 except Exception as e:  # noqa: BLE001
                     # OOM-recovery parity (reference runner.py:379-386):
                     # drop the batch and keep training
@@ -607,17 +614,20 @@ class Runner:
                     raise
                 grads_acc = accumulate_grads(grads_acc, grads)
                 sample_size = 1  # reference melhubert expert returns (loss, 1)
-                window_loss += loss_value
+                # keep loss on device: a float() here would block async
+                # dispatch on every micro-batch; fetch once per log window
+                # (and once per accumulation window in weight-pruning mode)
+                window_loss = window_loss + loss
                 window_count += sample_size
                 all_sample_size += sample_size
-                batch_loss += loss_value
+                batch_loss = batch_loss + loss
                 backward_steps += 1
                 if backward_steps % accum > 0:
                     continue
 
                 if self.mode == "weight-pruning":
                     self.wp_state.update_smooth_loss(
-                        batch_loss / all_sample_size
+                        float(batch_loss) / all_sample_size
                     )
                     self.wp_state.update_target_smooth_loss(
                         global_step, self.prune_steps
@@ -631,7 +641,7 @@ class Runner:
                 grads_acc = None
 
                 if global_step % log_step == 0 or pbar["n"] == pbar["total"] - 1:
-                    norm_loss = window_loss / max(window_count, 1)
+                    norm_loss = float(window_loss) / max(window_count, 1)
                     self._log_scalar(f"{prefix}loss", norm_loss, global_step)
                     self._log_scalar(
                         f"{prefix}gradient norm", float(grad_norm), global_step

@@ -74,3 +74,21 @@ def test_block_mask_1d():
         diff = np.diff(padded)
         runs = np.where(diff == -1)[0] - np.where(diff == 1)[0]
         assert all(r % 5 == 0 for r in runs), runs
+
+
+def test_short_rows_not_fully_masked():
+    """Regression: rows with sz <= mask_length+1 used to be 100% masked
+    (top_k picked -inf-scored invalid starts); the span count is now clamped
+    to the number of valid start positions."""
+    rng = jax.random.PRNGKey(0)
+    lengths = jnp.array([11, 12, 64], jnp.int32)
+    for seed in range(5):
+        m = np.asarray(
+            compute_span_mask(
+                jax.random.PRNGKey(seed), lengths, 64,
+                mask_prob=0.8, mask_length=10, min_masks=2,
+            )
+        )
+        # short rows keep at least one unmasked valid frame
+        assert m[0, :11].sum() < 11, m[0]
+        assert m[1, :12].sum() < 12, m[1]
