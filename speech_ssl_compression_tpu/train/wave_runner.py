@@ -389,24 +389,29 @@ class WaveRunner:
                     grads if grads_acc is None
                     else jax.tree.map(jnp.add, grads_acc, grads)
                 )
-                sample_total += float(sample_size)
-                window_loss += float(loss)
+                # device-side accumulation: no host sync per micro-batch
+                sample_total = sample_total + sample_size
+                window_loss = window_loss + loss
                 window_n += 1
                 backward += 1
                 if backward % accum:
                     continue
 
+                st_dev = jnp.maximum(
+                    jnp.asarray(sample_total, jnp.float32), 1.0
+                )
                 if self.wp_state is not None:
+                    # weight-pruning controller needs host floats (one sync
+                    # per accumulation window, not per micro-batch)
                     self.wp_state.update_smooth_loss(
-                        float(loss) / max(sample_total, 1.0)
+                        float(loss) / float(st_dev)
                     )
                     self.wp_state.update_target_smooth_loss(
                         step, self.prune_steps
                     )
 
                 self.params, self.opt_state, gnorm = self.apply_step(
-                    self.params, self.opt_state, grads_acc,
-                    jnp.asarray(max(sample_total, 1.0)),
+                    self.params, self.opt_state, grads_acc, st_dev
                 )
                 grads_acc = None
                 sample_total = 0.0
@@ -415,7 +420,7 @@ class WaveRunner:
                 if step % log_step == 0 or step == total_steps:
                     print(
                         f"[WaveRunner] step {step}/{total_steps} "
-                        f"loss={window_loss/max(window_n,1):.4f} "
+                        f"loss={float(window_loss)/max(window_n,1):.4f} "
                         f"gnorm={float(gnorm):.3f} "
                         f"({step/(time.time()-t0):.2f} steps/s)"
                     )
