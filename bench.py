@@ -28,6 +28,12 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent compile cache: first TPU compile over the tunnel takes
+    # minutes; repeat runs (e.g. the driver after a warm-up) hit the cache
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from speech_ssl_compression_tpu.configs import MelHuBERTConfig
