@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -123,4 +124,48 @@ def test_extract_loads_npz(tmp_path):
     np.testing.assert_allclose(
         np.asarray(params2["final_proj"]["kernel"]),
         np.asarray(params["final_proj"]["kernel"]),
+    )
+
+
+def test_reference_format_head_pruned_roundtrip(tmp_path):
+    """Export a head-pruned model as a reference-format torch ckpt and load
+    it back: per-layer head counts must be inferred from projection shapes
+    (the reference rebuilds nn.Linear modules from Pruned_heads instead,
+    extract_feature.py:116-137)."""
+    torch = pytest.importorskip("torch")
+
+    from speech_ssl_compression_tpu.compress.head_pruning import prune_heads
+    from speech_ssl_compression_tpu.utils.torch_convert import (
+        load_reference_checkpoint,
+    )
+
+    cfg = _cfg()
+    params = init_melhubert_params(jax.random.PRNGKey(5), cfg)
+    pruned, cfg2 = prune_heads(params, cfg, {0: [1, 3], 1: [0]})
+    assert cfg2.encoder_attention_heads == (2, 3)
+
+    sd_np = params_to_state_dict(jax.device_get(pruned))
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in sd_np.items()}
+    ckpt = {
+        "model": sd,
+        "Upstream_Config": {"melhubert": {
+            "feat_emb_dim": 16, "encoder_layers": 2,
+            "encoder_embed_dim": 32, "encoder_attention_heads": 4,
+            "head_dim": 8, "encoder_ffn_embed_dim": 64, "num_cluster": 10,
+            "conv_pos": 8, "conv_pos_groups": 2,
+        }},
+        "Pruned_heads": [{0: [1, 3], 1: [0]}],
+    }
+    path = str(tmp_path / "hp.ckpt")
+    torch.save(ckpt, path)
+
+    params2, masks, cfg3, extras = load_reference_checkpoint(path)
+    assert masks is None
+    assert cfg3.encoder_attention_heads == (2, 3)
+    assert extras["Pruned_heads"] == [{0: [1, 3], 1: [0]}]
+    np.testing.assert_allclose(
+        np.asarray(params2["encoder"]["layers"][0]["q_proj"]["kernel"]),
+        np.asarray(pruned["encoder"]["layers"][0]["q_proj"]["kernel"]),
+        rtol=1e-6,
     )
