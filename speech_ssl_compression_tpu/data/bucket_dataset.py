@@ -65,7 +65,6 @@ class MelFeatBuckets:
 
         x = table["file_path"].tolist()
         y = table["label_path"].tolist()
-        self.num_samples = len(x)
 
         self.buckets: List[tuple] = []
         bx, by = [], []
@@ -77,6 +76,8 @@ class MelFeatBuckets:
                 bx, by = [], []
         if len(bx) > 1:  # reference drops a trailing singleton (:59)
             self.buckets.append((bx, by))
+        # count only the samples actually served (after singleton drop)
+        self.num_samples = sum(len(b[0]) for b in self.buckets)
 
     def __len__(self):
         return len(self.buckets)
@@ -139,31 +140,57 @@ class MelFeatBuckets:
 
 
 class PrefetchIterator:
-    """Background-thread prefetch (double buffering) around any iterator."""
+    """Background-thread prefetch (double buffering) around any iterator.
+
+    Early consumer exit (break out of the epoch loop) must not leave the
+    worker blocked on a full queue: puts poll a stop event, and the iterator
+    stays in the exhausted state once finished."""
 
     def __init__(self, it: Iterator, depth: int = 2):
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+        self._exhausted = False
+
+        def _put(item) -> bool:
+            while not self._stop.is_set():
+                try:
+                    self.q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in it:
-                    self.q.put(item)
+                    if not _put(item):
+                        return
             except BaseException as e:  # propagate into consumer
                 self._err = e
             finally:
-                self.q.put(self._done)
+                _put(self._done)
 
         self.t = threading.Thread(target=worker, daemon=True)
         self.t.start()
+
+    def close(self):
+        self._stop.set()
+
+    def __del__(self):
+        self._stop.set()
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._exhausted:
+            raise StopIteration
         item = self.q.get()
         if item is self._done:
+            self._exhausted = True
+            self._stop.set()
             if self._err is not None:
                 raise self._err
             raise StopIteration

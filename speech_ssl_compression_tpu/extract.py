@@ -66,14 +66,9 @@ def load_any_checkpoint(path: str):
         if state["masks"] is not None:
             params = apply_masks(params, state["masks"])
         # architecture may have been pruned: infer static dims from shapes
-        heads = tuple(
-            int(l["q_proj"]["kernel"].shape[1]) // cfg.head_dim
-            for l in params["encoder"]["layers"]
-        )
-        ffns = tuple(
-            int(l["fc1"]["kernel"].shape[1])
-            for l in params["encoder"]["layers"]
-        )
+        from .utils.torch_convert import infer_pruned_dims
+
+        heads, ffns = infer_pruned_dims(params, cfg.head_dim)
         cfg = cfg.with_heads(heads).with_ffn_dims(ffns)
         return params, cfg, meta
     from .utils.torch_convert import load_reference_checkpoint

@@ -93,3 +93,60 @@ def conv_output_length(n_samples: int, conv_layers) -> int:
 
 def conv_downsample_rate(conv_layers) -> int:
     return int(np.prod([s for _, _, s in conv_layers]))
+
+
+def wave_frontend_forward(
+    params: dict,
+    cfg,
+    source,         # (B, T_wave)
+    wave_lengths,   # (B,)
+    *,
+    layer_norm_fn,
+    dropout_fn=None,        # called as dropout_fn(x, p) when given
+    dropout_features: bool = False,
+):
+    """Shared HuBERT/wav2vec2 waveform frontend (reference model.py:276-346):
+    conv features, GradMultiply, feature penalty, fp32-style LayerNorm,
+    conv-length padding arithmetic, post_extract_proj, input dropout.
+
+    Returns (x, unmasked_features, frame_valid, out_len, features_pen).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    features = conv_frontend_forward(
+        params["feature_extractor"], cfg.conv_feature_layers, source,
+        cfg.extractor_mode,
+    )  # (B, C, T')
+    if cfg.feature_grad_mult == 0:
+        features = jax.lax.stop_gradient(features)
+    elif cfg.feature_grad_mult != 1.0:
+        g = cfg.feature_grad_mult
+        # GradMultiply: identity forward, grad * g
+        features = jax.lax.stop_gradient(features) * (1 - g) + features * g
+
+    features_pen = jnp.mean(features.astype(jnp.float32) ** 2)
+
+    x = features.transpose(0, 2, 1)  # (B, T', C)
+    x = layer_norm_fn(x, params["layer_norm"])
+    unmasked_features = x
+
+    b, t_frames, _ = x.shape
+    out_len = wave_lengths
+    for _, k, s in cfg.conv_feature_layers:
+        out_len = (out_len - k) // s + 1
+    out_len = jnp.clip(out_len, 0, t_frames)
+    frame_valid = jnp.arange(t_frames)[None, :] < out_len[:, None]
+
+    if "post_extract_proj" in params:
+        p = params["post_extract_proj"]
+        x = x @ p["kernel"] + p["bias"]
+
+    if dropout_fn is not None:
+        x = dropout_fn(x, cfg.dropout_input)
+        if dropout_features:
+            unmasked_features = dropout_fn(
+                unmasked_features, cfg.dropout_features
+            )
+
+    return x, unmasked_features, frame_valid, out_len, features_pen

@@ -25,8 +25,8 @@ from ..configs import HuBERTConfig
 from ..ops.masking import compute_span_mask
 from .conv_frontend import (
     conv_downsample_rate,
-    conv_frontend_forward,
     init_conv_frontend,
+    wave_frontend_forward,
 )
 from .encoder import (
     _dropout,
@@ -112,38 +112,17 @@ def hubert_forward(
     if rng is not None:
         mask_rng, enc_rng, di_rng = jax.random.split(rng, 3)
 
-    features = conv_frontend_forward(
-        params["feature_extractor"], cfg.conv_feature_layers, source,
-        cfg.extractor_mode,
-    )  # (B, C, T')
-    if cfg.feature_grad_mult == 0:
-        features = jax.lax.stop_gradient(features)
-    elif cfg.feature_grad_mult != 1.0:
-        g = cfg.feature_grad_mult
-        features = (
-            jax.lax.stop_gradient(features) * (1 - g) + features * g
-        )  # GradMultiply: identity fwd, grad * g
-
-    features_pen = jnp.mean(features.astype(jnp.float32) ** 2)
-
-    x = features.transpose(0, 2, 1)  # (B, T', C)
-    x = layer_norm(x, params["layer_norm"])
-    unmasked_features = x
-
-    b, t_frames, _ = x.shape
-    # conv length arithmetic for the frame-level padding mask
-    out_len = wave_lengths
-    for _, k, s in cfg.conv_feature_layers:
-        out_len = (out_len - k) // s + 1
-    out_len = jnp.clip(out_len, 0, t_frames)
-    frame_valid = jnp.arange(t_frames)[None, :] < out_len[:, None]
-
-    if "post_extract_proj" in params:
-        p = params["post_extract_proj"]
-        x = x @ p["kernel"] + p["bias"]
-
-    if di_rng is not None:
-        x = _dropout(x, di_rng, cfg.dropout_input, deterministic)
+    dropout_fn = (
+        (lambda h, p: _dropout(h, di_rng, p, deterministic))
+        if di_rng is not None else None
+    )
+    x, unmasked_features, frame_valid, out_len, features_pen = (
+        wave_frontend_forward(
+            params, cfg, source, wave_lengths,
+            layer_norm_fn=layer_norm, dropout_fn=dropout_fn,
+        )
+    )
+    b, t_frames = x.shape[0], x.shape[1]
 
     mask_indices = jnp.zeros((b, t_frames), bool)
     if mask and cfg.mask_prob > 0:
@@ -157,6 +136,19 @@ def hubert_forward(
         x = jnp.where(
             mask_indices[:, :, None], params["mask_emb"][None, None, :], x
         )
+
+    if features_only:
+        # reference extract_features path (model.py:365-366,419-435)
+        return {
+            "x": x,
+            "features": x,
+            "padding_mask": ~frame_valid,
+            "mask_indices": mask_indices,
+            "features_pen": features_pen,
+            "layer_hiddens": [],
+            "frame_lengths": out_len,
+            "unmasked_features": unmasked_features,
+        }
 
     hidden, layer_hiddens, _ = encoder_forward(
         x, params["encoder"], cfg,
@@ -242,10 +234,15 @@ def hubert_pretrain_loss(
     pred_masked_weight: float = 1.0,
     pred_nomask_weight: float = 0.0,
     loss_weights: Sequence[float] = (10.0,),
+    target_valid=None,  # (B, T') bool: frames with an aligned label
 ):
     """HubertCriterion (criterion.py:81-161): sum-reduced NCE + extra losses
-    scaled by sample_size. Returns (loss, sample_size, logs)."""
+    scaled by sample_size. Returns (loss, sample_size, logs). Frames past
+    the label coverage (reference trims features, forward_targets
+    model.py:298-302) are excluded via ``target_valid``."""
     valid = ~out["padding_mask"]
+    if target_valid is not None:
+        valid = valid & target_valid
     loss = 0.0
     sample_size = 0
     logs = {}

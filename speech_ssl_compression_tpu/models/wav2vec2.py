@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..configs import Wav2Vec2Config
 from ..ops.masking import compute_span_mask
-from .conv_frontend import conv_frontend_forward, init_conv_frontend
+from .conv_frontend import init_conv_frontend, wave_frontend_forward
 from .encoder import (
     _dropout,
     _torch_linear_uniform,
@@ -109,7 +109,7 @@ def wav2vec2_forward(
     get_hidden: bool = False,
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
-    num_updates: int = 0,
+    gumbel_temp=None,  # float or traced scalar; None -> latent_temp[0]
     attn_impl: str = "auto",
 ) -> dict:
     mask_rng = enc_rng = di_rng = df_rng = vq_rng = neg_rng = None
@@ -118,38 +118,19 @@ def wav2vec2_forward(
             rng, 6
         )
 
-    features = conv_frontend_forward(
-        params["feature_extractor"], cfg.conv_feature_layers, source,
-        cfg.extractor_mode,
+    drop_keys = iter([di_rng, df_rng])
+    dropout_fn = (
+        (lambda h, p: _dropout(h, next(drop_keys), p, deterministic))
+        if di_rng is not None else None
     )
-    if cfg.feature_grad_mult == 0:
-        features = jax.lax.stop_gradient(features)
-    elif cfg.feature_grad_mult != 1.0:
-        g = cfg.feature_grad_mult
-        features = jax.lax.stop_gradient(features) * (1 - g) + features * g
-
-    features_pen = jnp.mean(features.astype(jnp.float32) ** 2)
-
-    x = features.transpose(0, 2, 1)
-    x = layer_norm(x, params["layer_norm"])
-    unmasked_features = x
-
-    b, t_frames, _ = x.shape
-    out_len = wave_lengths
-    for _, k, s in cfg.conv_feature_layers:
-        out_len = (out_len - k) // s + 1
-    out_len = jnp.clip(out_len, 0, t_frames)
-    frame_valid = jnp.arange(t_frames)[None, :] < out_len[:, None]
-
-    if "post_extract_proj" in params:
-        p = params["post_extract_proj"]
-        x = x @ p["kernel"] + p["bias"]
-
-    if di_rng is not None:
-        x = _dropout(x, di_rng, cfg.dropout_input, deterministic)
-        unmasked_features = _dropout(
-            unmasked_features, df_rng, cfg.dropout_features, deterministic
+    x, unmasked_features, frame_valid, out_len, features_pen = (
+        wave_frontend_forward(
+            params, cfg, source, wave_lengths,
+            layer_norm_fn=layer_norm, dropout_fn=dropout_fn,
+            dropout_features=True,
         )
+    )
+    b, t_frames = x.shape[0], x.shape[1]
 
     mask_indices = jnp.zeros((b, t_frames), bool)
     if mask and cfg.mask_prob > 0:
@@ -187,7 +168,12 @@ def wav2vec2_forward(
 
     # ---- targets -----------------------------------------------------
     if cfg.quantize_targets:
-        temp = anneal_temp(cfg.latent_temp, num_updates)
+        # the caller anneals the temperature host-side per step (reference
+        # set_num_updates, gumbel_vector_quantizer.py:95-99) and may pass a
+        # traced scalar — no recompile per step
+        temp = (
+            gumbel_temp if gumbel_temp is not None else cfg.latent_temp[0]
+        )
         q = gumbel_vq_forward(
             params["quantizer"], unmasked_features,
             num_vars=cfg.latent_vars, groups=cfg.latent_groups,
@@ -237,10 +223,11 @@ def contrastive_logits(x_proj, y, negs, logit_temp):
 
     pos_logit = cos(x_proj, y) / logit_temp  # (B, T)
     neg_logit = cos(x_proj[:, :, None, :], negs) / logit_temp  # (B, T, N)
-    neg_is_pos = jnp.all(
-        jnp.isclose(negs, y[:, :, None, :], atol=0.0), axis=-1
-    )
-    neg_logit = jnp.where(neg_is_pos, -jnp.inf, neg_logit)
+    # exact equality like the reference (:688); a finite -1e30 instead of
+    # -inf so an all-excluded row (every negative == positive) yields exact
+    # zero gradients instead of NaN through logsumexp
+    neg_is_pos = jnp.all(negs == y[:, :, None, :], axis=-1)
+    neg_logit = jnp.where(neg_is_pos, -1e30, neg_logit)
     return pos_logit, neg_logit
 
 
@@ -281,7 +268,8 @@ def wav2vec2_pretrain_loss(
 
 
 def crop_to_multiple(n_samples: int, multiple: int) -> int:
-    """reference crop_seq_to_multiple (model.py:757-762)."""
+    """reference crop_seq_to_multiple (model.py:757-762); applied by the
+    dataset's crop-target computation (static shapes)."""
     if multiple <= 1:
         return n_samples
     return n_samples - (n_samples % multiple)

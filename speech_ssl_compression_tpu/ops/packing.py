@@ -23,8 +23,8 @@ import numpy as np
 
 def plan_packing(lengths: Sequence[int], capacity: int) -> List[List[int]]:
     """First-fit-decreasing bin packing. Returns rows of utterance indices.
-    Utterances longer than capacity get their own row (they are truncated by
-    the caller's capacity choice — callers should pick capacity >= max len).
+    Capacity must be >= the longest utterance (build_pack_arrays enforces
+    this — packing never truncates).
     """
     order = np.argsort(np.asarray(lengths))[::-1]
     rows: List[List[int]] = []
@@ -60,6 +60,11 @@ def build_pack_arrays(
       unpack_idx   (B, src_time) int32 — flat indices into (R*capacity)
                    recovering each utterance's frames; padding slots -> 0.
     """
+    if max(int(l) for l in lengths) > capacity:
+        raise ValueError(
+            f"capacity {capacity} < longest utterance "
+            f"{max(int(l) for l in lengths)}: packing must not truncate"
+        )
     r = len(rows)
     gather = np.zeros((r, capacity), np.int64)
     seg = np.zeros((r, capacity), np.int64)

@@ -219,15 +219,9 @@ class Runner:
                 if meta_cfg:
                     self.cfg = MelHuBERTConfig.from_dict(meta_cfg)
                 self.pruned_heads = state["meta"].get("Pruned_heads", [])
-                # infer pruned shapes
-                heads = tuple(
-                    int(l["q_proj"]["kernel"].shape[1]) // self.cfg.head_dim
-                    for l in self.params["encoder"]["layers"]
-                )
-                ffns = tuple(
-                    int(l["fc1"]["kernel"].shape[1])
-                    for l in self.params["encoder"]["layers"]
-                )
+                from ..utils.torch_convert import infer_pruned_dims
+
+                heads, ffns = infer_pruned_dims(self.params, self.cfg.head_dim)
                 self.cfg = self.cfg.with_heads(heads).with_ffn_dims(ffns)
             else:
                 from ..utils.torch_convert import load_reference_checkpoint

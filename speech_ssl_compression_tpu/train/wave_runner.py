@@ -37,10 +37,13 @@ from ..data.task_config import HubertTaskConfig, Wav2vec2TaskConfig
 from ..data.wav2vec2_dataset import Wav2Vec2AudioDataset
 from ..models.conv_frontend import conv_output_length
 from ..models.hubert import (
+    align_targets_np,
+    feat2tar_ratio,
     hubert_forward,
     hubert_pretrain_loss,
     init_hubert_params,
 )
+from ..models.gumbel_vq import anneal_temp
 from ..models.wav2vec2 import (
     init_wav2vec2_params,
     wav2vec2_forward,
@@ -170,7 +173,7 @@ class WaveRunner:
         num_classes = getattr(self, "num_classes", None)
 
         @jax.jit
-        def grad_step(params, masks, batch, rng, num_updates):
+        def grad_step(params, masks, batch, rng, gumbel_temp):
             def loss_fn(params):
                 p = wp.apply_masks(params, masks)
                 p = cast_for_compute(p, compute_dtype)
@@ -182,7 +185,8 @@ class WaveRunner:
                         mask=True, rng=rng, deterministic=False,
                     )
                     loss, sample_size, logs = hubert_pretrain_loss(
-                        p, cfg, out, batch["target_list"], num_classes
+                        p, cfg, out, batch["target_list"], num_classes,
+                        target_valid=batch["target_valid"],
                     )
                 else:
                     out = wav2vec2_forward(
@@ -190,7 +194,7 @@ class WaveRunner:
                         batch["source"].astype(compute_dtype),
                         batch["length"],
                         mask=True, rng=rng, deterministic=False,
-                        num_updates=0,
+                        gumbel_temp=gumbel_temp,
                     )
                     loss, sample_size, logs = wav2vec2_pretrain_loss(out, cfg)
                 return loss / accum, (sample_size, logs)
@@ -261,17 +265,27 @@ class WaveRunner:
             t_frames = conv_output_length(
                 batch["source"].shape[1], self.cfg.conv_feature_layers
             )
+            ratio = feat2tar_ratio(self.cfg, self.task_cfg.sample_rate)
             target_list = []
+            target_valid = np.zeros(
+                (batch["source"].shape[0], t_frames), bool
+            )
             for frm_labels in batch["target_lists"]:
                 arr = np.zeros((len(frm_labels), t_frames), np.int32)
                 for bi, labs in enumerate(frm_labels):
-                    # raw cluster ids -> dictionary indices (4 specials
-                    # precede the symbols; reference LabelEncoder encodes
-                    # "5" -> dict index 4+5 for in-order cluster dicts)
-                    n = min(len(labs), t_frames)
-                    arr[bi, :n] = labs[:n] + 4
+                    # align label-rate frames to conv frames (reference
+                    # forward_targets, model.py:292-305) and map raw cluster
+                    # ids -> dictionary indices (4 specials precede the
+                    # symbols; reference LabelEncoder encodes "5" -> 4+5)
+                    aligned, keep = align_targets_np(
+                        np.asarray(labs), t_frames, ratio
+                    )
+                    keep = min(keep, t_frames)
+                    arr[bi, :keep] = aligned[:keep] + 4
+                    target_valid[bi, :keep] = True
                 target_list.append(put(arr))
             out["target_list"] = target_list
+            out["target_valid"] = put(target_valid)
         return out
 
     # ------------------------------------------------------------------
@@ -382,8 +396,16 @@ class WaveRunner:
 
                 self.rng, k = jax.random.split(self.rng)
                 jb = self._collate_device_batch(batch)
+                # anneal the Gumbel temperature host-side (reference
+                # set_num_updates); traced scalar -> no recompile per step
+                gumbel_temp = jnp.asarray(
+                    anneal_temp(getattr(self.cfg, "latent_temp", (1, 1, 1)),
+                                step)
+                    if self.upstream == "wav2vec2" else 1.0,
+                    jnp.float32,
+                )
                 loss, sample_size, grads, logs = self.grad_step(
-                    self.params, self.masks, jb, k, step
+                    self.params, self.masks, jb, k, gumbel_temp
                 )
                 grads_acc = (
                     grads if grads_acc is None

@@ -228,3 +228,19 @@ def params_to_state_dict(params: dict, masks: Optional[dict] = None) -> dict:
         put_linear(f"{pre}.fc2", lp["fc2"], lm.get("fc2"))
         put_ln(f"{pre}.final_layer_norm", lp["final_layer_norm"])
     return sd
+
+
+def infer_pruned_dims(params: dict, head_dim: int):
+    """Per-layer (heads, ffn) static dims from param shapes — the inverse of
+    structured pruning, used by every checkpoint consumer (the reference
+    rebuilds nn.Linear modules from Pruned_heads metadata instead,
+    extract_feature.py:116-137)."""
+    heads = tuple(
+        int(l["q_proj"]["kernel"].shape[1]) // head_dim
+        for l in params["encoder"]["layers"]
+    )
+    ffns = tuple(
+        int(l["fc1"]["kernel"].shape[1])
+        for l in params["encoder"]["layers"]
+    )
+    return heads, ffns

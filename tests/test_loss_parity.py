@@ -215,7 +215,9 @@ def test_wav2vec2_contrastive_logits_match_torch():
     )
     got = np.asarray(neg_j)
     want = neg_ref.numpy()
-    np.testing.assert_array_equal(np.isinf(got), np.isinf(want))
-    finite = ~np.isinf(want)
-    np.testing.assert_allclose(got[finite], want[finite], rtol=1e-4,
+    # neg_is_pos entries: torch uses -inf; we use a finite -1e30 so an
+    # all-excluded frame yields zero (not NaN) gradients — equivalent in f32
+    excluded = np.isinf(want)
+    assert (got[excluded] <= -1e29).all()
+    np.testing.assert_allclose(got[~excluded], want[~excluded], rtol=1e-4,
                                atol=1e-5)

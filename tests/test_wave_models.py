@@ -175,7 +175,7 @@ def test_wav2vec2_forward_and_loss():
 
     out = wav2vec2_forward(
         params, cfg, source, lengths, mask=True,
-        rng=jax.random.PRNGKey(3), deterministic=False, num_updates=0,
+        rng=jax.random.PRNGKey(3), deterministic=False, gumbel_temp=2.0,
         attn_impl="dense",
     )
     assert "prob_perplexity" in out
