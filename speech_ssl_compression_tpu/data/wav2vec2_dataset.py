@@ -46,6 +46,7 @@ class Wav2Vec2AudioDataset:
         pad: bool = False,
         normalize: bool = False,
         num_buckets: int = 8,
+        crop_seq_to_multiple: int = 1,
         seed: int = 0,
     ):
         self.sample_rate = sample_rate
@@ -54,6 +55,7 @@ class Wav2Vec2AudioDataset:
         )
         self.pad = pad
         self.normalize = normalize
+        self.crop_seq_to_multiple = max(int(crop_seq_to_multiple), 1)
         self.rng = np.random.default_rng(seed)
 
         self.names, self.sizes = [], []
@@ -112,10 +114,14 @@ class Wav2Vec2AudioDataset:
             target = min(
                 max(len(w) for w in wavs), int(self.max_sample_size)
             )
+            target = int(max(self.padded_sizes[idxs].max(), target))
         else:
             target = min(min(len(w) for w in wavs), int(self.max_sample_size))
-        target = int(max(self.padded_sizes[idxs].max(), target)) if self.pad \
-            else target
+        # reference crop_seq_to_multiple (model.py:757-762), applied at the
+        # static-shape boundary
+        from ..models.wav2vec2 import crop_to_multiple
+
+        target = max(crop_to_multiple(target, self.crop_seq_to_multiple), 1)
 
         b = len(idxs)
         source = np.zeros((b, target), np.float32)

@@ -242,6 +242,9 @@ class WaveRunner:
             pad=task.labels is not None or task.enable_padding,
             normalize=task.normalize,
             num_buckets=task.num_batch_buckets,
+            crop_seq_to_multiple=getattr(
+                self.cfg, "crop_seq_to_multiple", 1
+            ),
             seed=getattr(self.args, "seed", 1337),
         )
 
