@@ -54,17 +54,13 @@ def distillation_loss(
         select = valid & ~mask_indices
     else:
         raise NotImplementedError(loss_type)
-    select = select & (labels != -100)
+    # (-100 labels are additionally excluded inside masked_cross_entropy)
+    t_logits = jax.lax.stop_gradient(teacher_out["logits"])
 
     hard_loss, _ = masked_cross_entropy(student_out["logits"], labels, select)
-    teacher_loss, _ = masked_cross_entropy(
-        jax.lax.stop_gradient(teacher_out["logits"]), labels, select
-    )
+    teacher_loss, _ = masked_cross_entropy(t_logits, labels, select)
     soft_loss = kd_soft_loss(
-        student_out["logits"],
-        jax.lax.stop_gradient(teacher_out["logits"]),
-        select,
-        temperature,
+        student_out["logits"], t_logits, select, temperature
     )
     total = hard_loss * (1.0 - alpha) + soft_loss * alpha
     logs = {

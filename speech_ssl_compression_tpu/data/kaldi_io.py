@@ -55,6 +55,7 @@ def parse_feat_matrix(f: BinaryIO) -> np.ndarray:
     if token == b"CM ":
         return _parse_compressed_1(f)
     if token == b"CM2":
+        _expect(f, b" ")  # Kaldi tokens are space-terminated: 'CM2 '
         return _parse_compressed_2(f)
     raise ValueError(f"unsupported kaldi matrix token {token!r}")
 

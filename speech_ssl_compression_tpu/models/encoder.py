@@ -277,9 +277,14 @@ def encoder_layers_forward(
     layer_hiddens = []
     contexts = []
     for i, lp in enumerate(params["layers"]):
-        lr = None
+        lr = gate_rng = None
         if rng is not None:
+            # split the gate key BEFORE binding the layer key: the layer's
+            # internal split(lr, 4)[0] would otherwise alias a later
+            # split(lr, 2)[0] (JAX splits share prefixes)
             rng, lr = jax.random.split(rng)
+            if cfg.encoder_layerdrop > 0.0:
+                gate_rng, lr = jax.random.split(lr)
 
         def run_layer(h, lp=lp, i=i, lr=lr):
             return encoder_layer_forward(
@@ -303,9 +308,9 @@ def encoder_layers_forward(
         if remat:
             run_layer = jax.checkpoint(run_layer)
 
-        if (not deterministic) and cfg.encoder_layerdrop > 0.0 and lr is not None:
+        if (not deterministic) and cfg.encoder_layerdrop > 0.0 \
+                and gate_rng is not None:
             # LayerDrop (reference module.py:242-250): skip the whole layer.
-            gate_rng, lr = jax.random.split(lr)
             keep = jax.random.bernoulli(
                 gate_rng, 1.0 - cfg.encoder_layerdrop
             )
@@ -315,6 +320,10 @@ def encoder_layers_forward(
             x, context = run_layer(x)
 
         if get_hidden:
+            # NOTE: under training-time LayerDrop a dropped layer contributes
+            # its unchanged input here (static list length under jit); the
+            # reference appends only kept layers (variable-length list,
+            # module.py:251-252). Inference (deterministic) is identical.
             layer_hiddens.append(x)
         if head_probes is not None:
             contexts.append(context)

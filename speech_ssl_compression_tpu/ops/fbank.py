@@ -148,6 +148,9 @@ def kaldi_fbank(
     """
     window_size, window_shift, padded = 400, 160, 512
     n_valid = jnp.maximum(0, 1 + (num_samples - window_size) // window_shift)
+    # capacity contract: violating max_frames must not mark clamped-gather
+    # garbage rows as valid
+    n_valid = jnp.minimum(n_valid, max_frames)
 
     idx = (
         jnp.arange(max_frames)[:, None] * window_shift

@@ -17,7 +17,6 @@ runner.py:307-311); params/optimizer state stay fp32.
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -36,17 +35,11 @@ def make_optimizer(lr=1e-4, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0,
     if gradient_clipping and gradient_clipping > 0:
         tx.append(optax.clip_by_global_norm(gradient_clipping))
     if weight_decay and weight_decay > 0:
-        tx.append(optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
-                              weight_decay=weight_decay))
-    else:
-        tx.append(optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps))
+        # torch.optim.Adam couples L2 into the gradient BEFORE the moment
+        # estimates (not AdamW's decoupled decay)
+        tx.append(optax.add_decayed_weights(weight_decay))
+    tx.append(optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps))
     return optax.chain(*tx)
-
-
-class TrainState(NamedTuple):
-    params: Any
-    opt_state: Any
-    step: jax.Array
 
 
 def cast_for_compute(tree, dtype):
@@ -60,7 +53,7 @@ def make_melhubert_grad_step(cfg, *, accum_steps: int = 1,
                              compute_dtype=jnp.float32,
                              attn_impl: str = "auto", remat: bool = False):
     """Returns jitted fn: (params, masks, batch, rng) ->
-    (loss, sample_size, grads, logs). masks=None for no weight pruning."""
+    (loss, grads, logs). masks=None for no weight pruning."""
 
     @functools.partial(jax.jit, donate_argnums=())
     def grad_step(params, masks, batch, rng):
@@ -148,7 +141,3 @@ def accumulate_grads(acc, grads):
     if acc is None:
         return grads
     return jax.tree.map(jnp.add, acc, grads)
-
-
-def zeros_like_grads(params):
-    return jax.tree.map(jnp.zeros_like, params)

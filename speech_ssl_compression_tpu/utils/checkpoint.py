@@ -86,12 +86,19 @@ def save_checkpoint(
     if rng_key is not None:
         flat["rng_key"] = np.asarray(jax.random.key_data(rng_key))
 
+    # embed the metadata IN the npz so a checkpoint is a single atomic file;
+    # the .json sidecar is a human-readable convenience copy
+    meta_bytes = json.dumps(meta or {}, default=str).encode()
+    flat["meta_json"] = np.frombuffer(meta_bytes, dtype=np.uint8)
+
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp.npz"
     np.savez(tmp, **flat)
     os.replace(tmp, path)
-    with open(path + ".json", "w") as f:
+    json_tmp = path + ".json.tmp"
+    with open(json_tmp, "w") as f:
         json.dump(meta or {}, f, indent=2, default=str)
+    os.replace(json_tmp, path + ".json")
 
 
 def load_checkpoint(path: str) -> dict:
@@ -102,6 +109,7 @@ def load_checkpoint(path: str) -> dict:
     data = np.load(path, allow_pickle=False)
     params_flat, masks_flat, opt_leaves = {}, {}, []
     rng_key = None
+    meta = None
     opt_idx = []
     for k in data.files:
         if k.startswith("params/"):
@@ -112,13 +120,17 @@ def load_checkpoint(path: str) -> dict:
             opt_idx.append(int(k[len("opt/"):]))
         elif k == "rng_key":
             rng_key = jax.random.wrap_key_data(data[k])
+        elif k == "meta_json":
+            # authoritative copy (atomic with the params)
+            meta = json.loads(data[k].tobytes().decode())
     for i in sorted(opt_idx):
         opt_leaves.append(data[f"opt/{i}"])
 
-    meta = {}
-    if os.path.exists(path + ".json"):
-        with open(path + ".json") as f:
-            meta = json.load(f)
+    if meta is None:
+        meta = {}
+        if os.path.exists(path + ".json"):
+            with open(path + ".json") as f:
+                meta = json.load(f)
 
     return {
         "params": _unflatten(params_flat) if params_flat else None,

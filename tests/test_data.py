@@ -33,7 +33,7 @@ def test_kaldi_cm2_roundtrip():
     import struct
 
     buf = io.BytesIO()
-    buf.write(b"\x00B" + b"CM2")
+    buf.write(b"\x00B" + b"CM2 ")
     mn, rg = float(mat.min()), float(mat.max() - mat.min())
     buf.write(struct.pack("<ffii", mn, rg, *mat.shape))
     codes = np.clip(
