@@ -81,6 +81,12 @@ class FairseqDumpBuckets:
                 cur = []
         if len(cur) > 1:
             self.buckets.append(cur)
+        elif cur:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "dropping a trailing single-utterance bucket"
+            )
 
     def __len__(self):
         return len(self.buckets)
@@ -95,13 +101,16 @@ class FairseqDumpBuckets:
     def _load_label(self, y, feat_len):
         label = np.asarray(y)
         if self.frame_period == 20 and feat_len != label.shape[0]:
-            if not self.multitask:
-                return label[::2].astype(np.int32)
             l1 = label[::2]
+            if not self.multitask:
+                return l1.astype(np.int32)
             l2 = label[1::2]
             if len(l2) != len(l1):
                 l2 = np.append(l2, l1[-1])
             return l1.astype(np.int32), l2.astype(np.int32)
+        if self.multitask:
+            # labels already at the feature rate: both tasks see them
+            return label.astype(np.int32), label.astype(np.int32)
         return label.astype(np.int32)
 
     def get_batch(self, index: int) -> dict:

@@ -28,9 +28,11 @@ def load_manifest(manifest_path: str, max_keep: Optional[int],
                   min_keep: Optional[int]):
     names, inds, sizes = [], [], []
     n_long, n_short = 0, 0
+    tot = 0
     with open(manifest_path) as f:
         root = f.readline().strip()
         for ind, line in enumerate(f):
+            tot = ind + 1
             items = line.strip().split("\t")
             assert len(items) == 2, line
             sz = int(items[1])
@@ -46,7 +48,7 @@ def load_manifest(manifest_path: str, max_keep: Optional[int],
         f"manifest {manifest_path}: kept {len(names)}, "
         f"skipped {n_short} short / {n_long} long"
     )
-    return root, names, inds, sizes
+    return root, names, inds, sizes, tot
 
 
 def load_label_offsets(label_path: str, inds: Sequence[int], tot: int):
@@ -100,7 +102,7 @@ class HubertWaveDataset:
         pad_multiple: int = 2000,
         seed: int = 0,
     ):
-        self.root, self.names, inds, self.sizes = load_manifest(
+        self.root, self.names, inds, self.sizes, tot = load_manifest(
             manifest_path, max_keep_sample_size, min_keep_sample_size
         )
         self.sample_rate = sample_rate
@@ -116,7 +118,6 @@ class HubertWaveDataset:
         self.pad_multiple = pad_multiple
         self.rng = np.random.default_rng(seed)
 
-        tot = max(inds) + 1 if inds else 0
         self.label_offsets = [
             load_label_offsets(p, inds, tot) for p in label_paths
         ]
@@ -129,6 +130,7 @@ class HubertWaveDataset:
             for i in range(0, len(order), batch_size)
         ]
         if self.buckets and len(self.buckets[-1]) < 2:
+            logger.info("dropping a trailing single-utterance bucket")
             self.buckets.pop()
 
     def __len__(self):
@@ -158,12 +160,12 @@ class HubertWaveDataset:
         wavs = [self._get_audio(i) for i in idxs]
         labels = [self._get_labels(i) for i in idxs]
 
-        if self.pad_audio:
-            target = min(max(len(w) for w in wavs), int(self.max_sample_size))
-        else:
-            target = min(
-                min(len(w) for w in wavs), int(self.max_sample_size)
-            )
+        target = (
+            max(len(w) for w in wavs) if self.pad_audio
+            else min(len(w) for w in wavs)
+        )
+        if np.isfinite(self.max_sample_size):
+            target = min(target, int(self.max_sample_size))
 
         starts = []
         cropped = []

@@ -44,14 +44,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    if ndim == 0:
+        return NamedSharding(mesh, P())
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    return {
-        k: jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
-        for k, v in batch.items()
-    }
+    """Shard batch-dim arrays over the data axis; scalars and arrays whose
+    leading dim does not divide it are replicated."""
+    dp = mesh.shape.get("data", 1)
+    out = {}
+    for k, v in batch.items():
+        ndim = np.ndim(v)
+        if ndim >= 1 and np.shape(v)[0] % dp == 0:
+            out[k] = jax.device_put(v, batch_sharding(mesh, ndim))
+        else:
+            out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+    return out
 
 
 def _mha_spec(leaf_path: str, ndim: int):

@@ -32,8 +32,11 @@ def initialize(coordinator_address: Optional[str] = None,
             process_id=process_id,
         )
     except (ValueError, RuntimeError) as e:
-        # single-process environments raise; that is fine
-        if num_processes not in (None, 1):
+        # only auto-detection in a genuinely single-process environment may
+        # fall back silently; an explicit multi-host request must fail loudly
+        # (a swallowed failure would run N independent jobs that all think
+        # they are primary)
+        if coordinator_address is not None or num_processes not in (None, 1):
             raise
         print(f"[multihost] single-process mode ({e})")
 

@@ -22,14 +22,13 @@ def _default_mean_std(hours: int) -> str:
 
 
 def _make(mode, fp, hours):
-    def factory(ckpt, *args, mean_std_npy_path=None, **kwargs):
+    def factory(ckpt, *, mean_std_npy_path=None, **kwargs):
         assert os.path.isfile(ckpt)
         return _UpstreamExpert(
             ckpt,
             mode=mode,
             fp=fp,
             mean_std_npy_path=mean_std_npy_path or _default_mean_std(hours),
-            *args,
             **kwargs,
         )
 

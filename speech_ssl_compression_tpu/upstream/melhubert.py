@@ -34,12 +34,37 @@ class MelHuBERTPretrainExpert:
         self.rng = jax.random.PRNGKey(0)
 
         if initial_weight:
-            from ..extract import load_any_checkpoint
+            # keep the weight-pruning mask tree (training must continue at
+            # the checkpoint's sparsity — folding without masks would let
+            # gradient updates regrow the zeroed weights)
+            if initial_weight.endswith(".npz"):
+                from ..utils.checkpoint import load_checkpoint
+                from ..utils.torch_convert import infer_pruned_dims
 
-            params, cfg, extras = load_any_checkpoint(initial_weight)
-            self.params = jax.tree.map(jnp.asarray, params)
-            self.cfg = cfg
-            self.pruned_heads = extras.get("Pruned_heads")
+                state = load_checkpoint(initial_weight)
+                self.params = jax.tree.map(jnp.asarray, state["params"])
+                if state["masks"] is not None:
+                    self.masks = jax.tree.map(jnp.asarray, state["masks"])
+                meta_cfg = (
+                    state["meta"].get("Upstream_Config", {}).get("melhubert")
+                )
+                if meta_cfg:
+                    self.cfg = MelHuBERTConfig.from_dict(meta_cfg)
+                heads, ffns = infer_pruned_dims(self.params, self.cfg.head_dim)
+                self.cfg = self.cfg.with_heads(heads).with_ffn_dims(ffns)
+                self.pruned_heads = state["meta"].get("Pruned_heads")
+            else:
+                from ..utils.torch_convert import load_reference_checkpoint
+
+                params, masks, cfg, extras = load_reference_checkpoint(
+                    initial_weight
+                )
+                self.params = jax.tree.map(jnp.asarray, params)
+                self.masks = (
+                    jax.tree.map(jnp.asarray, masks) if masks else None
+                )
+                self.cfg = cfg
+                self.pruned_heads = extras.get("Pruned_heads")
             print(f"[Pretrainer] Loaded initialization weight from "
                   f"{initial_weight}")
         else:

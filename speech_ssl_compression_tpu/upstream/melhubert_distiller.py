@@ -29,9 +29,8 @@ class MelHuBERTDistillerExpert:
             upstream_config.get("student") or upstream_config["melhubert"]
         )
         self.student_cfg = MelHuBERTConfig.from_dict(student_dict)
-        self.teacher_cfg = MelHuBERTConfig.from_dict(
-            dict(upstream_config["teacher"])
-        )
+        # the teacher arch comes from the -i checkpoint; a "teacher" config
+        # section is optional
 
         from ..extract import load_any_checkpoint
 

@@ -108,3 +108,32 @@ def test_distiller_accepts_legacy_melhubert_key(tmp_path):
     exp = MelHuBERTDistillerExpert(up, teacher)
     loss, _ = exp.forward(_data())
     assert np.isfinite(float(loss))
+
+
+def test_expert_keeps_weight_pruning_masks(tmp_path):
+    """Resuming from a weight-pruned npz must keep the mask tree so training
+    cannot regrow zeroed weights."""
+    import jax
+
+    from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+    from speech_ssl_compression_tpu.compress.weight_pruning import (
+        global_magnitude_prune,
+        sparsity_of,
+    )
+    from speech_ssl_compression_tpu.models import init_melhubert_params
+    from speech_ssl_compression_tpu.upstream import MelHuBERTPretrainExpert
+    from speech_ssl_compression_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = MelHuBERTConfig.from_dict(TINY)
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    masks = global_magnitude_prune(params, 0.5)
+    ckpt = str(tmp_path / "wp.npz")
+    save_checkpoint(ckpt, params, masks=masks,
+                    meta={"Upstream_Config": {"melhubert": TINY},
+                          "Pruning": {"pruning_times": 1}})
+
+    exp = MelHuBERTPretrainExpert({"melhubert": TINY}, initial_weight=ckpt)
+    assert exp.masks is not None
+    assert abs(sparsity_of(exp.masks) - 0.5) < 1e-6
+    loss, _ = exp.forward(_data())
+    assert np.isfinite(float(loss))
