@@ -165,6 +165,12 @@ def _pad_to(x, target, axis, value=0.0):
 
 
 def _pad_sizes(t):
+    # short sequences: one whole-sequence tile beats 256x256 tiling by ~10%
+    # (grid/loop overhead dominates); the scores tile must still fit VMEM
+    # (1024^2 * 4B = 4 MB), so tile longer sequences.
+    if t <= 1024:
+        t_pad = max(-(-t // 128) * 128, 128)
+        return t_pad, t_pad, t_pad
     block_q = min(_BLOCK_Q, t)
     block_k = min(_BLOCK_K, t)
     t_pad = -(-t // max(block_q, block_k)) * max(block_q, block_k)
