@@ -164,11 +164,15 @@ def _pad_to(x, target, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _pad_sizes(t):
-    # short sequences: one whole-sequence tile beats 256x256 tiling by ~10%
-    # (grid/loop overhead dominates); the scores tile must still fit VMEM
-    # (1024^2 * 4B = 4 MB), so tile longer sequences.
-    if t <= 1024:
+def _pad_sizes(t, backward=False):
+    # Short sequences: one whole-sequence tile beats 256x256 tiling (grid /
+    # loop overhead and repeated K/V reloads dominate; +22-40% measured).
+    # The scores tile must fit VMEM: the forward holds one f32 scores array
+    # (fits to T=1536, 9.4 MB); the backward holds several score-sized
+    # temporaries (p/pd/dpd/ds) and fails Mosaic compile above T=1024.
+    # Forward whole-tile validated on hardware to T=1664 (11 MB scores).
+    whole_tile_limit = 1024 if backward else 1664
+    if t <= whole_tile_limit:
         t_pad = max(-(-t // 128) * 128, 128)
         return t_pad, t_pad, t_pad
     block_q = min(_BLOCK_Q, t)
@@ -180,7 +184,9 @@ def _pad_sizes(t):
 def _flash_fwd_impl(q, k, v, bias, seg, seed, causal, dropout_p,
                     use_segments):
     b, h, t, d = q.shape
-    block_q, block_k, t_pad = _pad_sizes(t)
+    # with dropout the backward regenerates the per-tile PRNG masks, so the
+    # forward must use the SAME tile grid as the backward
+    block_q, block_k, t_pad = _pad_sizes(t, backward=dropout_p > 0)
 
     qp = _pad_to(q, t_pad, axis=2)
     kp = _pad_to(k, t_pad, axis=2)
@@ -363,7 +369,7 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, seed_ref,
 def _flash_bwd_impl(q, k, v, bias, seg, seed, causal, dropout_p,
                     use_segments, out, lse, g):
     b, h, t, d = q.shape
-    block_q, block_k, t_pad = _pad_sizes(t)
+    block_q, block_k, t_pad = _pad_sizes(t, backward=True)
 
     qp = _pad_to(q, t_pad, axis=2)
     kp = _pad_to(k, t_pad, axis=2)
