@@ -34,7 +34,14 @@ def make_mesh(
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    assert n % model_parallel == 0, (n, model_parallel)
+    if model_parallel < 1 or n % model_parallel != 0:
+        raise ValueError(
+            f"make_mesh: {n} device(s) available but model_parallel="
+            f"{model_parallel} must evenly divide them. Either lower "
+            "model_parallel (tp=1 always works) or expose more devices "
+            "(e.g. XLA_FLAGS=--xla_force_host_platform_device_count=N with "
+            "the CPU platform for virtual-mesh testing)."
+        )
     arr = np.array(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, ("data", "model"))
 

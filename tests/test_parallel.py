@@ -101,3 +101,34 @@ def test_batch_sharding_spec():
     xs = jax.device_put(x, batch_sharding(mesh, 3))
     # batch axis split over the 4-way data axis
     assert xs.sharding.shard_shape(x.shape)[0] == 2
+
+
+def test_make_mesh_rejects_indivisible_tp():
+    with pytest.raises(ValueError, match="model_parallel"):
+        make_mesh(8, model_parallel=3)
+    with pytest.raises(ValueError, match="model_parallel"):
+        make_mesh(1, model_parallel=2)  # the exact MULTICHIP_r01 failure shape
+
+
+def test_dryrun_multichip_fresh_process():
+    """Reproduce the driver's invocation exactly: a fresh python process that
+    imports __graft_entry__ and calls dryrun_multichip(8) directly, with NO
+    platform-forcing env vars — the function must force the virtual CPU mesh
+    itself (MULTICHIP_r01 regression)."""
+    import pathlib
+    import subprocess
+    import sys
+    import os
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun ok" in proc.stdout, proc.stdout
