@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import multi_head_self_attention as ATTENTION
 from ..ops.activations import get_activation_fn
+from ..ops.grouped_conv import grouped_conv1d
 
 LN_EPS = 1e-5
 
@@ -141,13 +142,11 @@ def pos_conv_embed(x, p, groups: int, kernel_size: int):
     w = p["weight_g"] * v / jnp.maximum(norm, 1e-12)  # (D, D//g, K)
 
     lhs = x.transpose(0, 2, 1)  # (B, D, T)
-    out = jax.lax.conv_general_dilated(
-        lhs.astype(w.dtype),
-        w,
-        window_strides=(1,),
-        padding=[(kernel_size // 2, kernel_size // 2)],
-        feature_group_count=groups,
-        dimension_numbers=("NCH", "OIH", "NCH"),
+    # custom-vjp wrapper: XLA's partitioner doubles grouped-conv dw on
+    # multi-axis meshes (see ops/grouped_conv.py)
+    out = grouped_conv1d(
+        lhs.astype(w.dtype), w, groups,
+        (kernel_size // 2, kernel_size // 2),
     )
     out = out + p["bias"][None, :, None]
     if kernel_size % 2 == 0:

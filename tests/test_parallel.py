@@ -82,17 +82,22 @@ def test_data_parallel_step():
 def test_tensor_parallel_matches_data_parallel():
     mesh_dp = make_mesh(8, model_parallel=1)
     mesh_tp = make_mesh(8, model_parallel=2)
-    loss_dp, _, params_dp = _run_step(mesh_dp, tp=False)
-    loss_tp, _, params_tp = _run_step(mesh_tp, tp=True)
+    loss_dp, gnorm_dp, params_dp = _run_step(mesh_dp, tp=False)
+    loss_tp, gnorm_tp, params_tp = _run_step(mesh_tp, tp=True)
     # same math, different layout
     assert abs(loss_dp - loss_tp) < 1e-4, (loss_dp, loss_tp)
+    # grad norms must agree too (caught the grouped-conv dw doubling)
+    assert abs(gnorm_dp - gnorm_tp) < 1e-4, (gnorm_dp, gnorm_tp)
     a = np.asarray(
         jax.device_get(params_dp["encoder"]["layers"][0]["fc1"]["kernel"])
     )
     b = np.asarray(
         jax.device_get(params_tp["encoder"]["layers"][0]["fc1"]["kernel"])
     )
-    np.testing.assert_allclose(a, b, atol=1e-5)
+    # Adam's first step ~ lr*sign(g): a 1e-8 reduction-order difference on a
+    # near-zero grad element can move the update by ~lr*1e-2 = 1e-5, so the
+    # param tolerance is slightly looser than the loss/gnorm ones.
+    np.testing.assert_allclose(a, b, atol=5e-5)
 
 
 def test_batch_sharding_spec():
@@ -132,3 +137,34 @@ def test_dryrun_multichip_fresh_process():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun ok" in proc.stdout, proc.stdout
+
+
+def test_grouped_conv_dw_not_doubled_on_multiaxis_mesh():
+    """Regression: XLA's partitioner doubles grouped-conv filter grads on a
+    mesh with an unused axis (dp x mp) — ops/grouped_conv.py works around it.
+    Compare dw on a (8,) dp mesh vs a (4, 2) dp x mp mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from speech_ssl_compression_tpu.ops.grouped_conv import grouped_conv1d
+
+    rng = np.random.default_rng(0)
+    B, D, T, G, K = 8, 16, 32, 4, 5
+    xh = jnp.asarray(rng.standard_normal((B, D, T)), jnp.float32)
+    wh = jnp.asarray(rng.standard_normal((D, D // G, K)), jnp.float32)
+
+    def dw_on(mp):
+        mesh = make_mesh(8, model_parallel=mp)
+        x = jax.device_put(xh, NamedSharding(mesh, P("data", None, None)))
+        w = jax.device_put(wh, NamedSharding(mesh, P()))
+        loss = lambda w_: jnp.sum(
+            grouped_conv1d(x, w_, G, (K // 2, K // 2)) ** 2
+        )
+        with mesh:
+            return np.asarray(jax.device_get(jax.jit(jax.grad(loss))(w)))
+
+    # correctness vs the raw conv's autodiff on the flat mesh
+    raw = lambda w_: jnp.sum(jax.lax.conv_general_dilated(
+        xh, w_, (1,), [(K // 2, K // 2)], feature_group_count=G,
+        dimension_numbers=("NCH", "OIH", "NCH")) ** 2)
+    expect = np.asarray(jax.grad(raw)(wh))
+    np.testing.assert_allclose(dw_on(1), expect, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(dw_on(2), expect, rtol=1e-4, atol=1e-4)
