@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import HuBERTConfig
-from ..ops.masking import compute_span_mask
+from ..ops.masking import compute_channel_mask, compute_span_mask
 from .conv_frontend import (
     conv_downsample_rate,
     init_conv_frontend,
@@ -127,15 +127,39 @@ def hubert_forward(
     mask_indices = jnp.zeros((b, t_frames), bool)
     if mask and cfg.mask_prob > 0:
         assert mask_rng is not None
+        # Split only when channel masking is live so the default config's
+        # RNG stream (and thus its masks) is unchanged.
+        time_rng = chan_rng = mask_rng
+        if cfg.mask_channel_prob > 0:
+            time_rng, chan_rng = jax.random.split(mask_rng)
         mask_indices = compute_span_mask(
-            mask_rng, out_len.astype(jnp.int32), t_frames,
+            time_rng, out_len.astype(jnp.int32), t_frames,
             mask_prob=cfg.mask_prob,
             mask_length=cfg.mask_length,
+            mask_selection=cfg.mask_selection,
+            mask_other=cfg.mask_other,
             min_masks=2,
+            no_overlap=cfg.no_mask_overlap,
+            min_space=cfg.mask_min_space,
         )
         x = jnp.where(
             mask_indices[:, :, None], params["mask_emb"][None, None, :], x
         )
+        if cfg.mask_channel_prob > 0:
+            # Feature-dim span mask zeroed after the time mask. The reference
+            # copy stores these fields (model.py:196-201) without applying
+            # them; semantics follow fairseq's HubertModel.apply_mask, which
+            # the copy was stripped from.
+            chan = compute_channel_mask(
+                chan_rng, b, x.shape[-1],
+                mask_prob=cfg.mask_channel_prob,
+                mask_length=cfg.mask_channel_length,
+                mask_selection=cfg.mask_channel_selection,
+                mask_other=cfg.mask_channel_other,
+                no_overlap=cfg.no_mask_channel_overlap,
+                min_space=cfg.mask_channel_min_space,
+            )
+            x = jnp.where(chan[:, None, :], 0.0, x)
 
     if features_only:
         # reference extract_features path (model.py:365-366,419-435)

@@ -99,7 +99,11 @@ def melhubert_forward(
                 mask_rng, lengths, t,
                 mask_prob=cfg.mask_prob,
                 mask_length=cfg.mask_length,
+                mask_selection=cfg.mask_selection,
+                mask_other=cfg.mask_other,
                 min_masks=2,
+                no_overlap=cfg.no_mask_overlap,
+                min_space=cfg.mask_min_space,
             )
 
     x = feat

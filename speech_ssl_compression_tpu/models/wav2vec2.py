@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import Wav2Vec2Config
-from ..ops.masking import compute_span_mask
+from ..ops.masking import compute_channel_mask, compute_span_mask
 from .conv_frontend import init_conv_frontend, wave_frontend_forward
 from .encoder import (
     _dropout,
@@ -133,17 +133,48 @@ def wav2vec2_forward(
     b, t_frames = x.shape[0], x.shape[1]
 
     mask_indices = jnp.zeros((b, t_frames), bool)
-    if mask and cfg.mask_prob > 0:
-        assert mask_rng is not None
-        mask_indices = compute_span_mask(
-            mask_rng, out_len.astype(jnp.int32), t_frames,
-            mask_prob=cfg.mask_prob,
-            mask_length=cfg.mask_length,
-            min_masks=2,
-        )
-        x = jnp.where(
-            mask_indices[:, :, None], params["mask_emb"][None, None, :], x
-        )
+    if mask:
+        # Split only when channel masking is live so the default config's
+        # RNG stream (and thus its masks) is unchanged.
+        time_rng = chan_rng = mask_rng
+        if cfg.mask_channel_prob > 0:
+            time_rng, chan_rng = jax.random.split(mask_rng)
+
+        def _chan_mask():
+            return compute_channel_mask(
+                chan_rng, b, x.shape[-1],
+                mask_prob=cfg.mask_channel_prob,
+                mask_length=cfg.mask_channel_length,
+                mask_selection=cfg.mask_channel_selection,
+                mask_other=cfg.mask_channel_other,
+                no_overlap=cfg.no_mask_channel_overlap,
+                min_space=cfg.mask_channel_min_space,
+            )
+
+        if cfg.mask_channel_prob > 0 and cfg.mask_channel_before:
+            # reference model.py:573-590: channels zeroed BEFORE time masking
+            x = jnp.where(_chan_mask()[:, None, :], 0.0, x)
+        if cfg.mask_prob > 0:
+            assert mask_rng is not None
+            mask_indices = compute_span_mask(
+                time_rng, out_len.astype(jnp.int32), t_frames,
+                mask_prob=cfg.mask_prob,
+                mask_length=cfg.mask_length,
+                mask_selection=cfg.mask_selection,
+                mask_other=cfg.mask_other,
+                min_masks=2,
+                no_overlap=cfg.no_mask_overlap,
+                min_space=cfg.mask_min_space,
+                require_same_masks=cfg.require_same_masks,
+                mask_dropout=cfg.mask_dropout,
+            )
+            x = jnp.where(
+                mask_indices[:, :, None], params["mask_emb"][None, None, :], x
+            )
+        if cfg.mask_channel_prob > 0 and not cfg.mask_channel_before:
+            # fairseq's after-time-mask placement (the reference copy strips
+            # this branch but keeps mask_channel_before in its config)
+            x = jnp.where(_chan_mask()[:, None, :], 0.0, x)
 
     hidden, layer_hiddens, _ = encoder_forward(
         x, params["encoder"], cfg,

@@ -29,8 +29,11 @@ def test_mask_ratio_close_to_prob():
 def test_mask_spans_have_expected_length_structure():
     rng = jax.random.PRNGKey(2)
     lengths = jnp.full((8,), 200, jnp.int32)
+    # require_same_masks (the reference default) subsets positions and breaks
+    # runs; disable it to observe raw span structure.
     mask = np.asarray(
-        compute_span_mask(rng, lengths, 200, mask_prob=0.1, mask_length=7)
+        compute_span_mask(rng, lengths, 200, mask_prob=0.1, mask_length=7,
+                          require_same_masks=False)
     )
     # with low prob, spans rarely merge: run lengths should be multiples >= 7
     for row in mask:
@@ -76,12 +79,15 @@ def test_block_mask_1d():
         assert all(r % 5 == 0 for r in runs), runs
 
 
-def test_short_rows_not_fully_masked():
-    """Regression: rows with sz <= mask_length+1 used to be 100% masked
-    (top_k picked -inf-scored invalid starts); the span count is now clamped
-    to the number of valid start positions."""
-    rng = jax.random.PRNGKey(0)
+def test_short_rows_mask_only_valid_frames():
+    """Regression: top_k used to pick -inf-scored INVALID starts (past the
+    row end) for rows with sz <= mask_length+1, leaking masks into padding.
+    Valid clipped spans may legitimately cover a short row entirely — the
+    reference's min_len adjustment (data_utils.py:126-127) allows it — but
+    no position at or beyond the row length may ever be masked."""
     lengths = jnp.array([11, 12, 64], jnp.int32)
+    szs = np.asarray(lengths)
+    pos = np.arange(64)[None, :]
     for seed in range(5):
         m = np.asarray(
             compute_span_mask(
@@ -89,6 +95,116 @@ def test_short_rows_not_fully_masked():
                 mask_prob=0.8, mask_length=10, min_masks=2,
             )
         )
-        # short rows keep at least one unmasked valid frame
-        assert m[0, :11].sum() < 11, m[0]
-        assert m[1, :12].sum() < 12, m[1]
+        assert not (m & (pos >= szs[:, None])).any(), m
+        # the long row always keeps unmasked context
+        assert m[2, :64].sum() < 64
+
+
+# ---------------------------------------------------------------------------
+# Round-2 coverage: mask_selection modes, no_overlap, require_same_masks,
+# mask_dropout (reference fairseq_code/data_utils.py:75-150) with the host
+# NumPy generator as the distribution oracle.
+# ---------------------------------------------------------------------------
+
+from speech_ssl_compression_tpu.ops.masking import (
+    compute_channel_mask,
+    compute_mask_indices_np,
+)
+import pytest
+
+
+@pytest.mark.parametrize(
+    "sel,other",
+    [("static", 0.0), ("uniform", 2.0), ("normal", 3.0), ("poisson", 0.0)],
+)
+def test_selection_modes_match_numpy_oracle_distribution(sel, other):
+    b, t, seeds = 16, 400, 6
+    lengths = jnp.full((b,), t, jnp.int32)
+    dev = np.mean([
+        np.asarray(compute_span_mask(
+            jax.random.PRNGKey(s), lengths, t, mask_prob=0.65, mask_length=10,
+            mask_selection=sel, mask_other=other,
+        )).mean()
+        for s in range(seeds)
+    ])
+    ref = np.mean([
+        compute_mask_indices_np(
+            (b, t), None, mask_prob=0.65, mask_length=10, mask_selection=sel,
+            mask_other=other, min_masks=2, rng=np.random.default_rng(s),
+        ).mean()
+        for s in range(seeds)
+    ])
+    assert abs(dev - ref) < 0.05, (sel, dev, ref)
+
+
+def test_require_same_masks_equalizes_counts():
+    lengths = jnp.full((32,), 300, jnp.int32)
+    m = np.asarray(compute_span_mask(
+        jax.random.PRNGKey(0), lengths, 300, mask_prob=0.6, mask_length=8,
+        require_same_masks=True,
+    ))
+    assert len(set(m.sum(1).tolist())) == 1
+    m2 = np.asarray(compute_span_mask(
+        jax.random.PRNGKey(0), lengths, 300, mask_prob=0.6, mask_length=8,
+        require_same_masks=False,
+    ))
+    assert len(set(m2.sum(1).tolist())) > 1
+
+
+def test_mask_dropout_reduces_count():
+    lengths = jnp.full((16,), 400, jnp.int32)
+    base = np.asarray(compute_span_mask(
+        jax.random.PRNGKey(5), lengths, 400, mask_prob=0.65, mask_length=10,
+    ))
+    dropped = np.asarray(compute_span_mask(
+        jax.random.PRNGKey(5), lengths, 400, mask_prob=0.65, mask_length=10,
+        mask_dropout=0.25,
+    ))
+    per_row = base.sum(1)
+    want = per_row - np.rint(per_row * 0.25).astype(int)
+    np.testing.assert_array_equal(dropped.sum(1), want)
+    # dropped positions are a subset of the base mask
+    assert not (dropped & ~base).any()
+
+
+def test_no_overlap_spans_keep_min_space():
+    # require_same_masks=False keeps spans intact so the structure is testable:
+    # static lengths -> every run exactly mask_length, gaps >= min_space.
+    lengths = jnp.full((6,), 300, jnp.int32)
+    m = np.asarray(compute_span_mask(
+        jax.random.PRNGKey(7), lengths, 300, mask_prob=0.4, mask_length=6,
+        no_overlap=True, min_space=2, require_same_masks=False,
+    ))
+    for row in m:
+        padded = np.concatenate([[0], row.astype(int), [0]])
+        diff = np.diff(padded)
+        starts = np.where(diff == 1)[0]
+        ends = np.where(diff == -1)[0]
+        assert ((ends - starts) == 6).all(), (starts, ends)
+        if len(starts) > 1:
+            gaps = starts[1:] - ends[:-1]
+            assert (gaps >= 2).all(), gaps
+
+
+def test_unknown_selection_raises():
+    lengths = jnp.full((2,), 50, jnp.int32)
+    with pytest.raises(ValueError, match="mask_selection"):
+        compute_span_mask(
+            jax.random.PRNGKey(0), lengths, 50, mask_prob=0.5, mask_length=5,
+            mask_selection="bogus",
+        )
+    with pytest.raises(ValueError, match="mask_selection"):
+        compute_mask_indices_np(
+            (2, 50), None, mask_prob=0.5, mask_length=5,
+            mask_selection="bogus",
+        )
+
+
+def test_channel_mask_shape_and_rows():
+    ch = np.asarray(compute_channel_mask(
+        jax.random.PRNGKey(1), 4, 512, mask_prob=0.5, mask_length=10,
+    ))
+    assert ch.shape == (4, 512)
+    assert 0.2 < ch.mean() < 0.6
+    # require_same_masks (reference default) equalizes per-row channel counts
+    assert len(set(ch.sum(1).tolist())) == 1
