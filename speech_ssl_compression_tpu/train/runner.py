@@ -600,10 +600,21 @@ class Runner:
                         )
                 except Exception as e:  # noqa: BLE001
                     # OOM-recovery parity (reference runner.py:379-386):
-                    # drop the batch and keep training
+                    # drop the WHOLE accumulation window and keep training.
+                    # (The reference's own zero_grad left stale loss counters;
+                    # here every window counter rewinds so surviving windows
+                    # divide by the right sample count. Note: with async
+                    # dispatch a RESOURCE_EXHAUSTED may instead surface at the
+                    # next host sync — apply_step/float() — which aborts; this
+                    # handler covers the common eager-dispatch OOM.)
                     if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
-                        print(f"[Runner] - OOM at step {global_step}; skipping batch")
+                        print(f"[Runner] - OOM at step {global_step}; "
+                              "dropping accumulation window")
+                        dropped = backward_steps % accum
                         grads_acc = None
+                        backward_steps -= dropped
+                        all_sample_size -= dropped  # sample_size == 1 each
+                        batch_loss = 0.0
                         continue
                     raise
                 grads_acc = accumulate_grads(grads_acc, grads)

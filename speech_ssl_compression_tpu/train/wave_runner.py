@@ -157,10 +157,24 @@ class WaveRunner:
     # ------------------------------------------------------------------
     def _load_dictionaries(self):
         label_dir = self.task_cfg.label_dir or self.task_cfg.data
-        return [
+        dicts = [
             Dictionary.load(f"{label_dir}/dict.{label}.txt")
             for label in self.task_cfg.labels
         ]
+        # Raw cluster id -> dictionary index, honoring the dict file's symbol
+        # ORDER (reference encodes via dictionary.encode_line; a fairseq
+        # frequency-sorted dict.km.txt permutes ids, so a hardcoded +4 offset
+        # is only correct for numerically-ordered recipe dicts). Unknown ids
+        # map to <unk>.
+        self._label_lookups = []
+        for d in dicts:
+            numeric = [int(s) for s in d.symbols[4:] if s.lstrip("-").isdigit()]
+            hi = (max(numeric) + 1) if numeric else 0
+            lut = np.full(max(hi, 1), d.unk(), np.int32)
+            for raw in numeric:
+                lut[raw] = d.index[str(raw)]
+            self._label_lookups.append(lut)
+        return dicts
 
     def _build_grad_step(self):
         cfg = self.cfg
@@ -273,18 +287,25 @@ class WaveRunner:
             target_valid = np.zeros(
                 (batch["source"].shape[0], t_frames), bool
             )
-            for frm_labels in batch["target_lists"]:
+            for di, frm_labels in enumerate(batch["target_lists"]):
+                lut = self._label_lookups[di]
                 arr = np.zeros((len(frm_labels), t_frames), np.int32)
                 for bi, labs in enumerate(frm_labels):
                     # align label-rate frames to conv frames (reference
                     # forward_targets, model.py:292-305) and map raw cluster
-                    # ids -> dictionary indices (4 specials precede the
-                    # symbols; reference LabelEncoder encodes "5" -> 4+5)
+                    # ids -> dictionary indices through the dict-file order
+                    # (reference LabelEncoder -> dictionary.encode_line);
+                    # out-of-vocabulary ids become <unk>
                     aligned, keep = align_targets_np(
                         np.asarray(labs), t_frames, ratio
                     )
                     keep = min(keep, t_frames)
-                    arr[bi, :keep] = aligned[:keep] + 4
+                    raw = aligned[:keep].astype(np.int64)
+                    oob = (raw < 0) | (raw >= len(lut))
+                    arr[bi, :keep] = np.where(
+                        oob, self.dictionaries[di].unk(),
+                        lut[np.clip(raw, 0, len(lut) - 1)],
+                    )
                     target_valid[bi, :keep] = True
                 target_list.append(put(arr))
             out["target_list"] = target_list
@@ -327,6 +348,7 @@ class WaveRunner:
         backward = 0
         grads_acc = None
         sample_total = 0.0
+        accum_loss = 0.0
         window_loss, window_n = 0.0, 0
         t0 = time.time()
         while step < total_steps:
@@ -416,6 +438,7 @@ class WaveRunner:
                 )
                 # device-side accumulation: no host sync per micro-batch
                 sample_total = sample_total + sample_size
+                accum_loss = accum_loss + loss
                 window_loss = window_loss + loss
                 window_n += 1
                 backward += 1
@@ -427,9 +450,12 @@ class WaveRunner:
                 )
                 if self.wp_state is not None:
                     # weight-pruning controller needs host floats (one sync
-                    # per accumulation window, not per micro-batch)
+                    # per accumulation window, not per micro-batch). Feed the
+                    # FULL window's accumulated loss, as the reference's
+                    # batch_loss does (runner.py:388-401) — the last
+                    # micro-batch alone is a noisier, rescaled signal.
                     self.wp_state.update_smooth_loss(
-                        float(loss) / float(st_dev)
+                        float(accum_loss) / float(st_dev)
                     )
                     self.wp_state.update_target_smooth_loss(
                         step, self.prune_steps
@@ -440,6 +466,7 @@ class WaveRunner:
                 )
                 grads_acc = None
                 sample_total = 0.0
+                accum_loss = 0.0
                 step += 1
 
                 if step % log_step == 0 or step == total_steps:

@@ -152,13 +152,30 @@ def melhubert_state_dict_to_params(
     return params, mask_tree, arch_info
 
 
-def load_reference_checkpoint(path: str):
+def load_reference_checkpoint(path: str, *, trust_pickle: bool = False):
     """Load a reference .ckpt (torch.save dict) into
     (params, masks, MelHuBERTConfig, extras). Requires torch (CPU) at call
-    time only."""
+    time only.
+
+    Security: ``torch.load(weights_only=False)`` executes arbitrary pickled
+    code, so we first try the safe ``weights_only=True`` path (reference
+    checkpoints are plain dicts of tensors + builtin-typed metadata, which it
+    accepts). If the file contains other pickled classes, loading fails
+    unless the caller passes ``trust_pickle=True`` to explicitly accept
+    running code from the checkpoint file."""
     import torch
 
-    all_states = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        all_states = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as safe_err:
+        if not trust_pickle:
+            raise ValueError(
+                f"{path} needs full (unsafe) unpickling "
+                f"({type(safe_err).__name__}: {safe_err}). Unpickling "
+                "executes code embedded in the file; pass trust_pickle=True "
+                "only for checkpoints from a source you trust."
+            ) from safe_err
+        all_states = torch.load(path, map_location="cpu", weights_only=False)
     up_cfg = all_states["Upstream_Config"]
     cfg_dict = dict(
         up_cfg.get("melhubert") or up_cfg.get("hubert") or up_cfg.get("student")

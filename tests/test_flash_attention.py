@@ -76,3 +76,38 @@ def test_flash_fully_padded_row_no_nan():
     with pltpu.force_tpu_interpret_mode():
         out = flash_attention(q, k, v, key_padding_mask=pad)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("t", [1100, 1700])
+def test_flash_gradients_mixed_grid_regimes(t):
+    """ADVICE r1: the asymmetric whole-tile limits (fwd<=1664, bwd<=1024)
+    create a mixed-grid regime for 1024 < T <= 1664 — forward runs one
+    whole-sequence tile while backward runs 256-blocks with re-padded lse.
+    T=1700 exercises the both-blocked path. Padded rows carry zero dO so
+    dk/dv contributions must vanish; a regression in the lse/dd padding
+    would otherwise be silent (unit tests previously capped at T=48)."""
+    q, k, v = _qkv(b=1, h=1, t=t, d=16, seed=3)
+    lengths = t - 60
+    pad = jnp.asarray(np.arange(t)[None, :] >= lengths)
+
+    # flash leaves unspecified values in padded-query rows (callers zero
+    # padded positions downstream), so mask both sides' outputs — this also
+    # matches real model semantics where padded dO is zero.
+    valid = jnp.asarray((~np.asarray(pad))[:, None, :, None])
+
+    def f_flash(q, k, v):
+        out = flash_attention(q, k, v, key_padding_mask=pad) * valid
+        return jnp.sum(out ** 2)
+
+    def f_dense(q, k, v):
+        out = dense_attention(q, k, v, key_padding_mask=pad) * valid
+        return jnp.sum(out ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3,
+            err_msg=f"d{name} mismatch at T={t}",
+        )

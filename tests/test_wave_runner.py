@@ -166,3 +166,59 @@ def test_hubert_head_and_row_pruning(tmp_path):
         runner = WaveRunner(args, runner_cfg, upstream_cfg)
         runner.train()
         assert check(runner), (mode, runner.cfg)
+
+
+def test_hubert_labels_respect_dictionary_order(tmp_path):
+    """ADVICE r1 (medium): a fairseq frequency-sorted dict.km.txt permutes
+    raw cluster ids; label encoding must go through the dictionary's symbol
+    order (reference dictionary.encode_line), not a hardcoded +4 offset."""
+    data = make_wav_dataset(tmp_path)
+    # overwrite the dict with a NON-numeric ordering: symbol "7" first, etc.
+    perm = [7, 3, 0, 5, 1, 6, 2, 4]
+    with open(tmp_path / "dict.km.txt", "w") as f:
+        for c in perm:
+            f.write(f"{c} 100\n")
+
+    runner_cfg = {
+        "runner": {"total_steps": 1, "gradient_clipping": 10.0,
+                   "gradient_accumulate_steps": 1, "log_step": 1,
+                   "bf16": False},
+        "optimizer": {"lr": 1e-4},
+        "datarc": {"train_batch_size": 2},
+        "task": {
+            "data": data, "label_dir": data, "labels": ["km"],
+            "label_rate": 50, "sample_rate": 16000,
+            "max_sample_size": 4000, "min_sample_size": 1000,
+            "pad_audio": False, "random_crop": True,
+        },
+    }
+    upstream_cfg = {
+        "hubert": {
+            "label_rate": 50,
+            "encoder_layers": 1, "encoder_embed_dim": 32,
+            "encoder_attention_heads": 2, "head_dim": 16,
+            "encoder_ffn_embed_dim": 64,
+            "conv_feature_layers": CONV,
+            "final_dim": 16, "conv_pos": 16, "conv_pos_groups": 4,
+            "mask_prob": 0.65, "mask_length": 4,
+            "dropout": 0.0, "attention_dropout": 0.0,
+            "activation_dropout": 0.0,
+        }
+    }
+    runner = WaveRunner(_args(tmp_path, "hubert", "hubert"), runner_cfg,
+                        upstream_cfg)
+    # lookup: raw id -> 4 + position in the dict file
+    lut = runner._label_lookups[0]
+    for pos, raw in enumerate(perm):
+        assert lut[raw] == 4 + pos, (raw, lut[raw])
+
+    # collate maps raw labels through the lookup
+    batch = {
+        "source": np.zeros((2, 4000), np.float32),
+        "length": np.array([4000, 4000], np.int32),
+        "target_lists": [[np.array([7, 7, 3, 0]), np.array([5, 1, 6, 2])]],
+    }
+    out = runner._collate_device_batch(batch)
+    got = np.asarray(out["target_list"][0])
+    assert got[0, 0] == 4  # raw 7 -> first dict entry
+    assert got[1, 0] == 4 + 3  # raw 5 -> fourth dict entry
