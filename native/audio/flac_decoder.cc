@@ -219,20 +219,14 @@ struct FlacInfo {
   uint8_t md5[16];
 };
 
-// Decodes the whole file. Returns 0 on success. Caller frees *out with
-// flac_free. *out holds interleaved int32 samples (n_samples * channels).
-int flac_decode_file(const char* path, int32_t** out, FlacInfo* info) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return -1;
-  fseek(f, 0, SEEK_END);
-  long fsize = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> buf(static_cast<size_t>(fsize));
-  if (fread(buf.data(), 1, buf.size(), f) != buf.size()) {
-    fclose(f);
-    return -2;
-  }
-  fclose(f);
+// Decodes a whole FLAC stream held in memory (e.g. a byte slice out of a
+// stored zip archive — reference fairseq_code/audio_utils.py:37-38 reads
+// such slices with mmap and hands the bytes to soundfile). Returns 0 on
+// success. Caller frees *out with flac_free. *out holds interleaved int32
+// samples (n_samples * channels).
+static int decode_buffer_impl(const uint8_t* data, size_t size, int32_t** out,
+                              FlacInfo* info) {
+  std::vector<uint8_t> buf(data, data + size);
 
   if (buf.size() < 42 || memcmp(buf.data(), "fLaC", 4) != 0) return -3;
 
@@ -369,6 +363,28 @@ int flac_decode_file(const char* path, int32_t** out, FlacInfo* info) {
   *out = result;
   info->total_samples = static_cast<int64_t>(pcm.size() / si.channels);
   return 0;
+}
+
+int flac_decode_buffer(const uint8_t* data, int64_t size, int32_t** out,
+                       FlacInfo* info) {
+  if (!data || size <= 0) return -1;
+  return decode_buffer_impl(data, static_cast<size_t>(size), out, info);
+}
+
+// Decodes the whole file (reads it into memory, then decode_buffer_impl).
+int flac_decode_file(const char* path, int32_t** out, FlacInfo* info) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(static_cast<size_t>(fsize));
+  if (fread(buf.data(), 1, buf.size(), f) != buf.size()) {
+    fclose(f);
+    return -2;
+  }
+  fclose(f);
+  return decode_buffer_impl(buf.data(), buf.size(), out, info);
 }
 
 void flac_free(int32_t* p) { free(p); }

@@ -48,20 +48,20 @@ def _ensure_lib():
         ctypes.POINTER(_FlacInfo),
     ]
     _lib.flac_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+    _lib.flac_decode_buffer.restype = ctypes.c_int
+    _lib.flac_decode_buffer.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(_FlacInfo),
+    ]
     return _lib
 
 
-def read_flac(path: str, verify_md5: bool = True) -> Tuple[np.ndarray, int]:
-    """Decode a FLAC file -> (float32 (channels, n_samples) in [-1, 1], sr).
-    Matches torchaudio.load's scaling (normalize by 2**(bps-1))."""
+def _finish_flac(rc, out, info, origin, verify_md5):
     lib = _ensure_lib()
-    out = ctypes.POINTER(ctypes.c_int32)()
-    info = _FlacInfo()
-    rc = lib.flac_decode_file(
-        os.fsencode(str(path)), ctypes.byref(out), ctypes.byref(info)
-    )
     if rc != 0:
-        raise IOError(f"FLAC decode failed ({rc}): {path}")
+        raise IOError(f"FLAC decode failed ({rc}): {origin}")
     n = info.total_samples * info.channels
     data = np.ctypeslib.as_array(out, shape=(n,)).copy()
     lib.flac_free(out)
@@ -83,11 +83,36 @@ def read_flac(path: str, verify_md5: bool = True) -> Tuple[np.ndarray, int]:
             got = hashlib.md5(raw).digest()
             want = bytes(info.md5)
             if got != want:
-                raise IOError(f"FLAC MD5 mismatch decoding {path}")
+                raise IOError(f"FLAC MD5 mismatch decoding {origin}")
 
     scale = float(1 << (info.bits_per_sample - 1))
     wav = (data.astype(np.float32) / scale).reshape(-1, info.channels).T
     return wav, int(info.sample_rate)
+
+
+def read_flac(path: str, verify_md5: bool = True) -> Tuple[np.ndarray, int]:
+    """Decode a FLAC file -> (float32 (channels, n_samples) in [-1, 1], sr).
+    Matches torchaudio.load's scaling (normalize by 2**(bps-1))."""
+    lib = _ensure_lib()
+    out = ctypes.POINTER(ctypes.c_int32)()
+    info = _FlacInfo()
+    rc = lib.flac_decode_file(
+        os.fsencode(str(path)), ctypes.byref(out), ctypes.byref(info)
+    )
+    return _finish_flac(rc, out, info, path, verify_md5)
+
+
+def read_flac_bytes(data: bytes, verify_md5: bool = True,
+                    origin: str = "<bytes>") -> Tuple[np.ndarray, int]:
+    """Decode an in-memory FLAC stream (e.g. a zip-slice) via the native
+    flac_decode_buffer entry point."""
+    lib = _ensure_lib()
+    out = ctypes.POINTER(ctypes.c_int32)()
+    info = _FlacInfo()
+    rc = lib.flac_decode_buffer(
+        data, len(data), ctypes.byref(out), ctypes.byref(info)
+    )
+    return _finish_flac(rc, out, info, origin, verify_md5)
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
@@ -109,10 +134,78 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     return wav, int(sr)
 
 
+# ---------------------------------------------------------------------------
+# Zip-slice addressing (reference fairseq_code/audio_utils.py:7-45): manifest
+# entries may point INTO a stored zip archive as "archive.zip:offset:length",
+# where offset/length are byte positions of the stored (uncompressed) member.
+# ---------------------------------------------------------------------------
+
+_AUDIO_EXTS = (".npy", ".wav", ".flac", ".ogg")
+
+
+def parse_path(path) -> Tuple[str, list]:
+    """Split a manifest path into (file_path, slice_ptr). slice_ptr is []
+    for a plain audio/feature file, or [byte_offset, byte_length] for a
+    zip-slice path (reference audio_utils.py:7-29)."""
+    path = str(path)
+    if os.path.splitext(path)[1].lower() in _AUDIO_EXTS:
+        return path, []
+    file_path, *slice_ptr = str(path).split(":")
+    if len(slice_ptr) != 2:
+        raise ValueError(f"invalid audio path (want file.zip:offset:length): {path}")
+    if not os.path.isfile(file_path):
+        raise FileNotFoundError(f"File not found: {file_path}")
+    return file_path, [int(i) for i in slice_ptr]
+
+
+def read_from_stored_zip(zip_path: str, offset: int, length: int) -> bytes:
+    """mmap a byte window out of a stored zip (reference audio_utils.py:31-38)."""
+    import mmap
+
+    with open(zip_path, "rb") as f:
+        with mmap.mmap(f.fileno(), length=0, access=mmap.ACCESS_READ) as m:
+            return m[offset:offset + length]
+
+
+def is_sf_audio_data(data: bytes) -> bool:
+    """True when the bytes start with a wav/flac/ogg magic
+    (reference audio_utils.py:40-44)."""
+    return len(data) >= 3 and (
+        data[:3] == b"RIF" or data[:3] == b"fLa" or data[:3] == b"Ogg"
+    )
+
+
+def read_audio_bytes(data: bytes, origin: str = "<bytes>") -> Tuple[np.ndarray, int]:
+    if data[:3] == b"fLa":
+        return read_flac_bytes(data, origin=origin)
+    if data[:3] == b"RIF":
+        import io
+        from scipy.io import wavfile
+
+        sr, pcm = wavfile.read(io.BytesIO(data))
+        if pcm.dtype == np.int16:
+            wav = pcm.astype(np.float32) / 32768.0
+        elif pcm.dtype == np.int32:
+            wav = pcm.astype(np.float32) / 2147483648.0
+        elif pcm.dtype == np.uint8:
+            wav = (pcm.astype(np.float32) - 128.0) / 128.0
+        else:
+            wav = pcm.astype(np.float32)
+        wav = wav[None, :] if wav.ndim == 1 else wav.T
+        return wav, int(sr)
+    raise ValueError(f"unsupported in-memory audio format: {origin}")
+
+
 def read_audio(path: str) -> Tuple[np.ndarray, int]:
-    p = str(path).lower()
+    file_path, slice_ptr = parse_path(path)
+    if slice_ptr:
+        data = read_from_stored_zip(file_path, slice_ptr[0], slice_ptr[1])
+        if not is_sf_audio_data(data):
+            raise ValueError(f"zip slice is not audio data: {path}")
+        return read_audio_bytes(data, origin=path)
+    p = file_path.lower()
     if p.endswith(".flac"):
-        return read_flac(path)
+        return read_flac(file_path)
     if p.endswith(".wav"):
-        return read_wav(path)
+        return read_wav(file_path)
     raise ValueError(f"unsupported audio format: {path}")

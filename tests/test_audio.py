@@ -38,3 +38,67 @@ def test_wav_roundtrip(tmp_path):
     wav, sr = read_audio(path)
     assert sr == 16000
     np.testing.assert_allclose(wav[0], pcm.astype(np.float32) / 32768.0)
+
+
+def _stored_zip_member_slice(zip_path, name):
+    """Byte offset + length of a STORED member's raw data inside the zip."""
+    import struct
+    import zipfile
+
+    with zipfile.ZipFile(zip_path) as zf:
+        zi = zf.getinfo(name)
+        assert zi.compress_type == zipfile.ZIP_STORED
+        with open(zip_path, "rb") as f:
+            f.seek(zi.header_offset)
+            hdr = f.read(30)
+            n_name, n_extra = struct.unpack("<HH", hdr[26:30])
+            offset = zi.header_offset + 30 + n_name + n_extra
+        return offset, zi.file_size
+
+
+def test_zip_slice_audio_roundtrip(tmp_path):
+    """reference fairseq_code/audio_utils.py:7-45: manifests may address
+    audio as archive.zip:offset:length pointing at a stored member."""
+    import zipfile
+    from scipy.io import wavfile
+
+    from speech_ssl_compression_tpu.data.audio import (
+        is_sf_audio_data,
+        parse_path,
+        read_from_stored_zip,
+    )
+
+    flac_src = pathlib.Path("/root/reference/example/100-121669-0000.flac")
+    wav_path = tmp_path / "a.wav"
+    rng = np.random.default_rng(0)
+    wavfile.write(wav_path, 16000,
+                  (rng.uniform(-0.3, 0.3, 2000) * 32767).astype(np.int16))
+
+    zpath = tmp_path / "audio.zip"
+    with zipfile.ZipFile(zpath, "w", compression=zipfile.ZIP_STORED) as zf:
+        zf.write(flac_src, "x.flac")
+        zf.write(wav_path, "a.wav")
+
+    for name, direct in (("x.flac", str(flac_src)), ("a.wav", str(wav_path))):
+        off, length = _stored_zip_member_slice(zpath, name)
+        sliced = f"{zpath}:{off}:{length}"
+        path, ptr = parse_path(sliced)
+        assert path == str(zpath) and ptr == [off, length]
+        assert is_sf_audio_data(read_from_stored_zip(path, off, length))
+        got, sr1 = read_audio(sliced)
+        want, sr2 = read_audio(direct)
+        assert sr1 == sr2
+        np.testing.assert_array_equal(got, want)
+
+
+def test_parse_path_plain_and_invalid(tmp_path):
+    from speech_ssl_compression_tpu.data.audio import parse_path
+
+    assert parse_path("dir/x.flac") == ("dir/x.flac", [])
+    assert parse_path("dir/y.wav") == ("dir/y.wav", [])
+    with pytest.raises(FileNotFoundError):
+        parse_path(str(tmp_path / "missing.zip") + ":0:10")
+    zp = tmp_path / "z.zip"
+    zp.write_bytes(b"PK")
+    with pytest.raises(ValueError):
+        parse_path(f"{zp}:1")  # needs offset AND length
