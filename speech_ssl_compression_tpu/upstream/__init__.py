@@ -14,3 +14,13 @@ wrappers expose the same contract for users porting expert-based code.
 
 from .melhubert import MelHuBERTPretrainExpert
 from .melhubert_distiller import MelHuBERTDistillerExpert
+
+
+def get_pretrain_expert(upstream: str):
+    """Pluggable-expert dispatch mirroring the reference's importlib lookup
+    (runner.py:131-134): resolve ``upstream`` to its module's
+    ``UpstreamPretrainExpert`` class."""
+    import importlib
+
+    module = importlib.import_module(f".{upstream}", __package__)
+    return getattr(module, "UpstreamPretrainExpert")

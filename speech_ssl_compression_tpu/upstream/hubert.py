@@ -1,0 +1,144 @@
+"""HuBERT pretrain expert (reference upstream/hubert/pretrain_expert.py:17-126).
+
+Contract (asserted by the reference runner, runner.py:149-152):
+
+    forward(data, global_step, log_step) -> (loss, sample_size)
+    load_model(init_ckpt)
+    add_state_to_save(all_states)
+
+``data`` follows the reference criterion's sample layout
+(pretrain_expert.py:98-126): ``{"net_input": {"source", "padding_mask"},
+"target_list": [...]}`` with raw-waveform source and label-rate targets;
+targets are aligned to conv frames host-side (reference forward_targets,
+model.py:292-305) so the jitted step keeps static shapes. Dictionaries are
+passed as the ``dicts`` kwarg exactly like the reference (runner.py:136-141)
+and label ids are encoded through their symbol order.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import HuBERTConfig
+from ..models.conv_frontend import conv_output_length
+from ..models.hubert import (
+    align_targets_np,
+    feat2tar_ratio,
+    hubert_forward,
+    hubert_pretrain_loss,
+    init_hubert_params,
+)
+
+
+class HuBERTPretrainExpert:
+    def __init__(self, upstream_config: dict,
+                 initial_weight: Optional[str] = None,
+                 device: str = "tpu", multi_gpu: bool = False, **kwargs):
+        self.upstream_config = upstream_config
+        model_cfg = upstream_config.get("hubert") or upstream_config["model"]
+        self.cfg = HuBERTConfig.from_dict(dict(model_cfg))
+        self.dicts = kwargs["dicts"]
+        self.num_classes = tuple(len(d) for d in self.dicts)
+        # raw cluster id -> dictionary index, honoring dict-file symbol order
+        # (reference encodes via dictionary.encode_line)
+        self._label_lookups = []
+        for d in self.dicts:
+            numeric = [int(s) for s in d.symbols[4:]
+                       if s.lstrip("-").isdigit()]
+            lut = np.full(max((max(numeric) + 1) if numeric else 0, 1),
+                          d.unk(), np.int32)
+            for raw in numeric:
+                lut[raw] = d.index[str(raw)]
+            self._label_lookups.append(lut)
+        self.sample_rate = int(upstream_config.get("sample_rate", 16000))
+        self.rng = jax.random.PRNGKey(0)
+
+        self.rng, k = jax.random.split(self.rng)
+        self.params = init_hubert_params(k, self.cfg, self.num_classes)
+        if initial_weight:
+            from ..utils.checkpoint import load_checkpoint
+
+            state = load_checkpoint(initial_weight)
+            self.params = jax.tree.map(jnp.asarray, state["params"])
+            print(f"[Pretrainer] Loaded initialization weight from "
+                  f"{initial_weight}")
+
+        n = sum(int(np.prod(np.shape(x)))
+                for x in jax.tree.leaves(self.params))
+        print(f"[Pretrainer] - Number of parameters: {n}")
+        self._jit_loss = jax.jit(self._loss_impl, static_argnums=(0, 1))
+
+    @staticmethod
+    def _loss_impl(cfg, num_classes, params, source, lengths, targets,
+                   target_valid, rng):
+        out = hubert_forward(
+            params, cfg, source, lengths, mask=True,
+            rng=rng, deterministic=False,
+        )
+        loss, sample_size, _ = hubert_pretrain_loss(
+            params, cfg, out, targets, num_classes,
+            target_valid=target_valid,
+        )
+        return loss, sample_size
+
+    def forward(self, data, global_step: int = 0, log_step: int = 1000,
+                **kwargs):
+        net = data["net_input"]
+        source = np.asarray(net["source"], np.float32)
+        if "padding_mask" in net and net["padding_mask"] is not None:
+            pad = np.asarray(net["padding_mask"], bool)
+            lengths = (~pad).sum(-1).astype(np.int32)
+        else:
+            lengths = np.full(source.shape[0], source.shape[1], np.int32)
+
+        t_frames = conv_output_length(
+            source.shape[1], self.cfg.conv_feature_layers
+        )
+        ratio = feat2tar_ratio(self.cfg, self.sample_rate)
+        target_list, valid = [], np.zeros((source.shape[0], t_frames), bool)
+        for di, labs_per_utt in enumerate(data["target_list"]):
+            lut = self._label_lookups[di]
+            arr = np.zeros((source.shape[0], t_frames), np.int32)
+            for bi, labs in enumerate(labs_per_utt):
+                aligned, keep = align_targets_np(
+                    np.asarray(labs), t_frames, ratio
+                )
+                keep = min(keep, t_frames)
+                raw = aligned[:keep].astype(np.int64)
+                oob = (raw < 0) | (raw >= len(lut))
+                arr[bi, :keep] = np.where(
+                    oob, self.dicts[di].unk(),
+                    lut[np.clip(raw, 0, len(lut) - 1)],
+                )
+                valid[bi, :keep] = True
+            target_list.append(jnp.asarray(arr))
+
+        self.rng, k = jax.random.split(self.rng)
+        loss, sample_size = self._jit_loss(
+            self.cfg, self.num_classes, self.params,
+            jnp.asarray(source), jnp.asarray(lengths),
+            target_list, jnp.asarray(valid), k,
+        )
+        return loss, int(sample_size)
+
+    __call__ = forward
+
+    def load_model(self, init_ckpt: dict):
+        assert "model" in init_ckpt or "params" in init_ckpt
+        tree = init_ckpt.get("params", init_ckpt.get("model"))
+        self.params = jax.tree.map(jnp.asarray, tree)
+
+    def add_state_to_save(self, all_states: dict) -> dict:
+        all_states["model"] = jax.device_get(self.params)
+        all_states["Upstream_Config"] = self.upstream_config
+        return all_states
+
+    def train(self):
+        return self
+
+
+UpstreamPretrainExpert = HuBERTPretrainExpert

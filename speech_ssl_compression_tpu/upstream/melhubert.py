@@ -126,3 +126,6 @@ class MelHuBERTPretrainExpert:
 
     def train(self):
         return self
+
+
+UpstreamPretrainExpert = MelHuBERTPretrainExpert

@@ -105,3 +105,6 @@ class MelHuBERTDistillerExpert:
 
     def train(self):
         return self
+
+
+UpstreamPretrainExpert = MelHuBERTDistillerExpert
