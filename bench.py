@@ -1,5 +1,7 @@
-"""Benchmark harness (driver contract): prints ONE JSON line
-{"metric", "value", "unit", "vs_baseline"}.
+"""Benchmark harness (driver contract): prints ONE JSON line whose top-level
+keys follow {"metric", "value", "unit", "vs_baseline"}; the "all" key holds
+the full metric array (fp=20 f32, fp=20 bf16, fp=10 long-sequence f32) so
+BENCH_r* tracks every headline number, not just one.
 
 Headline metric: MelHuBERT-20ms feature-extraction throughput
 (frames/sec/chip) on the flagship 12L/768 architecture over the two bundled
@@ -17,6 +19,89 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 import numpy as np  # noqa: E402
+
+
+def _load_feats(fp):
+    from speech_ssl_compression_tpu.data.audio import read_audio
+    from speech_ssl_compression_tpu.extract import load_mean_std, wav_to_mel
+
+    examples = pathlib.Path("/root/reference/example")
+    if not examples.exists():
+        examples = pathlib.Path(__file__).parent / "example"
+
+    mean, std = load_mean_std(str(examples / "libri-960-mean-std.npy"))
+    if fp == 10:
+        mean, std = mean[:40], std[:40]
+    mels = []
+    for name in ("100-121669-0000.flac", "1001-134707-0000.flac"):
+        wav, _ = read_audio(examples / name)
+        mels.append(wav_to_mel(wav[0], mean, std, fp=fp))
+    lengths = [m.shape[0] for m in mels]
+    t = max(lengths)
+    t_pad = -(-t // 128) * 128
+    dim = mels[0].shape[1]
+    feat = np.zeros((2, t_pad, dim), np.float32)
+    for i, m in enumerate(mels):
+        feat[i, : len(m)] = m
+    pad_mask = (
+        np.arange(t_pad)[None, :] < np.array(lengths)[:, None]
+    ).astype(np.float32)
+    return feat, pad_mask, lengths
+
+
+def _measure(cfg, params, feat, pad_mask, lengths, reps, dtype, precision,
+             n_rep=20):
+    import jax
+    import jax.numpy as jnp
+
+    from speech_ssl_compression_tpu.extract import MelHuBERTExtractor
+    from speech_ssl_compression_tpu.ops.packing import (
+        build_pack_arrays,
+        plan_packing,
+    )
+
+    # Serve-style batch: the two utterances replicated `reps` times,
+    # sequence-packed into fixed-capacity rows with segment-masked flash
+    # attention (block-diagonal) — identical outputs to the padded forward,
+    # ~2x less padding waste (tests/test_packing.py proves parity).
+    feat = np.tile(feat, (reps, 1, 1))
+    pad_mask = np.tile(pad_mask, (reps, 1))
+    all_lengths = lengths * reps
+
+    b, t, dim = feat.shape
+    rows = plan_packing(all_lengths, t)
+    gather_idx, seg_ids, unpack_idx = build_pack_arrays(
+        all_lengths, rows, t, t
+    )
+
+    packed_impl = MelHuBERTExtractor._packed_impl
+    cparams = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+
+    # Timing methodology: host-level dependency chain — each iteration
+    # consumes the previous output, and a single scalar fetch at the end
+    # forces the whole serialized chain. (The remote (axon) backend's
+    # block_until_ready does not actually synchronize, so free-running
+    # dispatch loops measure nothing; and in-jit scan chains compile too
+    # slowly over the remote-compile tunnel.)
+    @jax.jit
+    def step(params, x, pad_mask, gi, si, ui):
+        out = packed_impl(cfg, precision, params, x, pad_mask, gi, si, ui)
+        return x + 1e-12 * out["hidden"][:, :, :dim].astype(x.dtype)
+
+    jf = jnp.asarray(feat, dtype)
+    jp = jnp.asarray(pad_mask)
+    gi = jnp.asarray(gather_idx)
+    si = jnp.asarray(seg_ids)
+    ui = jnp.asarray(unpack_idx)
+    x = step(cparams, jf, jp, gi, si, ui)
+    float(jnp.sum(x))  # compile + warm
+    t0 = time.time()
+    x = jf
+    for _ in range(n_rep):
+        x = step(cparams, x, jp, gi, si, ui)
+    float(jnp.sum(x))
+    dt = (time.time() - t0) / n_rep
+    return int(sum(all_lengths)) / dt
 
 
 def main():
@@ -37,114 +122,68 @@ def main():
     import jax.numpy as jnp
 
     from speech_ssl_compression_tpu.configs import MelHuBERTConfig
-    from speech_ssl_compression_tpu.data.audio import read_audio
-    from speech_ssl_compression_tpu.extract import load_mean_std, wav_to_mel
-    from speech_ssl_compression_tpu.models import (
-        init_melhubert_params,
-        melhubert_forward,
-    )
+    from speech_ssl_compression_tpu.models import init_melhubert_params
 
-    examples = pathlib.Path("/root/reference/example")
-    if not examples.exists():
-        examples = pathlib.Path(__file__).parent / "example"
-
-    mean, std = load_mean_std(str(examples / "libri-960-mean-std.npy"))
-    mels = []
-    for name in ("100-121669-0000.flac", "1001-134707-0000.flac"):
-        wav, _ = read_audio(examples / name)
-        mels.append(wav_to_mel(wav[0], mean, std, fp=20))
-    lengths = [m.shape[0] for m in mels]
-    t = max(lengths)
-    t_pad = -(-t // 128) * 128
-    feat = np.zeros((2, t_pad, 80), np.float32)
-    for i, m in enumerate(mels):
-        feat[i, : len(m)] = m
-    pad_mask = (np.arange(t_pad)[None, :] < np.array(lengths)[:, None]).astype(
-        np.float32
-    )
-
-    cfg = MelHuBERTConfig.from_dict(
-        {
-            "feat_emb_dim": 80,
-            "encoder_layers": 12,
-            "encoder_embed_dim": 768,
-            "encoder_ffn_embed_dim": 3072,
-            "encoder_attention_heads": 12,
-            "num_cluster": 512,
-        }
-    )
-    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
-
-    # Serve-style batch: the two utterances replicated 4x (8 utterances),
-    # sequence-packed into fixed-capacity rows with segment-masked flash
-    # attention (block-diagonal) — identical outputs to the padded forward,
-    # ~2x less padding waste (tests/test_packing.py proves parity).
-    reps = args.reps
-    feat = np.tile(feat, (reps, 1, 1))
-    pad_mask = np.tile(pad_mask, (reps, 1))
-    all_lengths = lengths * reps
-
-    from speech_ssl_compression_tpu.extract import MelHuBERTExtractor
-    from speech_ssl_compression_tpu.ops.packing import (
-        build_pack_arrays,
-        plan_packing,
-    )
-
-    b, t, _ = feat.shape
-    rows = plan_packing(all_lengths, t)
-    gather_idx, seg_ids, unpack_idx = build_pack_arrays(
-        all_lengths, rows, t, t
-    )
-
-    # Timing methodology: host-level dependency chain — each iteration
-    # consumes the previous output, and a single scalar fetch at the end
-    # forces the whole serialized chain. (The remote (axon) backend's
-    # block_until_ready does not actually synchronize, so free-running
-    # dispatch loops measure nothing; and in-jit scan chains compile too
-    # slowly over the remote-compile tunnel.)
-    n_rep = 20
-
-    packed_impl = MelHuBERTExtractor._packed_impl
-
-    @jax.jit
-    def step(params, x, pad_mask, gi, si, ui):
-        out = packed_impl(cfg, "default", params, x, pad_mask, gi, si, ui)
-        return x + 1e-12 * out["hidden"][:, :, :80]
-
-    jf = jnp.asarray(feat)
-    jp = jnp.asarray(pad_mask)
-    gi = jnp.asarray(gather_idx)
-    si = jnp.asarray(seg_ids)
-    ui = jnp.asarray(unpack_idx)
-    x = step(params, jf, jp, gi, si, ui)
-    float(jnp.sum(x))  # compile + warm
-    t0 = time.time()
-    x = jf
-    for _ in range(n_rep):
-        x = step(params, x, jp, gi, si, ui)
-    float(jnp.sum(x))
-    dt = (time.time() - t0) / n_rep
-
-    n_frames = int(sum(all_lengths))
-    fps = n_frames / dt
+    def flagship_cfg(dim):
+        return MelHuBERTConfig.from_dict(
+            {
+                "feat_emb_dim": dim,
+                "encoder_layers": 12,
+                "encoder_embed_dim": 768,
+                "encoder_ffn_embed_dim": 3072,
+                "encoder_attention_heads": 12,
+                "num_cluster": 512,
+            }
+        )
 
     baseline_path = pathlib.Path(__file__).parent / "BASELINE_local.json"
-    vs = None
+    ref_fps = None
     if baseline_path.exists():
         base = json.loads(baseline_path.read_text())
         ref_fps = base["reference_cpu_extraction"]["frames_per_sec"]
-        vs = fps / ref_fps
 
-    print(
-        json.dumps(
+    metrics = []
+
+    # fp=20: 80-d stacked fbank, T~896 after padding
+    cfg20 = flagship_cfg(80)
+    params20 = init_melhubert_params(jax.random.PRNGKey(0), cfg20)
+    feat, pad, lens = _load_feats(20)
+    for name, dtype, precision in (
+        ("melhubert20ms_extraction_frames_per_sec_per_chip",
+         jnp.float32, "default"),
+        ("melhubert20ms_extraction_bf16_frames_per_sec_per_chip",
+         jnp.bfloat16, "default"),
+    ):
+        fps = _measure(cfg20, params20, feat, pad, lens, args.reps,
+                       dtype, precision)
+        metrics.append(
             {
-                "metric": "melhubert20ms_extraction_frames_per_sec_per_chip",
+                "metric": name,
                 "value": round(fps, 1),
                 "unit": "frames/s",
-                "vs_baseline": round(vs, 2) if vs is not None else None,
+                "vs_baseline": round(fps / ref_fps, 2) if ref_fps else None,
             }
         )
+
+    # fp=10: 40-d fbank, T~1664 long sequences (f32)
+    cfg10 = flagship_cfg(40)
+    params10 = init_melhubert_params(jax.random.PRNGKey(0), cfg10)
+    feat, pad, lens = _load_feats(10)
+    fps = _measure(cfg10, params10, feat, pad, lens, args.reps,
+                   jnp.float32, "default")
+    metrics.append(
+        {
+            "metric": "melhubert10ms_longseq_extraction_frames_per_sec_per_chip",
+            "value": round(fps, 1),
+            "unit": "frames/s",
+            # no fp=10 reference baseline measured; fp=20 number not comparable
+            "vs_baseline": None,
+        }
     )
+
+    head = dict(metrics[0])
+    head["all"] = metrics
+    print(json.dumps(head))
 
 
 if __name__ == "__main__":

@@ -164,14 +164,20 @@ def _pad_to(x, target, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _pad_sizes(t, backward=False):
+def _pad_sizes(t, backward=False, use_segments=False):
     # Short sequences: one whole-sequence tile beats 256x256 tiling (grid /
     # loop overhead and repeated K/V reloads dominate; +22-40% measured).
     # The scores tile must fit VMEM: the forward holds one f32 scores array
     # (fits to T=1536, 9.4 MB); the backward holds several score-sized
     # temporaries (p/pd/dpd/ds) and fails Mosaic compile above T=1024.
-    # Forward whole-tile validated on hardware to T=1664 (11 MB scores).
-    whole_tile_limit = 1024 if backward else 1664
+    # Forward whole-tile validated on hardware to T=1664 (11 MB scores) —
+    # EXCEPT with segment packing, whose score-sized block-diagonal mask
+    # pushes scoped VMEM past the 16 MB limit at 1664 (overflows by ~0.75 MB
+    # on v5e); 1536 fits with margin.
+    if backward:
+        whole_tile_limit = 1024
+    else:
+        whole_tile_limit = 1536 if use_segments else 1664
     if t <= whole_tile_limit:
         t_pad = max(-(-t // 128) * 128, 128)
         return t_pad, t_pad, t_pad
@@ -186,7 +192,9 @@ def _flash_fwd_impl(q, k, v, bias, seg, seed, causal, dropout_p,
     b, h, t, d = q.shape
     # with dropout the backward regenerates the per-tile PRNG masks, so the
     # forward must use the SAME tile grid as the backward
-    block_q, block_k, t_pad = _pad_sizes(t, backward=dropout_p > 0)
+    block_q, block_k, t_pad = _pad_sizes(
+        t, backward=dropout_p > 0, use_segments=use_segments
+    )
 
     qp = _pad_to(q, t_pad, axis=2)
     kp = _pad_to(k, t_pad, axis=2)

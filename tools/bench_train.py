@@ -116,6 +116,23 @@ def main():
         print(f"distillation {dname}: {dt*1e3:.1f} ms/step "
               f"({1/dt:.2f} steps/s)", flush=True)
 
+    # vs-reference columns (tools/measure_reference_train_baseline.py)
+    base_path = (pathlib.Path(__file__).resolve().parent.parent
+                 / "BASELINE_train_local.json")
+    if base_path.exists():
+        ref = json.loads(base_path.read_text())["reference_cpu_train"]
+        for dname in args.dtypes.split(","):
+            k = f"melhubert_pretrain_steps_per_sec_{dname}"
+            if k in results:
+                results[f"{k}_vs_reference_cpu"] = round(
+                    results[k] / ref["pretrain_steps_per_sec"], 1
+                )
+            k = f"distillation_steps_per_sec_{dname}"
+            if k in results:
+                results[f"{k}_vs_reference_cpu"] = round(
+                    results[k] / ref["distill_steps_per_sec"], 1
+                )
+
     out = pathlib.Path(__file__).resolve().parent.parent / "BENCH_train.json"
     if out.exists():
         prev = json.loads(out.read_text())
