@@ -141,18 +141,18 @@ def pos_conv_embed(x, p, groups: int, kernel_size: int):
     norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True))
     w = p["weight_g"] * v / jnp.maximum(norm, 1e-12)  # (D, D//g, K)
 
-    lhs = x.transpose(0, 2, 1)  # (B, D, T)
     # custom-vjp wrapper: XLA's partitioner doubles grouped-conv dw on
-    # multi-axis meshes (see ops/grouped_conv.py)
+    # multi-axis meshes; feature-last layout is ~20% faster than NCH and
+    # avoids two (B,T,D) transposes (see ops/grouped_conv.py)
+    w_hio = w.transpose(2, 1, 0)  # (D, D/g, K) torch layout -> (K, D/g, D)
     out = grouped_conv1d(
-        lhs.astype(w.dtype), w, groups,
+        x.astype(w.dtype), w_hio, groups,
         (kernel_size // 2, kernel_size // 2),
     )
-    out = out + p["bias"][None, :, None]
+    out = out.astype(x.dtype) + p["bias"][None, None, :]
     if kernel_size % 2 == 0:
-        out = out[:, :, :-1]  # SamePad: crop the extra frame for even K
-    out = jax.nn.gelu(out, approximate=False)
-    return out.transpose(0, 2, 1)
+        out = out[:, :-1, :]  # SamePad: crop the extra frame for even K
+    return jax.nn.gelu(out, approximate=False)
 
 
 def encoder_layer_forward(

@@ -38,8 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-_BLOCK_Q = 256
-_BLOCK_K = 256
+# Block sizes for the T>whole-tile-limit regimes. Hardware sweep on v5e at
+# T=1664 d=64 (tools/perf_sweep.py): 512/512 beats 256/256 by 6% on the
+# backward and 15% on the segment-masked forward; mixed q/k sizes and
+# 128/1024 are slower; 512/1024 worst.
+_BLOCK_Q = 512
+_BLOCK_K = 512
 
 
 def _tile_keep_mask(seed_ref, b, h, qi, ki, shape, dropout_p):

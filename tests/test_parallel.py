@@ -148,8 +148,8 @@ def test_grouped_conv_dw_not_doubled_on_multiaxis_mesh():
 
     rng = np.random.default_rng(0)
     B, D, T, G, K = 8, 16, 32, 4, 5
-    xh = jnp.asarray(rng.standard_normal((B, D, T)), jnp.float32)
-    wh = jnp.asarray(rng.standard_normal((D, D // G, K)), jnp.float32)
+    xh = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    wh = jnp.asarray(rng.standard_normal((K, D // G, D)), jnp.float32)
 
     def dw_on(mp):
         mesh = make_mesh(8, model_parallel=mp)
@@ -164,7 +164,7 @@ def test_grouped_conv_dw_not_doubled_on_multiaxis_mesh():
     # correctness vs the raw conv's autodiff on the flat mesh
     raw = lambda w_: jnp.sum(jax.lax.conv_general_dilated(
         xh, w_, (1,), [(K // 2, K // 2)], feature_group_count=G,
-        dimension_numbers=("NCH", "OIH", "NCH")) ** 2)
+        dimension_numbers=("NHC", "HIO", "NHC")) ** 2)
     expect = np.asarray(jax.grad(raw)(wh))
     np.testing.assert_allclose(dw_on(1), expect, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(dw_on(2), expect, rtol=1e-4, atol=1e-4)
