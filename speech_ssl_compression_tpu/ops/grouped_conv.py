@@ -62,8 +62,21 @@ def _bwd(groups, pad, res, dy):
     og = o // groups
 
     # dx through the conv transpose — partitioner-correct (only dw is not).
-    _, pullback = jax.vjp(lambda x_: _raw_conv(x_, w, groups, pad), x)
-    dx = pullback(dy.astype(x.dtype) if dy.dtype != x.dtype else dy)[0]
+    # With bf16 inputs the primal output (and thus dy) is f32 (f32
+    # accumulation in _raw_conv), so run the whole pullback in f32 — a
+    # same-dtype conv whose unused primal XLA dead-code-eliminates — and
+    # cast dx back to x.dtype at the end.
+    acc_dtype = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
+    wf = w.astype(acc_dtype)
+    _, pullback = jax.vjp(
+        lambda x_: jax.lax.conv_general_dilated(
+            x_, wf, window_strides=(1,), padding=[pad],
+            feature_group_count=groups,
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        ),
+        x.astype(acc_dtype),
+    )
+    dx = pullback(dy.astype(acc_dtype))[0].astype(x.dtype)
 
     # dw[kk, i, o] = sum_{b,t'} x_pad[b, t' + kk, g(o)*C/G + i] * dy[b, t', o]
     x_pad = jnp.pad(x, ((0, 0), pad, (0, 0)))

@@ -168,3 +168,61 @@ def test_grouped_conv_dw_not_doubled_on_multiaxis_mesh():
     expect = np.asarray(jax.grad(raw)(wh))
     np.testing.assert_allclose(dw_on(1), expect, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(dw_on(2), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_conv_bf16_grads():
+    """Regression: with bf16 inputs the forward accumulates in f32, so the
+    dx pullback's cotangent must be cast UP to f32, not down to bf16
+    (crashed with 'unexpected JAX type' before the fix)."""
+    from speech_ssl_compression_tpu.ops.grouped_conv import grouped_conv1d
+
+    rng = np.random.default_rng(1)
+    B, D, T, G, K = 2, 16, 12, 4, 5
+    x16 = jnp.asarray(rng.standard_normal((B, T, D)), jnp.bfloat16)
+    w16 = jnp.asarray(rng.standard_normal((K, D // G, D)), jnp.bfloat16)
+
+    def loss(x_, w_):
+        return jnp.sum(grouped_conv1d(x_, w_, G, (K // 2, K // 2)) ** 2)
+
+    dx, dw = jax.jit(jax.grad(loss, argnums=(0, 1)))(x16, w16)
+    assert dx.dtype == jnp.bfloat16 and dw.dtype == jnp.bfloat16
+
+    # parity vs f32 autodiff of the raw conv
+    xf, wf = x16.astype(jnp.float32), w16.astype(jnp.float32)
+    raw = lambda x_, w_: jnp.sum(jax.lax.conv_general_dilated(
+        x_, w_, (1,), [(K // 2, K // 2)], feature_group_count=G,
+        dimension_numbers=("NHC", "HIO", "NHC")) ** 2)
+    edx, edw = jax.grad(raw, argnums=(0, 1))(xf, wf)
+    np.testing.assert_allclose(np.asarray(dx, np.float32), np.asarray(edx),
+                               rtol=0.05, atol=0.5)
+    np.testing.assert_allclose(np.asarray(dw, np.float32), np.asarray(edw),
+                               rtol=0.05, atol=0.5)
+
+
+def test_bf16_train_step_runs():
+    """End-to-end bf16 grad step on a tiny MelHuBERT (covers the pos-conv
+    custom VJP under compute_dtype=bf16 — the exact path that regressed)."""
+    from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+    from speech_ssl_compression_tpu.models import init_melhubert_params
+    from speech_ssl_compression_tpu.train.steps import (
+        make_melhubert_grad_step,
+    )
+
+    cfg = MelHuBERTConfig.from_dict({
+        "feat_emb_dim": 8, "encoder_layers": 2, "encoder_embed_dim": 32,
+        "encoder_ffn_embed_dim": 64, "encoder_attention_heads": 4,
+        "head_dim": 8, "num_cluster": 16, "mask_prob": 0.5, "mask_length": 2,
+    })
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "feat": jnp.asarray(rng.standard_normal((2, 24, 8)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 16, (2, 24)), jnp.int32),
+        "pad_mask": jnp.ones((2, 24), jnp.float32),
+    }
+    gs = make_melhubert_grad_step(cfg, accum_steps=1,
+                                  compute_dtype=jnp.bfloat16)
+    loss, grads, _ = gs(params, None, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g, np.float32)).all()
+               for g in jax.tree.leaves(grads))
