@@ -74,14 +74,18 @@ def distillation_loss(
 def init_student_from_teacher(student_params: dict, teacher_params: dict,
                               n_student_layers: int) -> dict:
     """Copy pos_conv + first N encoder layers from the teacher
-    (reference :60-69)."""
+    (reference :60-69).
+
+    Real copies, not ``jnp.asarray`` aliases: the student params are
+    donated into apply_step every optimizer step, and an aliased leaf
+    would invalidate the teacher's buffer with it."""
     out = jax.tree.map(lambda x: x, student_params)
     out["encoder"] = dict(out["encoder"])
     out["encoder"]["pos_conv"] = jax.tree.map(
-        jnp.asarray, teacher_params["encoder"]["pos_conv"]
+        jnp.array, teacher_params["encoder"]["pos_conv"]
     )
     out["encoder"]["layers"] = [
-        jax.tree.map(jnp.asarray, teacher_params["encoder"]["layers"][l])
+        jax.tree.map(jnp.array, teacher_params["encoder"]["layers"][l])
         for l in range(n_student_layers)
     ]
     return out

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import multi_head_self_attention as ATTENTION
 from ..ops.activations import get_activation_fn
+from ..ops.dropout import dropout as _dropout  # hardware-RNG dropout
 from ..ops.grouped_conv import grouped_conv1d
 
 LN_EPS = 1e-5
@@ -127,11 +128,6 @@ def layer_norm(x, p):
     return (x - mean) * jax.lax.rsqrt(var + LN_EPS) * p["scale"] + p["bias"]
 
 
-def _dropout(x, rng, p, deterministic):
-    if deterministic or p == 0.0 or rng is None:
-        return x
-    keep = jax.random.bernoulli(rng, 1.0 - p, x.shape)
-    return jnp.where(keep, x / (1.0 - p), 0.0)
 
 
 def pos_conv_embed(x, p, groups: int, kernel_size: int):

@@ -25,6 +25,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .dropout import dropout as hw_dropout
+
 NEG_INF = -1e30
 
 
@@ -65,8 +67,7 @@ def dense_attention(
 
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     if dropout_p > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_p, probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout_p), 0.0)
+        probs = hw_dropout(probs, dropout_rng, dropout_p, False)
 
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 

@@ -314,7 +314,7 @@ class Runner:
                 accum_steps=accum,
                 compute_dtype=self.compute_dtype,
             )
-        self.apply_step = make_apply_step(self.optimizer)
+        self.apply_step = make_apply_step(self.optimizer, donate=True)
 
     def _reset_optimizer(self):
         self.opt_state = self.optimizer.init(self.params)

@@ -51,7 +51,12 @@ from ..models.wav2vec2 import (
 )
 from ..parallel import batch_sharding, make_mesh, shard_params
 from ..utils.checkpoint import save_checkpoint
-from .steps import make_apply_step, make_optimizer, cast_for_compute
+from .steps import (
+    accumulate_grads,
+    cast_for_compute,
+    make_apply_step,
+    make_optimizer,
+)
 
 
 class WaveRunner:
@@ -151,7 +156,7 @@ class WaveRunner:
             ),
         )
         self.opt_state = self.optimizer.init(self.params)
-        self.apply_step = make_apply_step(self.optimizer)
+        self.apply_step = make_apply_step(self.optimizer, donate=True)
         self._build_grad_step()
 
     # ------------------------------------------------------------------
@@ -432,10 +437,7 @@ class WaveRunner:
                 loss, sample_size, grads, logs = self.grad_step(
                     self.params, self.masks, jb, k, gumbel_temp
                 )
-                grads_acc = (
-                    grads if grads_acc is None
-                    else jax.tree.map(jnp.add, grads_acc, grads)
-                )
+                grads_acc = accumulate_grads(grads_acc, grads)
                 # device-side accumulation: no host sync per micro-batch
                 sample_total = sample_total + sample_size
                 accum_loss = accum_loss + loss

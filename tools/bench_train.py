@@ -55,7 +55,10 @@ def main():
         "pad_mask": jnp.ones((b, t), jnp.float32),
     }
     opt = make_optimizer(lr=1e-4)
-    apply_step = make_apply_step(opt)
+    # donate=True is what both runners use; the timed chains below flow
+    # forward (never reuse a donated tree) and start from COPIES so
+    # `params` stays valid as the distillation teacher.
+    apply_step = make_apply_step(opt, donate=True)
     n = args.steps
     results = {}
 
@@ -81,7 +84,8 @@ def main():
             p, ost, _ = apply_step(p, ost, grads, jnp.asarray(1.0))
             return p, ost, key
 
-        p, ost, key = one_step(params, opt_state, jax.random.PRNGKey(2), gs)
+        p0 = jax.tree.map(jnp.array, params)
+        p, ost, key = one_step(p0, opt_state, jax.random.PRNGKey(2), gs)
         fence(p)  # compile + warm
         t0 = time.time()
         for _ in range(n):
@@ -105,7 +109,8 @@ def main():
             sp, ost, _ = apply_step(sp, ost, grads, jnp.asarray(1.0))
             return sp, ost, key
 
-        sp, ost, key = kd_step(sparams, opt_state_s, jax.random.PRNGKey(4))
+        sp0 = jax.tree.map(jnp.array, sparams)
+        sp, ost, key = kd_step(sp0, opt_state_s, jax.random.PRNGKey(4))
         fence(sp)
         t0 = time.time()
         for _ in range(n):

@@ -82,6 +82,10 @@ def main():
         results[f"grad_{tag}"] = ms
         print(f"grad_step {tag}: {ms:.1f} ms "
               f"({b*t/ms*1e3:,.0f} frames/s)", flush=True)
+        # free this stage's batch + executable before the next (a 16G chip
+        # OOMs if every stage's buffers stay live)
+        del batch, gs, chain_grad_j
+        jax.clear_caches()
 
     # --- apply_step alone ----------------------------------------------
     opt_state = opt.init(params)
@@ -96,6 +100,25 @@ def main():
     results["apply_step"] = ms
     print(f"apply_step: {ms:.1f} ms", flush=True)
 
+    # --- apply_step with donation (what the runners actually use) -------
+    # Donation invalidates the inputs, so the timed chain must keep
+    # flowing forward (never reuse x0); run on COPIES so `params` /
+    # `opt_state` stay valid for the full-step stage below.
+    apply_don = make_apply_step(opt, donate=True)
+    p = jax.tree.map(jnp.array, params)
+    ost = jax.tree.map(jnp.array, opt_state)
+    p, ost, _ = apply_don(p, ost, grads, jnp.asarray(1.0))  # compile+warm
+    fence((p, ost))
+    t0 = time.time()
+    for _ in range(n):
+        p, ost, _ = apply_don(p, ost, grads, jnp.asarray(1.0))
+    fence((p, ost))
+    ms = (time.time() - t0) / n * 1e3
+    results["apply_step_donated"] = ms
+    print(f"apply_step (donated): {ms:.1f} ms", flush=True)
+    del grads, apply_don, p, ost
+    jax.clear_caches()
+
     # --- full step at B=32 (effective batch = reference's 4 x 8 accum) --
     batch = make_batch(32, 768)
     for dt_, tag in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
@@ -108,12 +131,24 @@ def main():
             p, ost, _ = apply_step(p, ost, grads, jnp.asarray(1.0))
             return (p, ost, key)
 
-        ms = time_chain(full, (params, opt_state, jax.random.PRNGKey(2)))
+        try:
+            ms = time_chain(full, (params, opt_state, jax.random.PRNGKey(2)))
+        except Exception as e:  # noqa: BLE001 — B32 f32 can exceed 16G HBM
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            print(f"full step B=32 {tag}: OOM (activations + opt state "
+                  "exceed chip HBM at single-shot B=32; the runners use "
+                  "B=4 x accum=8 instead)", flush=True)
+            del gs
+            jax.clear_caches()
+            continue
         results[f"full_B32_{tag}"] = ms
         eff = 32 * 768
         print(f"full step B=32 {tag}: {ms:.1f} ms "
               f"({eff/ms*1e3:,.0f} frames/s; equals 8 reference accum "
               f"micro-batches)", flush=True)
+        del gs
+        jax.clear_caches()
 
     import json
     print(json.dumps(results))
