@@ -1,7 +1,8 @@
 """Benchmark harness (driver contract): prints ONE JSON line whose top-level
 keys follow {"metric", "value", "unit", "vs_baseline"}; the "all" key holds
-the full metric array (fp=20 f32, fp=20 bf16, fp=10 long-sequence f32) so
-BENCH_r* tracks every headline number, not just one.
+the full metric array (fp=20 f32, fp=20 bf16, fp=10 long-sequence f32
+extraction + pre-train/distillation steps/s) so BENCH_r* tracks every
+headline number, not just one.
 
 Headline metric: MelHuBERT-20ms feature-extraction throughput
 (frames/sec/chip) on the flagship 12L/768 architecture over the two bundled
@@ -110,6 +111,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=4,
                     help="serve-batch size = 2 utterances x reps")
+    ap.add_argument("--no-train", action="store_true",
+                    help="skip the training-step metrics")
     args = ap.parse_args()
 
     import jax
@@ -181,9 +184,109 @@ def main():
         }
     )
 
+    if not args.no_train:
+        # free the extraction stage's device buffers first — the training
+        # stage needs headroom (90M params x4 trees + activations)
+        del params20, params10, feat, pad
+        metrics.extend(_measure_train())
+
     head = dict(metrics[0])
     head["all"] = metrics
     print(json.dumps(head))
+
+
+def _measure_train(n_steps=8):
+    """Pre-train + distillation steps/s (B=4, T=768 flagship, grad step +
+    donated apply, the runners' exact jitted functions — compile-cache
+    shared with tools/bench_train.py). Never fails the extraction metrics:
+    returns [] on any error."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+    from speech_ssl_compression_tpu.models import init_melhubert_params
+    from speech_ssl_compression_tpu.train.steps import (
+        make_apply_step,
+        make_distill_grad_step,
+        make_melhubert_grad_step,
+        make_optimizer,
+    )
+
+    try:
+        jax.clear_caches()
+        base = {
+            "feat_emb_dim": 80, "encoder_layers": 12,
+            "encoder_embed_dim": 768, "encoder_ffn_embed_dim": 3072,
+            "encoder_attention_heads": 12, "num_cluster": 512,
+            "mask_prob": 0.7, "mask_length": 5,
+        }
+        cfg = MelHuBERTConfig.from_dict(base)
+        scfg = MelHuBERTConfig.from_dict({**base, "encoder_layers": 6})
+        params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+        sparams = init_melhubert_params(jax.random.PRNGKey(1), scfg)
+        rng = np.random.default_rng(0)
+        b, t = 4, 768
+        batch = {
+            "feat": jnp.asarray(rng.standard_normal((b, t, 80)),
+                                jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 512, (b, t)), jnp.int32),
+            "pad_mask": jnp.ones((b, t), jnp.float32),
+        }
+        opt = make_optimizer(lr=1e-4)
+        apply_step = make_apply_step(opt, donate=True)
+
+        def fence(tree):
+            return float(jnp.sum(jax.tree.leaves(tree)[0]
+                                 .astype(jnp.float32)))
+
+        ref = None
+        base_path = pathlib.Path(__file__).parent / "BASELINE_train_local.json"
+        if base_path.exists():
+            ref = json.loads(base_path.read_text())["reference_cpu_train"]
+
+        out = []
+        for name, teacher in (("melhubert_pretrain", False),
+                              ("distillation", True)):
+            if teacher:
+                gs = make_distill_grad_step(
+                    cfg, scfg, accum_steps=1, temperature=1.0, alpha=1.0,
+                    loss_type="nomasked", compute_dtype=jnp.float32)
+                p = jax.tree.map(jnp.array, sparams)
+            else:
+                gs = make_melhubert_grad_step(cfg, accum_steps=1,
+                                              compute_dtype=jnp.float32)
+                p = jax.tree.map(jnp.array, params)
+            ost = opt.init(p)
+            key = jax.random.PRNGKey(2)
+
+            def one_step(p, ost, key):
+                key, k2 = jax.random.split(key)
+                _, grads, _ = (gs(p, params, batch, k2) if teacher
+                               else gs(p, None, batch, k2))
+                p, ost, _ = apply_step(p, ost, grads, jnp.asarray(1.0))
+                return p, ost, key
+
+            p, ost, key = one_step(p, ost, key)
+            fence(p)  # compile + warm
+            t0 = time.time()
+            for _ in range(n_steps):
+                p, ost, key = one_step(p, ost, key)
+            fence(p)
+            sps = n_steps / (time.time() - t0)
+            rkey = ("pretrain_steps_per_sec" if not teacher
+                    else "distill_steps_per_sec")
+            out.append({
+                "metric": f"{name}_steps_per_sec_f32_B4_T768",
+                "value": round(sps, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(sps / ref[rkey], 1) if ref else None,
+            })
+            del gs, p, ost
+            jax.clear_caches()
+        return out
+    except Exception as e:  # noqa: BLE001 — extraction metrics still print
+        print(f"[bench] train metrics skipped: {e}", file=sys.stderr)
+        return []
 
 
 if __name__ == "__main__":

@@ -80,6 +80,113 @@ def test_donated_apply_matches_undonated():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fused_matches_optax():
+    """make_optimizer's fused apply path vs the raw optax chain, over
+    several steps, with clip triggering and coupled weight decay."""
+    import optax
+
+    rng = np.random.default_rng(1)
+    params = {
+        "w": jnp.asarray(rng.standard_normal((8, 5)), jnp.float32),
+        "b": jnp.asarray(rng.standard_normal((5,)), jnp.float32),
+    }
+    for wd, clip, gscale in [(0.0, 10.0, 1.0),   # no decay, clip idle
+                             (0.0, 0.1, 1.0),    # clip triggers
+                             (0.01, 10.0, 1.0),  # coupled L2
+                             (0.01, 0.5, 30.0)]: # both + clip triggers
+        opt = make_optimizer(lr=1e-2, weight_decay=wd,
+                             gradient_clipping=clip)
+        chain = [optax.clip_by_global_norm(clip)]
+        if wd > 0:
+            chain.append(optax.add_decayed_weights(wd))
+        chain.append(optax.adam(1e-2))
+        ref_opt = optax.chain(*chain)
+
+        apply_fused = make_apply_step(opt)
+        p_f, s_f = params, opt.init(params)
+        p_r, s_r = params, ref_opt.init(params)
+        for step in range(3):
+            grads = jax.tree.map(
+                lambda x: gscale * jnp.asarray(
+                    rng.standard_normal(x.shape), jnp.float32), params)
+            ss = jnp.asarray(2.0)
+            p_f, s_f, norm_f = apply_fused(p_f, s_f, grads, ss)
+            gd = jax.tree.map(lambda g: g / ss, grads)
+            norm_r = optax.global_norm(gd)
+            upd, s_r = ref_opt.update(gd, s_r, p_r)
+            p_r = optax.apply_updates(p_r, upd)
+            np.testing.assert_allclose(float(norm_f), float(norm_r),
+                                       rtol=1e-6)
+            for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_r)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-5, atol=2e-7,
+                                           err_msg=f"wd={wd} clip={clip}")
+            # state structure identical (checkpoint interchange)
+            assert (jax.tree.structure(s_f) == jax.tree.structure(s_r))
+            for a, b in zip(jax.tree.leaves(s_f), jax.tree.leaves(s_r)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-5, atol=2e-7)
+
+
+def test_fused_matches_torch_adam():
+    """Direct parity with the reference's optimizer semantics
+    (runner.py:411-424): grads / sample_size, clip_grad_norm_(10),
+    torch.optim.Adam(lr, betas, eps) — 4 steps, clip triggering on some."""
+    import torch
+
+    rng = np.random.default_rng(7)
+    w0 = rng.standard_normal((6, 4)).astype(np.float32)
+    b0 = rng.standard_normal((4,)).astype(np.float32)
+    lr, clip, ss = 1e-2, 10.0, 2.0
+
+    # torch side
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    topt = torch.optim.Adam([tw, tb], lr=lr, betas=(0.9, 0.999), eps=1e-8)
+
+    # jax side
+    params = {"w": jnp.asarray(w0), "b": jnp.asarray(b0)}
+    opt = make_optimizer(lr=lr, gradient_clipping=clip)
+    apply_step = make_apply_step(opt)
+    opt_state = opt.init(params)
+
+    for step in range(4):
+        scale = 40.0 if step % 2 else 1.0  # alternate clip trigger
+        gw = scale * rng.standard_normal((6, 4)).astype(np.float32)
+        gb = scale * rng.standard_normal((4,)).astype(np.float32)
+
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(gw / ss)
+        tb.grad = torch.from_numpy(gb / ss)
+        torch.nn.utils.clip_grad_norm_([tw, tb], clip)
+        topt.step()
+
+        params, opt_state, _ = apply_step(
+            params, opt_state,
+            {"w": jnp.asarray(gw), "b": jnp.asarray(gb)}, jnp.asarray(ss))
+
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   tw.detach().numpy(),
+                                   rtol=2e-5, atol=2e-6,
+                                   err_msg=f"step {step}")
+        np.testing.assert_allclose(np.asarray(params["b"]),
+                                   tb.detach().numpy(),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_fused_count_not_advanced_on_skip():
+    params, opt, opt_state = _tiny_state()
+    apply_step = make_apply_step(opt)
+    good = jax.tree.map(jnp.ones_like, params)
+    bad = jax.tree.map(lambda p: jnp.full_like(p, jnp.nan), params)
+    p, s, _ = apply_step(params, opt_state, good, jnp.asarray(1.0))
+    p, s, _ = apply_step(p, s, bad, jnp.asarray(1.0))
+    p, s, _ = apply_step(p, s, good, jnp.asarray(1.0))
+    count = jax.tree.leaves(s)[0]
+    assert int(count) == 2  # the nan step must not advance Adam's count
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(p))
+
+
 def test_accumulate_grads():
     a = {"w": jnp.ones((3,)), "b": jnp.full((2,), 2.0)}
     b = {"w": jnp.full((3,), 3.0), "b": jnp.ones((2,))}

@@ -104,19 +104,30 @@ def main():
     # Donation invalidates the inputs, so the timed chain must keep
     # flowing forward (never reuse x0); run on COPIES so `params` /
     # `opt_state` stay valid for the full-step stage below.
+    # donate=True also donates grads, so regenerate them from the new
+    # params each step (one fused extra pass; same trick as
+    # tools/perf_apply_ablate.py)
     apply_don = make_apply_step(opt, donate=True)
+
+    @jax.jit
+    def regen(p):
+        return jax.tree.map(lambda x: 0.01 * jnp.ones_like(x) + 0.0 * x, p)
+
     p = jax.tree.map(jnp.array, params)
     ost = jax.tree.map(jnp.array, opt_state)
-    p, ost, _ = apply_don(p, ost, grads, jnp.asarray(1.0))  # compile+warm
+    g = regen(p)
+    p, ost, _ = apply_don(p, ost, g, jnp.asarray(1.0))  # compile+warm
     fence((p, ost))
     t0 = time.time()
     for _ in range(n):
-        p, ost, _ = apply_don(p, ost, grads, jnp.asarray(1.0))
+        g = regen(p)
+        p, ost, _ = apply_don(p, ost, g, jnp.asarray(1.0))
     fence((p, ost))
     ms = (time.time() - t0) / n * 1e3
     results["apply_step_donated"] = ms
-    print(f"apply_step (donated): {ms:.1f} ms", flush=True)
-    del grads, apply_don, p, ost
+    print(f"apply_step (donated, incl. grad-regen pass): {ms:.1f} ms",
+          flush=True)
+    del grads, apply_don, p, ost, g
     jax.clear_caches()
 
     # --- full step at B=32 (effective batch = reference's 4 x 8 accum) --
