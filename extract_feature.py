@@ -54,6 +54,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", args.backend)
+    from speech_ssl_compression_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     from speech_ssl_compression_tpu.extract import MelHuBERTExtractor
 

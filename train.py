@@ -54,6 +54,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", args.backend)
+    from speech_ssl_compression_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     os.makedirs(args.expdir, exist_ok=True)
     # config provenance copies (reference train.py:43-44)
