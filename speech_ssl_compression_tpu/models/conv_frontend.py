@@ -14,6 +14,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops.activations import gelu as _gelu
+
 
 def init_conv_frontend(rng, conv_layers, mode="default", conv_bias=False,
                        dtype=jnp.float32):
@@ -80,7 +82,9 @@ def conv_frontend_forward(params, conv_layers, source, mode="default"):
             x = _instance_norm_fp32(x, layer["group_norm"])
         elif "layer_norm" in layer:
             x = _channel_layer_norm_fp32(x, layer["layer_norm"])
-        x = jax.nn.gelu(x, approximate=False)
+        # tanh-polynomial erf (ops/activations.py): XLA's software erf on
+        # the 100M-element first-layer activations is pure VPU waste
+        x = _gelu(x)
     return x
 
 

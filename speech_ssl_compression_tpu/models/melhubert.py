@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import MelHuBERTConfig
+from ..ops.activations import gelu as _gelu
 from ..ops.masking import compute_span_mask
 from .encoder import (
     _torch_linear_uniform,
@@ -133,7 +134,7 @@ def melhubert_forward(
             remat=remat,
         )
     else:
-        hidden = jax.nn.gelu(x, approximate=False)
+        hidden = _gelu(x)  # tanh-poly erf form (ops/activations.py)
 
     out = {
         "hidden": hidden,

@@ -114,3 +114,30 @@ def test_layerdrop_skips_layers_stochastically():
     assert np.abs(
         np.asarray(out_train["hidden"]) - np.asarray(out_eval["hidden"])
     ).max() > 1e-3
+
+
+def test_gelu_tanh_poly_matches_exact_erf():
+    """'gelu' evaluates erf via a minimax tanh-polynomial
+    (ops/activations.py: XLA's software erf was 23% of the f32
+    extraction step). Its error vs the exact erf form must stay at f32
+    rounding level — regenerate constants with tools/gen_gelu_coeffs.py
+    if this fails."""
+    from speech_ssl_compression_tpu.ops.activations import gelu, gelu_exact
+
+    xf = jnp.asarray(np.linspace(-40, 40, 400001), jnp.float32)
+    got = np.asarray(gelu(xf))
+    exact = np.asarray(gelu_exact(xf))
+    # bound: erf-tail approx error (1.3e-7) scales with 0.5|x| in gelu,
+    # plus f32 rounding of the O(|x|) output (measured 9.5e-7 at x=4.3)
+    tol = 1e-7 * (5.0 + np.abs(np.asarray(xf))) + 5e-7 * np.abs(exact)
+    assert (np.abs(got - exact) <= tol).all()
+    # gradient parity too (custom poly must not distort backprop)
+    g_got = np.asarray(jax.grad(lambda v: jnp.sum(gelu(v)))(xf))
+    g_exact = np.asarray(jax.grad(lambda v: jnp.sum(gelu_exact(v)))(xf))
+    assert np.abs(g_got - g_exact).max() <= 1e-5
+
+    # bf16 inputs: identical rounded outputs for the vast majority of lanes
+    xb = xf.astype(jnp.bfloat16)
+    got_b = np.asarray(gelu(xb).astype(jnp.float32))
+    exact_b = np.asarray(gelu_exact(xb).astype(jnp.float32))
+    assert (got_b == exact_b).mean() > 0.85
