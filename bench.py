@@ -109,8 +109,11 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reps", type=int, default=4,
-                    help="serve-batch size = 2 utterances x reps")
+    ap.add_argument("--reps", type=int, default=8,
+                    help="serve-batch size = 2 utterances x reps "
+                         "(sweep: 4 -> 331k/334k f32/bf16 frames/s, "
+                         "8 -> 350k/401k, 16 -> 357k/406k but fp=10 "
+                         "regresses; 8 balances both regimes)")
     ap.add_argument("--no-train", action="store_true",
                     help="skip the training-step metrics")
     args = ap.parse_args()

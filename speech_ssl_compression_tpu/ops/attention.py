@@ -20,14 +20,93 @@ is the Pallas flash-attention kernel in ops/flash_attention.py, selected by
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from .dropout import dropout as hw_dropout
 
 NEG_INF = -1e30
+
+# ---------------------------------------------------------------------------
+# Mesh context: Pallas kernels are opaque to XLA's GSPMD partitioner, so a
+# flash-attention call inside a jit over a sharded mesh would be computed
+# fully replicated (inputs all-gathered onto every chip). The runners
+# install their mesh here; the flash branch then runs the kernel under
+# jax.shard_map — batch over the "data" axis, heads over the "model" axis —
+# so each chip computes exactly its local shard. (Read at TRACE time; the
+# choice is baked into the jitted step.)
+# ---------------------------------------------------------------------------
+
+_MESH_CTX: dict = {"mesh": None, "data_axis": "data", "model_axis": "model"}
+
+
+def set_attention_mesh(mesh, data_axis: str = "data",
+                       model_axis: str = "model") -> None:
+    """Install (or clear, with mesh=None) the mesh used to shard_map the
+    flash kernel. Call before building jitted steps."""
+    _MESH_CTX.update(mesh=mesh, data_axis=data_axis, model_axis=model_axis)
+
+
+@contextlib.contextmanager
+def attention_mesh(mesh, data_axis: str = "data", model_axis: str = "model"):
+    prev = dict(_MESH_CTX)
+    set_attention_mesh(mesh, data_axis, model_axis)
+    try:
+        yield
+    finally:
+        _MESH_CTX.update(prev)
+
+
+def _sharded_flash(mesh, q, k, v, *, key_padding_mask, causal, dropout_p,
+                   dropout_rng, segment_ids):
+    """flash_attention under shard_map: per-chip local (b, h) shards.
+
+    The in-kernel dropout seeds from LOCAL (b, h, tile) indices, so the
+    rng is folded with the chip's mesh coordinates first — otherwise every
+    chip would draw identical masks for its local head/batch block."""
+    from .flash_attention import flash_attention
+
+    da, ma = _MESH_CTX["data_axis"], _MESH_CTX["model_axis"]
+    tp = mesh.shape.get(ma, 1)
+    qkv_spec = P(da, ma, None, None)
+    args = [q, k, v]
+    specs = [qkv_spec, qkv_spec, qkv_spec]
+    has_kpm = key_padding_mask is not None
+    has_seg = segment_ids is not None
+    has_rng = dropout_rng is not None and dropout_p > 0.0
+    if has_kpm:
+        args.append(key_padding_mask)
+        specs.append(P(da, None))
+    if has_seg:
+        args.append(segment_ids)
+        specs.append(P(da, None))
+    if has_rng:
+        args.append(dropout_rng)
+        specs.append(P())
+
+    def body(*ops):
+        it = iter(ops)
+        q, k, v = next(it), next(it), next(it)
+        kpm = next(it) if has_kpm else None
+        seg = next(it) if has_seg else None
+        rng = next(it) if has_rng else None
+        if rng is not None:
+            shard = jax.lax.axis_index(da) * tp + jax.lax.axis_index(ma)
+            rng = jax.random.fold_in(rng, shard)
+        return flash_attention(
+            q, k, v, key_padding_mask=kpm, causal=causal,
+            dropout_p=dropout_p if rng is not None else 0.0,
+            dropout_rng=rng, segment_ids=seg,
+        )
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=tuple(specs), out_specs=qkv_spec,
+        check_vma=False,
+    )(*args)
 
 
 def dense_attention(
@@ -111,14 +190,28 @@ def multi_head_self_attention(
     if use_flash:
         from .flash_attention import flash_attention
 
-        context = flash_attention(
-            q, k, v,
-            key_padding_mask=key_padding_mask,
-            causal=causal,
-            dropout_p=dropout_p,
-            dropout_rng=dropout_rng,
-            segment_ids=segment_ids,
-        )
+        mesh = _MESH_CTX["mesh"]
+        dp = mesh.shape.get(_MESH_CTX["data_axis"], 1) if mesh else 1
+        tp = mesh.shape.get(_MESH_CTX["model_axis"], 1) if mesh else 1
+        if mesh is not None and (dp > 1 or tp > 1) \
+                and b % dp == 0 and num_heads % tp == 0:
+            context = _sharded_flash(
+                mesh, q, k, v,
+                key_padding_mask=key_padding_mask,
+                causal=causal,
+                dropout_p=dropout_p,
+                dropout_rng=dropout_rng,
+                segment_ids=segment_ids,
+            )
+        else:
+            context = flash_attention(
+                q, k, v,
+                key_padding_mask=key_padding_mask,
+                causal=causal,
+                dropout_p=dropout_p,
+                dropout_rng=dropout_rng,
+                segment_ids=segment_ids,
+            )
     else:
         context = dense_attention(
             q, k, v,

@@ -90,6 +90,11 @@ class Runner:
         self.n_devices = int(np.prod(list(self.mesh.shape.values())))
         if self.n_devices > 1:
             print(f"[Runner] - Device mesh: {dict(self.mesh.shape)}")
+            # flash kernels are GSPMD-opaque; the mesh context makes the
+            # attention module shard_map them over (data, model)
+            from ..ops.attention import set_attention_mesh
+
+            set_attention_mesh(self.mesh)
             self.params = shard_params(self.params, self.mesh,
                                        tensor_parallel=tp > 1)
             if self.teacher_params is not None:

@@ -101,6 +101,10 @@ class WaveRunner:
         self.n_devices = int(np.prod(list(self.mesh.shape.values())))
         if self.n_devices > 1:
             print(f"[WaveRunner] - Device mesh: {dict(self.mesh.shape)}")
+            # shard_map the GSPMD-opaque flash kernels over the mesh
+            from ..ops.attention import set_attention_mesh
+
+            set_attention_mesh(self.mesh)
             self.params = shard_params(self.params, self.mesh,
                                        tensor_parallel=tp > 1)
 

@@ -226,3 +226,74 @@ def test_bf16_train_step_runs():
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(g, np.float32)).all()
                for g in jax.tree.leaves(grads))
+
+
+def test_sharded_flash_matches_dense():
+    """flash_attention under shard_map (ops/attention._sharded_flash) over
+    a 2x2 (data x model) mesh must equal the dense reference — Pallas
+    kernels are GSPMD-opaque, so this path is what makes flash + mesh
+    compose on real multi-chip hardware. Interpret mode on CPU."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from speech_ssl_compression_tpu.ops import attention as attn
+
+    mesh = make_mesh(n_devices=4, model_parallel=2)
+    rng = np.random.default_rng(0)
+    b, h, t, d = 2, 4, 32, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    kpm = jnp.zeros((b, t), bool).at[:, t - 5:].set(True)
+
+    ref = attn.dense_attention(q, k, v, key_padding_mask=kpm)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = attn._sharded_flash(
+            mesh, q, k, v, key_padding_mask=kpm, causal=False,
+            dropout_p=0.0, dropout_rng=None, segment_ids=None,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :, : t - 5], np.asarray(ref)[:, :, : t - 5],
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_attention_mesh_context_selects_sharded_path(monkeypatch):
+    """multi_head_self_attention must route through _sharded_flash when a
+    mesh is installed and shapes divide, and fall back otherwise."""
+    from speech_ssl_compression_tpu.ops import attention as attn
+
+    calls = []
+
+    def fake_sharded(mesh, q, k, v, **kw):
+        calls.append(("sharded", q.shape))
+        return jnp.zeros_like(q)
+
+    monkeypatch.setattr(attn, "_sharded_flash", fake_sharded)
+
+    mesh = make_mesh(n_devices=4, model_parallel=2)
+    rng = np.random.default_rng(0)
+    b, t, d_model = 2, 16, 128
+    x = jnp.asarray(rng.standard_normal((b, t, d_model)), jnp.float32)
+    params = {
+        name: {"kernel": jnp.eye(d_model), "bias": jnp.zeros((d_model,))}
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+    }
+    with attn.attention_mesh(mesh):
+        attn.multi_head_self_attention(
+            x, params, num_heads=4, head_dim=32, impl="flash")
+        # heads=3 does not divide tp=2 -> must NOT take the sharded path
+        # (3 heads x 32 dims: slice params to 96 columns)
+        p3 = {
+            n: {"kernel": params[n]["kernel"][:, :96],
+                "bias": params[n]["bias"][:96]}
+            for n in ("q_proj", "k_proj", "v_proj")
+        }
+        p3["out_proj"] = {"kernel": params["out_proj"]["kernel"][:96],
+                          "bias": params["out_proj"]["bias"]}
+        try:
+            attn.multi_head_self_attention(
+                x, p3, num_heads=3, head_dim=32, impl="flash")
+        except Exception:
+            pass  # real flash kernel may reject CPU; the routing is the test
+    assert calls == [("sharded", (b, 4, t, 32))]

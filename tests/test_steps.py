@@ -187,6 +187,34 @@ def test_fused_count_not_advanced_on_skip():
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(p))
 
 
+def test_generic_path_for_plain_optax_optimizer():
+    """An optimizer NOT built by make_optimizer (no .hyper) must take the
+    generic lax.cond path with the same semantics."""
+    import optax
+
+    params = {"w": jnp.ones((3, 2))}
+    opt = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(1e-2))
+    apply_step = make_apply_step(opt)  # plain GradientTransformation
+    opt_state = opt.init(params)
+    good = jax.tree.map(jnp.ones_like, params)
+    p, s, gn = apply_step(params, opt_state, good, jnp.asarray(1.0))
+    assert np.isfinite(float(gn))
+    assert not np.allclose(np.asarray(p["w"]), np.asarray(params["w"]))
+    bad = jax.tree.map(lambda x: jnp.full_like(x, jnp.nan), params)
+    p2, s2, gn2 = apply_step(p, s, bad, jnp.asarray(1.0))
+    assert not np.isfinite(float(gn2))
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(p["w"]))
+
+    # fused and generic agree on identical inputs
+    fused = make_apply_step(make_optimizer(lr=1e-2))
+    fs = make_optimizer(lr=1e-2).init(params)
+    fp, _, fgn = fused(params, fs, good, jnp.asarray(1.0))
+    gp, _, ggn = apply_step(params, opt.init(params), good, jnp.asarray(1.0))
+    np.testing.assert_allclose(float(fgn), float(ggn), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fp["w"]), np.asarray(gp["w"]),
+                               rtol=2e-5, atol=2e-7)
+
+
 def test_accumulate_grads():
     a = {"w": jnp.ones((3,)), "b": jnp.full((2,), 2.0)}
     b = {"w": jnp.full((3,), 3.0), "b": jnp.ones((2,))}
