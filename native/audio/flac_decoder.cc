@@ -226,23 +226,26 @@ struct FlacInfo {
 // samples (n_samples * channels).
 static int decode_buffer_impl(const uint8_t* data, size_t size, int32_t** out,
                               FlacInfo* info) {
-  std::vector<uint8_t> buf(data, data + size);
+  // read-only view: the decoder never mutates the stream, so no copy
+  // (flac_decode_file would otherwise copy every file twice)
+  const uint8_t* buf_d = data;
+  const size_t buf_n = size;
 
-  if (buf.size() < 42 || memcmp(buf.data(), "fLaC", 4) != 0) return -3;
+  if (buf_n < 42 || memcmp(buf_d, "fLaC", 4) != 0) return -3;
 
   size_t pos = 4;
   bool have_streaminfo = false;
   FlacInfo si{};
   // metadata blocks
-  while (pos + 4 <= buf.size()) {
-    uint8_t hdr = buf[pos];
+  while (pos + 4 <= buf_n) {
+    uint8_t hdr = buf_d[pos];
     bool last = hdr & 0x80;
     int type = hdr & 0x7F;
-    uint32_t len = (buf[pos + 1] << 16) | (buf[pos + 2] << 8) | buf[pos + 3];
+    uint32_t len = (buf_d[pos + 1] << 16) | (buf_d[pos + 2] << 8) | buf_d[pos + 3];
     pos += 4;
-    if (pos + len > buf.size()) return -4;
+    if (pos + len > buf_n) return -4;
     if (type == 0 && len >= 34) {
-      const uint8_t* p = buf.data() + pos;
+      const uint8_t* p = buf_d + pos;
       si.sample_rate = (p[10] << 12) | (p[11] << 4) | (p[12] >> 4);
       si.channels = ((p[12] >> 1) & 0x7) + 1;
       si.bits_per_sample = (((p[12] & 1) << 4) | (p[13] >> 4)) + 1;
@@ -259,7 +262,7 @@ static int decode_buffer_impl(const uint8_t* data, size_t size, int32_t** out,
   }
   if (!have_streaminfo) return -5;
 
-  BitReader br(buf.data(), buf.size());
+  BitReader br(buf_d, buf_n);
   br.byte_pos = pos;
 
   std::vector<int32_t> pcm;

@@ -115,23 +115,24 @@ def read_flac_bytes(data: bytes, verify_md5: bool = True,
     return _finish_flac(rc, out, info, origin, verify_md5)
 
 
+def _normalize_pcm(pcm: np.ndarray) -> np.ndarray:
+    """(T,) or (T, C) integer/float PCM -> (C, T) float32 in [-1, 1]."""
+    if pcm.dtype == np.int16:
+        wav = pcm.astype(np.float32) / 32768.0
+    elif pcm.dtype == np.int32:
+        wav = pcm.astype(np.float32) / 2147483648.0
+    elif pcm.dtype == np.uint8:
+        wav = (pcm.astype(np.float32) - 128.0) / 128.0
+    else:
+        wav = pcm.astype(np.float32)
+    return wav[None, :] if wav.ndim == 1 else wav.T
+
+
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     from scipy.io import wavfile
 
     sr, data = wavfile.read(path)
-    if data.dtype == np.int16:
-        wav = data.astype(np.float32) / 32768.0
-    elif data.dtype == np.int32:
-        wav = data.astype(np.float32) / 2147483648.0
-    elif data.dtype == np.uint8:
-        wav = (data.astype(np.float32) - 128.0) / 128.0
-    else:
-        wav = data.astype(np.float32)
-    if wav.ndim == 1:
-        wav = wav[None, :]
-    else:
-        wav = wav.T
-    return wav, int(sr)
+    return _normalize_pcm(data), int(sr)
 
 
 # ---------------------------------------------------------------------------
@@ -183,16 +184,13 @@ def read_audio_bytes(data: bytes, origin: str = "<bytes>") -> Tuple[np.ndarray, 
         from scipy.io import wavfile
 
         sr, pcm = wavfile.read(io.BytesIO(data))
-        if pcm.dtype == np.int16:
-            wav = pcm.astype(np.float32) / 32768.0
-        elif pcm.dtype == np.int32:
-            wav = pcm.astype(np.float32) / 2147483648.0
-        elif pcm.dtype == np.uint8:
-            wav = (pcm.astype(np.float32) - 128.0) / 128.0
-        else:
-            wav = pcm.astype(np.float32)
-        wav = wav[None, :] if wav.ndim == 1 else wav.T
-        return wav, int(sr)
+        return _normalize_pcm(pcm), int(sr)
+    if data[:3] == b"Ogg":
+        raise ValueError(
+            f"Ogg stream detected at {origin}: the reference reads it via "
+            "soundfile, but this build ships only wav/flac decoders — "
+            "re-encode the archive member as FLAC or WAV"
+        )
     raise ValueError(f"unsupported in-memory audio format: {origin}")
 
 
@@ -208,4 +206,10 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
         return read_flac(file_path)
     if p.endswith(".wav"):
         return read_wav(file_path)
+    if p.endswith(".ogg"):
+        raise ValueError(
+            f"Ogg not supported ({path}): the reference reads it via "
+            "soundfile, but this build ships only wav/flac decoders — "
+            "re-encode as FLAC or WAV"
+        )
     raise ValueError(f"unsupported audio format: {path}")

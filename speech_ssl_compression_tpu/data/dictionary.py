@@ -59,3 +59,23 @@ class LabelEncoder:
         return self.dictionary.encode_line(
             label, append_eos=False, add_if_not_exist=False
         )
+
+
+def build_label_lookup(dictionary: Dictionary) -> np.ndarray:
+    """Raw NONNEGATIVE cluster id -> dictionary index, honoring the dict
+    file's symbol ORDER (the reference encodes via dictionary.encode_line;
+    a fairseq frequency-sorted dict.km.txt permutes ids, so a hardcoded
+    "+4" offset is only correct for numerically-ordered recipe dicts).
+
+    Negative numeric symbols (e.g. a "-1" noise label) are excluded from
+    the table — Python negative indexing would otherwise corrupt the
+    highest cluster's entry — and resolve to <unk> like any other
+    out-of-range id (callers guard raw < 0 / raw >= len(lut))."""
+    numeric = [int(s) for s in dictionary.symbols[4:]
+               if s.lstrip("-").isdigit()]
+    nonneg = [x for x in numeric if x >= 0]
+    hi = (max(nonneg) + 1) if nonneg else 0
+    lut = np.full(max(hi, 1), dictionary.unk(), np.int32)
+    for raw in nonneg:
+        lut[raw] = dictionary.index[str(raw)]
+    return lut

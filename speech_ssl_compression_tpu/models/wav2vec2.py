@@ -134,6 +134,11 @@ def wav2vec2_forward(
 
     mask_indices = jnp.zeros((b, t_frames), bool)
     if mask:
+        if cfg.mask_prob > 0 or cfg.mask_channel_prob > 0:
+            # before the split: random.split(None) raises an opaque
+            # TypeError, and a channel-only config never reaches the
+            # assert in the mask_prob branch below
+            assert mask_rng is not None
         # Split only when channel masking is live so the default config's
         # RNG stream (and thus its masks) is unchanged.
         time_rng = chan_rng = mask_rng

@@ -179,6 +179,10 @@ def _pad_sizes(t, backward=False, use_segments=False):
     # pushes scoped VMEM past the 16 MB limit at 1664 (overflows by ~0.75 MB
     # on v5e); 1536 fits with margin.
     if backward:
+        # hardware-validated on v5e incl. use_segments at T=1024 (the
+        # segment comparison stays an inline predicate, not a separate
+        # score-sized buffer, so segments don't lower this limit the way
+        # they do the forward's)
         whole_tile_limit = 1024
     else:
         whole_tile_limit = 1536 if use_segments else 1664

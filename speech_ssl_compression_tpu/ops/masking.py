@@ -103,7 +103,7 @@ def _sample_lengths(key, shape, mask_selection: str, mask_length: int,
     static_argnames=(
         "mask_prob", "mask_length", "mask_selection", "mask_other",
         "min_masks", "no_overlap", "min_space", "require_same_masks",
-        "mask_dropout",
+        "mask_dropout", "shared_rounding",
     ),
 )
 def compute_span_mask(
@@ -120,6 +120,7 @@ def compute_span_mask(
     min_space: int = 1,
     require_same_masks: bool = True,
     mask_dropout: float = 0.0,
+    shared_rounding: bool = False,
 ) -> jax.Array:
     """Sample a (B, T) bool span mask on device.
 
@@ -131,6 +132,11 @@ def compute_span_mask(
         no_overlap / min_space / require_same_masks / mask_dropout: as in the
         reference ``compute_mask_indices`` (fairseq_code/data_utils.py:20-51);
         note require_same_masks defaults True there too.
+      shared_rounding: use ONE probabilistic-rounding draw for the span
+        count across all rows — the reference's behavior when padding_mask
+        is None (data_utils.py:57-62), e.g. the channel-mask call sites.
+        Per-row draws would make require_same_masks take a min over B
+        independent draws, biasing counts low.
 
     Returns:
       (B, T) bool; True = masked. No True beyond each row's length.
@@ -146,7 +152,8 @@ def compute_span_mask(
 
         def _host(seed_, lengths_):
             return compute_mask_indices_np(
-                (b, t), np.asarray(lengths_),
+                (b, t),
+                None if shared_rounding else np.asarray(lengths_),
                 mask_prob=mask_prob, mask_length=mask_length,
                 mask_selection=mask_selection, mask_other=mask_other,
                 min_masks=min_masks, no_overlap=True, min_space=min_space,
@@ -164,8 +171,12 @@ def compute_span_mask(
     k_count, k_lens, k_starts, k_subset = jax.random.split(rng, 4)
     sz = lengths.astype(jnp.float32)
 
-    # Probabilistic rounding of the span count (per row).
-    u = jax.random.uniform(k_count, (b,))
+    # Probabilistic rounding of the span count (per row, or one shared
+    # draw when the caller has no padding — reference data_utils.py:57-74).
+    if shared_rounding:
+        u = jnp.broadcast_to(jax.random.uniform(k_count, ()), (b,))
+    else:
+        u = jax.random.uniform(k_count, (b,))
     num_mask = jnp.floor(mask_prob * sz / float(mask_length) + u).astype(jnp.int32)
     num_mask = jnp.maximum(num_mask, min_masks)
     num_mask = jnp.minimum(num_mask, n_spans)
@@ -271,6 +282,9 @@ def compute_channel_mask(
         mask_selection=mask_selection, mask_other=mask_other,
         min_masks=0, no_overlap=no_overlap, min_space=min_space,
         require_same_masks=True, mask_dropout=0.0,
+        # no padding mask at the channel call sites -> the reference uses
+        # one shared count draw (all_num_mask) for every row
+        shared_rounding=True,
     )
 
 
@@ -345,11 +359,22 @@ def compute_mask_indices_np(
              else np.asarray(lengths, np.int64))
     mask = np.zeros((b, t), bool)
 
+    # Reference (data_utils.py:57-74): ONE shared count draw when there is
+    # no padding mask; per-row draws only for per-row valid sizes.
+    shared_num_mask = None
+    if lengths is None:
+        shared_num_mask = max(
+            min_masks, int(mask_prob * t / float(mask_length) + rng.random())
+        )
+
     rows: list = []
     for i in range(b):
         sz = int(sizes[i])
-        num_mask = int(mask_prob * sz / float(mask_length) + rng.random())
-        num_mask = max(min_masks, num_mask)
+        if shared_num_mask is None:
+            num_mask = int(mask_prob * sz / float(mask_length) + rng.random())
+            num_mask = max(min_masks, num_mask)
+        else:
+            num_mask = shared_num_mask
         span_lens = _np_lengths(rng, num_mask, mask_selection, mask_length,
                                 mask_other)
         if num_mask and span_lens.sum() == 0:

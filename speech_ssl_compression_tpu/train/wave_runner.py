@@ -31,7 +31,7 @@ from ..compress.schedule import (
     weight_prune_steps,
 )
 from ..data.bucket_dataset import PrefetchIterator
-from ..data.dictionary import Dictionary
+from ..data.dictionary import Dictionary, build_label_lookup
 from ..data.hubert_dataset import HubertWaveDataset
 from ..data.task_config import HubertTaskConfig, Wav2vec2TaskConfig
 from ..data.wav2vec2_dataset import Wav2Vec2AudioDataset
@@ -170,19 +170,7 @@ class WaveRunner:
             Dictionary.load(f"{label_dir}/dict.{label}.txt")
             for label in self.task_cfg.labels
         ]
-        # Raw cluster id -> dictionary index, honoring the dict file's symbol
-        # ORDER (reference encodes via dictionary.encode_line; a fairseq
-        # frequency-sorted dict.km.txt permutes ids, so a hardcoded +4 offset
-        # is only correct for numerically-ordered recipe dicts). Unknown ids
-        # map to <unk>.
-        self._label_lookups = []
-        for d in dicts:
-            numeric = [int(s) for s in d.symbols[4:] if s.lstrip("-").isdigit()]
-            hi = (max(numeric) + 1) if numeric else 0
-            lut = np.full(max(hi, 1), d.unk(), np.int32)
-            for raw in numeric:
-                lut[raw] = d.index[str(raw)]
-            self._label_lookups.append(lut)
+        self._label_lookups = [build_label_lookup(d) for d in dicts]
         return dicts
 
     def _build_grad_step(self):

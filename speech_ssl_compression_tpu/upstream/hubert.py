@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import HuBERTConfig
+from ..data.dictionary import build_label_lookup
 from ..models.conv_frontend import conv_output_length
 from ..models.hubert import (
     align_targets_np,
@@ -43,17 +44,7 @@ class HuBERTPretrainExpert:
         self.cfg = HuBERTConfig.from_dict(dict(model_cfg))
         self.dicts = kwargs["dicts"]
         self.num_classes = tuple(len(d) for d in self.dicts)
-        # raw cluster id -> dictionary index, honoring dict-file symbol order
-        # (reference encodes via dictionary.encode_line)
-        self._label_lookups = []
-        for d in self.dicts:
-            numeric = [int(s) for s in d.symbols[4:]
-                       if s.lstrip("-").isdigit()]
-            lut = np.full(max((max(numeric) + 1) if numeric else 0, 1),
-                          d.unk(), np.int32)
-            for raw in numeric:
-                lut[raw] = d.index[str(raw)]
-            self._label_lookups.append(lut)
+        self._label_lookups = [build_label_lookup(d) for d in self.dicts]
         self.sample_rate = int(upstream_config.get("sample_rate", 16000))
         self.rng = jax.random.PRNGKey(0)
 

@@ -195,3 +195,25 @@ def test_dictionary():
         enc = LabelEncoder(dic)
         np.testing.assert_array_equal(enc("0 3 4"), [4, 7, 8])
         np.testing.assert_array_equal(enc("0 99"), [4, dic.unk()])
+
+
+def test_build_label_lookup_ignores_negative_symbols(tmp_path):
+    """A '-1' noise symbol in dict.km.txt must not corrupt the table via
+    Python negative indexing (it would overwrite the HIGHEST cluster's
+    entry); negative raw ids resolve to <unk> through callers' oob guard."""
+    from speech_ssl_compression_tpu.data.dictionary import (
+        Dictionary,
+        build_label_lookup,
+    )
+
+    p = str(tmp_path / "dict.km.txt")
+    # frequency-sorted fairseq-style dict with a noise label
+    with open(p, "w") as f:
+        for sym, cnt in [("2", 900), ("-1", 500), ("0", 400), ("1", 100)]:
+            f.write(f"{sym} {cnt}\n")
+    d = Dictionary.load(p)
+    lut = build_label_lookup(d)
+    assert len(lut) == 3
+    assert lut[2] == d.index["2"]   # NOT clobbered by the "-1" symbol
+    assert lut[0] == d.index["0"]
+    assert lut[1] == d.index["1"]

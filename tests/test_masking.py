@@ -208,3 +208,35 @@ def test_channel_mask_shape_and_rows():
     assert 0.2 < ch.mean() < 0.6
     # require_same_masks (reference default) equalizes per-row channel counts
     assert len(set(ch.sum(1).tolist())) == 1
+
+
+def test_shared_rounding_count_matches_reference_no_padding():
+    """Reference compute_mask_indices with padding_mask=None draws ONE
+    shared count for all rows (data_utils.py:57-74); per-row draws +
+    require_same_masks' batch-min would bias counts low. Channel masks
+    use that path (shared_rounding=True)."""
+    b, c, L, p = 8, 512, 10, 0.5
+    seeds = 24
+
+    def mean_count(**kw):
+        return np.mean([
+            np.asarray(compute_span_mask(
+                jax.random.PRNGKey(s), jnp.full((b,), c, jnp.int32), c,
+                mask_prob=p, mask_length=L, min_masks=0, **kw,
+            )).sum(1).mean()
+            for s in range(seeds)
+        ])
+
+    shared = mean_count(shared_rounding=True)
+    ref = np.mean([
+        compute_mask_indices_np(
+            (b, c), None, mask_prob=p, mask_length=L, min_masks=0,
+            rng=np.random.default_rng(s),
+        ).sum(1).mean()
+        for s in range(seeds)
+    ])
+    # shared device path tracks the reference oracle...
+    assert abs(shared - ref) / ref < 0.05, (shared, ref)
+    # ...and the per-row batch-min bias is real and visible
+    per_row = mean_count(shared_rounding=False)
+    assert per_row < shared, (per_row, shared)
