@@ -113,6 +113,10 @@ def distill_forward(
     t_rng = s_rng = None
     if rng is not None:
         t_rng, s_rng = jax.random.split(rng)
+    # The reference disables masking ENTIRELY for loss_type=nomasked
+    # (distillation/pretrain_expert.py:28-34 sets mask_or_not=False and
+    # :115-117 forwards both models with mask=mask_or_not, distilling over
+    # all valid frames via logit_u) — not "masked forward, unmasked loss".
     mask_or_not = loss_type == "masked"
     teacher_out = melhubert_forward(
         jax.lax.stop_gradient(teacher_params), teacher_cfg, feat, pad_mask,

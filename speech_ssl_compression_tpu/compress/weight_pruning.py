@@ -166,11 +166,18 @@ class WeightPruningState:
             self.buffer_loss.append(batch_loss)
 
     def update_target_smooth_loss(self, global_step: int, prune_steps):
-        # record the target avg_len steps before each prune (wp_utils.py:123-127)
+        """Record the convergence target avg_len steps before each prune.
+
+        The reference's condition `(global_step - warnup + avg_len) in
+        prune_steps` (wp_utils.py:125-126) only means "avg_len before the
+        next prune" when warnup == period (true for every shipped config);
+        with period != warnup it records at the wrong offset. Fixed here
+        by testing against each prune step directly (deviation documented
+        in docs/DESIGN.md §7)."""
         if (
             self.prune_condition == "converge"
             and global_step > self.warnup
-            and (global_step - self.warnup + self.avg_len) in prune_steps
+            and any(global_step + self.avg_len == p for p in prune_steps)
         ):
             self.tgt_smooth_loss = self.smooth_loss
 

@@ -204,6 +204,14 @@ def multi_head_self_attention(
                 segment_ids=segment_ids,
             )
         else:
+            if mesh is not None and (dp > 1 or tp > 1):
+                # trace-time (shapes are static): the fallback is computed
+                # replicated under GSPMD — correct but not parallelized
+                print(
+                    f"[attention] flash falls back to the replicated path: "
+                    f"batch {b} % data {dp} or heads {num_heads} % model "
+                    f"{tp} != 0 (e.g. ragged head counts after pruning)"
+                )
             context = flash_attention(
                 q, k, v,
                 key_padding_mask=key_padding_mask,

@@ -40,7 +40,9 @@ def dropout(x, rng, p: float, deterministic: bool):
         return x
     _, bits = jax.lax.rng_bit_generator(_rbg_key(rng), x.shape,
                                         dtype=jnp.uint32)
-    # P(bits < floor((1-p) * 2^32)) = (1-p) up to 2^-32
-    threshold = jnp.uint32(int((1.0 - p) * 4294967296.0))
+    # P(bits < floor((1-p) * (2^32 - 1))) = (1-p) up to 2^-32; the -1
+    # keeps tiny p from overflowing uint32 (flash kernel uses the same
+    # multiplier, flash_attention.py::_tile_keep_mask)
+    threshold = jnp.uint32(int((1.0 - p) * 4294967295.0))
     scale = jnp.asarray(1.0 / (1.0 - p), x.dtype)
     return jnp.where(bits < threshold, x * scale, jnp.zeros((), x.dtype))

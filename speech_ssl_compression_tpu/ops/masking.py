@@ -252,11 +252,14 @@ def compute_span_mask(
                 target.astype(jnp.float32) * mask_dropout
             ).astype(jnp.int32)
         # Keep a uniform random subset of exactly `target` masked positions
-        # per row: rank masked positions by i.i.d. scores, keep the top ones.
+        # per row: rank masked positions by i.i.d. scores and keep the top
+        # `target` by RANK — a float threshold (sub >= thr) would keep
+        # target+1 whenever two f32 draws collide at the threshold (~1.7%
+        # of rows at T=768), breaking the exact-equal-count guarantee.
         sub = jnp.where(mask, jax.random.uniform(k_subset, (b, t)), -1.0)
-        order = -jnp.sort(-sub, axis=1)  # descending
-        thr = order[jnp.arange(b), jnp.maximum(target - 1, 0)]
-        mask = mask & (sub >= thr[:, None]) & (target > 0)[:, None]
+        order_idx = jnp.argsort(-sub, axis=1)
+        rank = jnp.argsort(order_idx, axis=1)
+        mask = mask & (rank < target[:, None]) & (target > 0)[:, None]
 
     return mask
 

@@ -65,6 +65,14 @@ def build_pack_arrays(
             f"capacity {capacity} < longest utterance "
             f"{max(int(l) for l in lengths)}: packing must not truncate"
         )
+    for ri, row in enumerate(rows):
+        row_sum = sum(int(lengths[u]) for u in row)
+        if row_sum > capacity:
+            # plan_packing never produces this; guard rows built by hand
+            raise ValueError(
+                f"packed row {ri} holds {row_sum} frames > capacity "
+                f"{capacity}: packing must not truncate"
+            )
     r = len(rows)
     gather = np.zeros((r, capacity), np.int64)
     seg = np.zeros((r, capacity), np.int64)
@@ -74,7 +82,7 @@ def build_pack_arrays(
     for ri, row in enumerate(rows):
         col = 0
         for utt in row:
-            n = min(int(lengths[utt]), capacity - col)
+            n = int(lengths[utt])
             seg_counter += 1
             gather[ri, col:col + n] = utt * src_time + np.arange(n)
             seg[ri, col:col + n] = seg_counter
