@@ -148,11 +148,16 @@ class MelHuBERTExtractor:
 
     def forward(self, wavs: Sequence[np.ndarray]) -> dict:
         feat, pad_mask, lengths = self.featurize(wavs)
-        out = self._jit_forward(
-            self.params,
-            jnp.asarray(feat, self.dtype),
-            jnp.asarray(pad_mask),
-        )
+        from .ops.attention import attention_mesh
+
+        # serving is single-device: never trace against a (possibly stale,
+        # process-global) training mesh installed by a runner
+        with attention_mesh(None):
+            out = self._jit_forward(
+                self.params,
+                jnp.asarray(feat, self.dtype),
+                jnp.asarray(pad_mask),
+            )
         return {
             "hidden_states": [out["pre_feat"]] + list(out["layer_hiddens"]),
             "last_hidden_state": out["hidden"],
@@ -222,12 +227,15 @@ class MelHuBERTExtractor:
         gather_idx, seg_ids, unpack_idx = build_pack_arrays(
             lengths, rows, cap, t
         )
-        out = self._packed_impl(
-            self.cfg, self.matmul_precision, self.params,
-            jnp.asarray(feat, self.dtype), jnp.asarray(pad_mask),
-            jnp.asarray(gather_idx), jnp.asarray(seg_ids),
-            jnp.asarray(unpack_idx),
-        )
+        from .ops.attention import attention_mesh
+
+        with attention_mesh(None):  # single-device serving (see forward)
+            out = self._packed_impl(
+                self.cfg, self.matmul_precision, self.params,
+                jnp.asarray(feat, self.dtype), jnp.asarray(pad_mask),
+                jnp.asarray(gather_idx), jnp.asarray(seg_ids),
+                jnp.asarray(unpack_idx),
+            )
         return {
             "hidden_states": [out["pre_feat"]] + list(out["layer_hiddens"]),
             "last_hidden_state": out["hidden"],

@@ -148,7 +148,7 @@ def pos_conv_embed(x, p, groups: int, kernel_size: int):
     out = out.astype(x.dtype) + p["bias"][None, None, :]
     if kernel_size % 2 == 0:
         out = out[:, :-1, :]  # SamePad: crop the extra frame for even K
-    return jax.nn.gelu(out, approximate=False)
+    return get_activation_fn("gelu")(out)  # tanh-poly erf (ops/activations)
 
 
 def encoder_layer_forward(

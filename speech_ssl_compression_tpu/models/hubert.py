@@ -28,8 +28,8 @@ from .conv_frontend import (
     init_conv_frontend,
     wave_frontend_forward,
 )
+from ..ops.dropout import dropout as _dropout
 from .encoder import (
-    _dropout,
     _torch_linear_uniform,
     encoder_forward,
     init_encoder,

@@ -24,8 +24,8 @@ import jax.numpy as jnp
 from ..configs import Wav2Vec2Config
 from ..ops.masking import compute_channel_mask, compute_span_mask
 from .conv_frontend import init_conv_frontend, wave_frontend_forward
+from ..ops.dropout import dropout as _dropout
 from .encoder import (
-    _dropout,
     _torch_linear_uniform,
     encoder_forward,
     init_encoder,
@@ -111,6 +111,7 @@ def wav2vec2_forward(
     deterministic: bool = True,
     gumbel_temp=None,  # float or traced scalar; None -> latent_temp[0]
     attn_impl: str = "auto",
+    mask_shared_rounding: bool = False,
 ) -> dict:
     mask_rng = enc_rng = di_rng = df_rng = vq_rng = neg_rng = None
     if rng is not None:
@@ -172,6 +173,11 @@ def wav2vec2_forward(
                 min_space=cfg.mask_min_space,
                 require_same_masks=cfg.require_same_masks,
                 mask_dropout=cfg.mask_dropout,
+                # reference parity: with an unpadded (crop-collated) batch
+                # fairseq sees padding_mask=None and draws ONE shared span
+                # count for all rows (data_utils.py:57-62); per-row draws
+                # + require_same_masks' batch-min would under-mask
+                shared_rounding=mask_shared_rounding,
             )
             x = jnp.where(
                 mask_indices[:, :, None], params["mask_emb"][None, None, :], x

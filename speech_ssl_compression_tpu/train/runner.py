@@ -88,13 +88,16 @@ class Runner:
         tp = int(getattr(args, "model_parallel", 1) or 1)
         self.mesh = make_mesh(model_parallel=tp)
         self.n_devices = int(np.prod(list(self.mesh.shape.values())))
+        # flash kernels are GSPMD-opaque; the mesh context makes the
+        # attention module shard_map them over (data, model). Install OR
+        # CLEAR unconditionally — the state is process-global, and a
+        # single-device runner built after a mesh runner must not trace
+        # against the stale mesh.
+        from ..ops.attention import set_attention_mesh
+
+        set_attention_mesh(self.mesh if self.n_devices > 1 else None)
         if self.n_devices > 1:
             print(f"[Runner] - Device mesh: {dict(self.mesh.shape)}")
-            # flash kernels are GSPMD-opaque; the mesh context makes the
-            # attention module shard_map them over (data, model)
-            from ..ops.attention import set_attention_mesh
-
-            set_attention_mesh(self.mesh)
             self.params = shard_params(self.params, self.mesh,
                                        tensor_parallel=tp > 1)
             if self.teacher_params is not None:

@@ -99,12 +99,12 @@ class WaveRunner:
         tp = int(getattr(args, "model_parallel", 1) or 1)
         self.mesh = make_mesh(model_parallel=tp)
         self.n_devices = int(np.prod(list(self.mesh.shape.values())))
+        # install OR clear the process-global attention mesh (see Runner)
+        from ..ops.attention import set_attention_mesh
+
+        set_attention_mesh(self.mesh if self.n_devices > 1 else None)
         if self.n_devices > 1:
             print(f"[WaveRunner] - Device mesh: {dict(self.mesh.shape)}")
-            # shard_map the GSPMD-opaque flash kernels over the mesh
-            from ..ops.attention import set_attention_mesh
-
-            set_attention_mesh(self.mesh)
             self.params = shard_params(self.params, self.mesh,
                                        tensor_parallel=tp > 1)
 
@@ -182,6 +182,11 @@ class WaveRunner:
         compute_dtype = self.compute_dtype
         upstream = self.upstream
         num_classes = getattr(self, "num_classes", None)
+        # mirrors the dataset's pad condition (Wav2Vec2AudioDataset below)
+        w2v2_padded = upstream == "wav2vec2" and (
+            getattr(self.task_cfg, "labels", None) is not None
+            or self.task_cfg.enable_padding
+        )
 
         @jax.jit
         def grad_step(params, masks, batch, rng, gumbel_temp):
@@ -206,6 +211,10 @@ class WaveRunner:
                         batch["length"],
                         mask=True, rng=rng, deterministic=False,
                         gumbel_temp=gumbel_temp,
+                        # crop-collated (unpadded) batches: the reference
+                        # sees padding_mask=None -> one shared span-count
+                        # draw (static: the dataset's pad flag)
+                        mask_shared_rounding=not w2v2_padded,
                     )
                     loss, sample_size, logs = wav2vec2_pretrain_loss(out, cfg)
                 return loss / accum, (sample_size, logs)
