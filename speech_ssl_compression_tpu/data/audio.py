@@ -206,6 +206,12 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
         return read_flac(file_path)
     if p.endswith(".wav"):
         return read_wav(file_path)
+    if p.endswith(".npy"):
+        raise ValueError(
+            f"{path} is a feature dump, not audio — load it with np.load "
+            "(read_audio returns waveforms; .npy passes parse_path only so "
+            "feature manifests route through the datasets' own loaders)"
+        )
     if p.endswith(".ogg"):
         raise ValueError(
             f"Ogg not supported ({path}): the reference reads it via "

@@ -187,11 +187,26 @@ class PrefetchIterator:
     def __next__(self):
         if self._exhausted:
             raise StopIteration
-        item = self.q.get()
-        if item is self._done:
-            self._exhausted = True
-            self._stop.set()
-            if self._err is not None:
-                raise self._err
-            raise StopIteration
-        return item
+        while True:
+            if self._stop.is_set():
+                # closed: the worker may exit WITHOUT enqueuing the done
+                # sentinel (its _put returns False once _stop is set), so
+                # an unconditional q.get() would hang forever. Drain
+                # whatever is already buffered, then stop.
+                try:
+                    item = self.q.get_nowait()
+                except queue.Empty:
+                    self._exhausted = True
+                    raise StopIteration from None
+            else:
+                try:
+                    item = self.q.get(timeout=0.1)
+                except queue.Empty:
+                    continue  # re-check _stop
+            if item is self._done:
+                self._exhausted = True
+                self._stop.set()
+                if self._err is not None:
+                    raise self._err
+                raise StopIteration
+            return item

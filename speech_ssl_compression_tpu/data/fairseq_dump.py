@@ -10,6 +10,8 @@ from typing import Iterator, List
 
 import numpy as np
 
+from .bucket_dataset import _round_up
+
 from ..ops.fbank import stack_frame_pairs_np
 
 
@@ -136,7 +138,7 @@ class FairseqDumpBuckets:
                 labels2.append(l2)
 
         lengths = np.array([len(f) for f in feats], np.int32)
-        t = -(-int(lengths.max()) // self.pad_multiple) * self.pad_multiple
+        t = _round_up(int(lengths.max()), self.pad_multiple)
         b, d = len(feats), feats[0].shape[1]
         feat_pad = np.zeros((b, t, d), np.float32)
         lab_pad = np.full((b, t), -100, np.int32)

@@ -19,6 +19,8 @@ from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 
+from .bucket_dataset import _round_up
+
 from .audio import read_audio
 
 logger = logging.getLogger(__name__)
@@ -149,9 +151,12 @@ class HubertWaveDataset:
         out = []
         for p, offsets in zip(self.label_paths, self.label_offsets):
             s, e = offsets[index]
-            with open(p) as f:
+            # binary mode: the offsets are BYTE positions; a text-mode
+            # f.read(e - s) counts characters and over-reads into the next
+            # utterance whenever the file holds any multi-byte sequence
+            with open(p, "rb") as f:
                 f.seek(s)
-                line = f.read(e - s)
+                line = f.read(e - s).decode("utf-8")
             out.append(np.array(list(map(int, line.split()))))
         return out
 
@@ -180,7 +185,7 @@ class HubertWaveDataset:
             starts.append(start)
             cropped.append(w[start : start + target])
 
-        t_pad = -(-target // self.pad_multiple) * self.pad_multiple
+        t_pad = _round_up(target, self.pad_multiple)
         b = len(idxs)
         source = np.zeros((b, t_pad), np.float32)
         lengths = np.zeros((b,), np.int32)

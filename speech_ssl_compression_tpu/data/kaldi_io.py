@@ -160,8 +160,8 @@ def read_mean_var(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """Kaldi-style accumulator text file: line1 '[sum,...]',
     line2 '[sumsq,...]', line3 frame count -> (mean, std)."""
     with open(path) as fp:
-        s = np.fromstring(fp.readline().strip()[1:-1], dtype=float, sep=",")
-        sq = np.fromstring(fp.readline().strip()[1:-1], dtype=float, sep=",")
+        s = np.array(fp.readline().strip()[1:-1].split(","), dtype=float)
+        sq = np.array(fp.readline().strip()[1:-1].split(","), dtype=float)
         n = int(fp.readline().strip())
     mean = s / n
     std = np.sqrt(sq / n - mean**2)

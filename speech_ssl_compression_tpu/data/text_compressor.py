@@ -18,6 +18,9 @@ class TextCompressionLevel(Enum):
 class TextCompressor:
     def __init__(self, level: TextCompressionLevel,
                  max_input_byte_length: int = 2**16):
+        # max_input_byte_length exists for reference API parity
+        # (fairseq_code/text_compressor.py:3-6, where it feeds unishox2's
+        # chunking); zlib has no such limit, so it is accepted and ignored.
         self.level = level
 
     def compress(self, text: str) -> bytes:

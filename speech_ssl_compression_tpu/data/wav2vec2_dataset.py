@@ -50,8 +50,11 @@ class Wav2Vec2AudioDataset:
         seed: int = 0,
     ):
         self.sample_rate = sample_rate
+        # int sentinel, not np.inf: every consumer calls int(...) on this
+        # (int(np.inf) raises OverflowError)
         self.max_sample_size = (
-            max_sample_size if max_sample_size is not None else np.inf
+            int(max_sample_size) if max_sample_size is not None
+            else np.iinfo(np.int64).max
         )
         self.pad = pad
         self.normalize = normalize
@@ -81,10 +84,12 @@ class Wav2Vec2AudioDataset:
         capped = np.minimum(self.sizes, int(self.max_sample_size))
         if num_buckets > 0 and len(capped) > 1:
             bounds = get_percentile_buckets(capped, num_buckets)
+            self.bucket_bounds = np.asarray(bounds, np.int64)
             self.padded_sizes = bounds[
                 np.searchsorted(bounds, capped, side="left")
             ]
         else:
+            self.bucket_bounds = np.zeros((0,), np.int64)
             self.padded_sizes = capped
 
         order = np.argsort(self.padded_sizes)[::-1]
@@ -117,6 +122,16 @@ class Wav2Vec2AudioDataset:
             target = int(max(self.padded_sizes[idxs].max(), target))
         else:
             target = min(min(len(w) for w in wavs), int(self.max_sample_size))
+            # Snap the crop target DOWN to a bucket bound: the raw batch
+            # minimum is a near-continuous value, so the jitted train step
+            # would recompile for virtually every batch on TPU. Cropping a
+            # little more than the reference's exact batch-min is the
+            # static-shape trade (reference crops to min anyway).
+            if len(self.bucket_bounds):
+                bi = int(np.searchsorted(self.bucket_bounds, target,
+                                         side="right")) - 1
+                if bi >= 0:
+                    target = int(self.bucket_bounds[bi])
         # reference crop_seq_to_multiple (model.py:757-762), applied at the
         # static-shape boundary
         from ..models.wav2vec2 import crop_to_multiple

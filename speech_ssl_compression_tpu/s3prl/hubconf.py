@@ -12,9 +12,8 @@ import pathlib
 
 from .expert import UpstreamExpert as _UpstreamExpert
 
-_EXAMPLE = pathlib.Path("/root/reference/example")
-if not _EXAMPLE.exists():
-    _EXAMPLE = pathlib.Path(__file__).resolve().parents[2] / "example"
+# repo-bundled stats are the default; mean_std_npy_path= overrides
+_EXAMPLE = pathlib.Path(__file__).resolve().parents[2] / "example"
 
 
 def _default_mean_std(hours: int) -> str:
