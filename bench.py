@@ -10,6 +10,13 @@ LibriSpeech flacs — the reference's only runnable end-to-end fixture
 (extract_feature.py). Baseline = torch-CPU replica of the reference forward,
 measured on this machine by tools/measure_reference_baseline.py
 (BASELINE_local.json).
+
+Precision note: the "f32" rows run f32 storage at the TPU's DEFAULT matmul
+precision (single-pass bf16 MXU with f32 accumulation — the standard TPU
+f32 serving mode; `extract_feature.py --matmul-precision default` selects
+it). The extractor's parity-grade `highest` mode (its CLI default, used for
+the 3.4e-6 golden-parity number) runs the MXU in multi-pass f32 and is
+deliberately not the throughput configuration.
 """
 
 import json

@@ -34,11 +34,17 @@ def get_args():
     parser.add_argument("-c", "--checkpoint", required=True,
                         help="Path to model checkpoint (.ckpt torch or .npz)")
     parser.add_argument("-f", "--fp", type=int, default=20,
-                        help="frame period")
+                        choices=[10, 20], help="frame period (ms)")
     parser.add_argument("-d", "--hours", type=int, choices=[360, 960],
                         default=960)
     parser.add_argument("--backend", default=None,
                         help="jax platform override (e.g. cpu)")
+    parser.add_argument("--matmul-precision", default="highest",
+                        choices=["default", "high", "highest"],
+                        help="'highest' = parity-grade multi-pass f32 MXU "
+                             "(default); 'default' = single-pass bf16 MXU "
+                             "with f32 accumulation — the throughput mode "
+                             "bench.py measures")
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="compute dtype (bfloat16 trades ~1e-1 worst-case "
@@ -75,6 +81,7 @@ def main():
     extractor = MelHuBERTExtractor(
         args.checkpoint, fp=args.fp, mean_std_npy_path=str(mean_std),
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        matmul_precision=args.matmul_precision,
     )
     print(
         f"[Extractor] - Successfully load model with "

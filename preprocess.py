@@ -30,17 +30,39 @@ def main():
         pathlib.Path(args.data_dir).mkdir(parents=True, exist_ok=True)
         subprocess.run(["tar", "-xf", args.tar, "-C", args.data_dir],
                        check=True)
+        # reference preprocess.sh:7-8 flattens the 960h release's nested
+        # 20 ms cluster split before tidying; without it the 20 ms label
+        # scp is missing and the labels/CSV silently never get written
+        split = pathlib.Path(args.data_dir) / "stage2-cluster-20ms" / "split200"
+        if split.is_dir():
+            for item in split.iterdir():
+                item.rename(split.parent / item.name)
+            split.rmdir()
 
-    name = f"train-{args.hours}"
-    tidy_kaldi_data(
-        args.data_dir,
-        args.out_dir,
-        feat_scp=f"fbank/{name}.scp",
-        mean_var=f"fbank/{name}.mean-var",
-        label_scp_name=f"train_{args.hours}.hubert8.bas.scp",
-        num_cluster=args.num_cluster,
-        csv_prefix=f"libri{args.hours}-stg2",
-    )
+    if args.hours == 960:
+        # 960h release layout (reference tidy_libri960_kaldi_data.py:31-35)
+        tidy_kaldi_data(
+            args.data_dir,
+            args.out_dir,
+            feat_scp="fbank/train-960.scp",
+            mean_var="fbank/train-960.mean-var",
+            label_scp_name="train_960.hubert8.bas.scp",
+            num_cluster=args.num_cluster,
+            csv_prefix="libri960-stg2",
+        )
+    else:
+        # 360h release stores everything at the data_dir root under
+        # train-clean-360.* names (reference tidy_libri360_kaldi_data.py:29-37)
+        tidy_kaldi_data(
+            args.data_dir,
+            args.out_dir,
+            feat_scp="train-clean-360.scp",
+            mean_var="train-clean-360.mean-var",
+            cluster_dirs={"20ms": "."},
+            label_scp_name="train-clean-360-k512-e10.bas.scp",
+            num_cluster=args.num_cluster,
+            csv_prefix="libri-360-data-cluster-pair",
+        )
     print(f"[Preprocess] wrote features/labels/CSVs to {args.out_dir}")
 
 

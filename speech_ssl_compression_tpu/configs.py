@@ -26,6 +26,22 @@ def _per_layer(value, n_layers: int) -> Tuple[int, ...]:
     return tuple(int(value) for _ in range(n_layers))
 
 
+def _resolve_head_dim(cfg: dict, heads, embed_dim: int) -> int:
+    """head_dim stays FIXED under pruning; per-layer head counts without an
+    explicit head_dim are ambiguous (the counts may already be pruned, and
+    embed_dim // max(heads) would silently build wider heads)."""
+    if "head_dim" in cfg:
+        return int(cfg["head_dim"])
+    if isinstance(heads, int):
+        return embed_dim // int(heads)
+    raise ValueError(
+        "config lists per-layer encoder_attention_heads "
+        f"{list(heads)} without head_dim; set head_dim explicitly "
+        "(it stays fixed under pruning, e.g. 64 for 768/12)"
+    )
+
+
+
 @dataclass(frozen=True)
 class MelHuBERTConfig:
     """Mirrors reference model_config.py:1-47 (defaults included)."""
@@ -80,7 +96,6 @@ class MelHuBERTConfig:
         n_layers = int(cfg.get("encoder_layers", 1))
         embed_dim = int(cfg.get("encoder_embed_dim", 768))
         heads = cfg.get("encoder_attention_heads", 12)
-        base_heads = heads if isinstance(heads, int) else max(heads)
         known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in cfg.items() if k in known}
         kwargs["encoder_layers"] = n_layers
@@ -89,7 +104,7 @@ class MelHuBERTConfig:
             cfg.get("encoder_ffn_embed_dim", 3072), n_layers
         )
         kwargs["encoder_attention_heads"] = _per_layer(heads, n_layers)
-        kwargs["head_dim"] = int(cfg.get("head_dim", embed_dim // int(base_heads)))
+        kwargs["head_dim"] = _resolve_head_dim(cfg, heads, embed_dim)
         return cls(**kwargs)
 
     def to_dict(self) -> dict:
@@ -175,7 +190,6 @@ class HuBERTConfig:
         n_layers = int(cfg.get("encoder_layers", 12))
         embed_dim = int(cfg.get("encoder_embed_dim", 768))
         heads = cfg.get("encoder_attention_heads", 12)
-        base_heads = heads if isinstance(heads, int) else max(heads)
         conv_spec = cfg.get(
             "conv_feature_layers",
             "[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2",
@@ -191,7 +205,7 @@ class HuBERTConfig:
             cfg.get("encoder_ffn_embed_dim", 3072), n_layers
         )
         kwargs["encoder_attention_heads"] = _per_layer(heads, n_layers)
-        kwargs["head_dim"] = int(cfg.get("head_dim", embed_dim // int(base_heads)))
+        kwargs["head_dim"] = _resolve_head_dim(cfg, heads, embed_dim)
         kwargs["conv_feature_layers"] = tuple(tuple(c) for c in conv_spec)
         if "latent_temp" in cfg:
             kwargs["latent_temp"] = tuple(float(x) for x in cfg["latent_temp"])
@@ -311,7 +325,6 @@ class Wav2Vec2Config:
         n_layers = int(cfg.get("encoder_layers", 12))
         embed_dim = int(cfg.get("encoder_embed_dim", 768))
         heads = cfg.get("encoder_attention_heads", 12)
-        base_heads = heads if isinstance(heads, int) else max(heads)
         conv_spec = cfg.get(
             "conv_feature_layers",
             "[(512, 10, 5)] + [(512, 3, 2)] * 4 + [(512,2,2)] + [(512,2,2)]",
@@ -325,7 +338,7 @@ class Wav2Vec2Config:
             cfg.get("encoder_ffn_embed_dim", 3072), n_layers
         )
         kwargs["encoder_attention_heads"] = _per_layer(heads, n_layers)
-        kwargs["head_dim"] = int(cfg.get("head_dim", embed_dim // int(base_heads)))
+        kwargs["head_dim"] = _resolve_head_dim(cfg, heads, embed_dim)
         kwargs["conv_feature_layers"] = tuple(tuple(c) for c in conv_spec)
         if "latent_temp" in cfg:
             kwargs["latent_temp"] = tuple(float(x) for x in cfg["latent_temp"])

@@ -64,6 +64,10 @@ def tidy_kaldi_data(
         kmeans_dir = os.path.join(data_dir, rel)
         scp_path = os.path.join(kmeans_dir, label_scp_name)
         if not os.path.exists(scp_path):
+            print(f"[Preprocess] WARNING: no {fp_name} label scp at "
+                  f"{scp_path}; skipping that frame period's labels/CSV "
+                  "(if this release nests them under split200/, flatten "
+                  "first — preprocess.py --tar does it automatically)")
             continue
         label_dir = os.path.join(out_dir, f"cluster_{fp_name}")
         os.makedirs(label_dir, exist_ok=True)

@@ -200,6 +200,9 @@ class MelHuBERTExtractor:
                 padding_mask=seg_ids == 0,
                 segment_ids=seg_ids,
                 get_hidden=True,
+                # packing keeps each utterance contiguous and in order, so
+                # causal-within-segment equals the unpacked causal mask
+                causal=cfg.attention_type == "causal",
             )
 
             def unpack(h):
@@ -218,6 +221,10 @@ class MelHuBERTExtractor:
         """Like :meth:`forward` but packs utterances into fixed-capacity
         rows with segment-masked attention (block-diagonal). Outputs match
         the unpacked path."""
+        if int(self.cfg.encoder_layers) == 0:
+            # no encoder params to pack over; the plain path handles the
+            # gelu(pre_feat) fallback (melhubert.py:124-137)
+            return self.forward(wavs)
         feat, pad_mask, lengths = self.featurize(wavs)
         b, t, _ = feat.shape
         cap = capacity or t

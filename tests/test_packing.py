@@ -128,3 +128,41 @@ def test_packed_extraction_matches_unpacked(tmp_path):
                 np.asarray(lh_ref)[i, :n], np.asarray(lh_got)[i, :n],
                 atol=2e-4,
             )
+
+
+def test_packed_extraction_matches_unpacked_causal(tmp_path):
+    """Causal checkpoints: packing keeps utterances contiguous and
+    in-order, so causal-within-segment must equal the unpacked causal
+    mask (regression: _packed_impl once dropped the causal flag)."""
+    from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+    from speech_ssl_compression_tpu.extract import MelHuBERTExtractor
+    from speech_ssl_compression_tpu.models import init_melhubert_params
+    from speech_ssl_compression_tpu.utils.checkpoint import save_checkpoint
+
+    cfg_dict = {
+        "feat_emb_dim": 80, "encoder_layers": 2, "encoder_embed_dim": 64,
+        "encoder_attention_heads": 4, "head_dim": 16,
+        "encoder_ffn_embed_dim": 128, "num_cluster": 16,
+        "conv_pos": 16, "conv_pos_groups": 4,
+        "attention_type": "causal",
+    }
+    cfg = MelHuBERTConfig.from_dict(cfg_dict)
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, params,
+                    meta={"Upstream_Config": {"melhubert": cfg_dict}})
+
+    ex = MelHuBERTExtractor(ckpt, fp=20, pad_multiple=32)
+    rng = np.random.default_rng(3)
+    wavs = [
+        rng.standard_normal(16000).astype(np.float32) * 0.1,
+        rng.standard_normal(4000).astype(np.float32) * 0.1,
+    ]
+    ref = ex.forward(wavs)
+    got = ex.forward_packed(wavs)
+    for i, n in enumerate(ref["lengths"]):
+        np.testing.assert_allclose(
+            np.asarray(ref["last_hidden_state"])[i, :n],
+            np.asarray(got["last_hidden_state"])[i, :n],
+            atol=2e-4,
+        )
