@@ -217,3 +217,57 @@ def test_build_label_lookup_ignores_negative_symbols(tmp_path):
     assert lut[2] == d.index["2"]   # NOT clobbered by the "-1" symbol
     assert lut[0] == d.index["0"]
     assert lut[1] == d.index["1"]
+
+
+def test_prefetch_iterator_close_then_next_does_not_hang():
+    """close() while the worker is blocked on a full queue exits the
+    worker WITHOUT enqueuing the done sentinel; a subsequent next() must
+    drain what's buffered and raise StopIteration, not block forever."""
+    import itertools
+    import threading
+
+    from speech_ssl_compression_tpu.data.bucket_dataset import (
+        PrefetchIterator,
+    )
+
+    it = PrefetchIterator(itertools.count(), depth=2)  # infinite source
+    first = next(it)
+    assert first == 0
+    # let the worker fill the queue and block on put
+    import time
+    time.sleep(0.3)
+    it.close()
+
+    result = {}
+
+    def consume():
+        drained = []
+        try:
+            while True:
+                drained.append(next(it))
+        except StopIteration:
+            result["drained"] = drained
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=5.0)
+    assert not t.is_alive(), "next() after close() hung"
+    assert "drained" in result
+
+
+def test_prefetch_iterator_normal_exhaustion_and_error():
+    from speech_ssl_compression_tpu.data.bucket_dataset import (
+        PrefetchIterator,
+    )
+
+    assert list(PrefetchIterator(iter([1, 2, 3]))) == [1, 2, 3]
+
+    def boom():
+        yield 1
+        raise RuntimeError("source failed")
+
+    it = PrefetchIterator(boom())
+    assert next(it) == 1
+    import pytest
+    with pytest.raises(RuntimeError, match="source failed"):
+        next(it)
