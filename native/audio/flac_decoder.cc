@@ -162,6 +162,7 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
     for (int i = 0; i < block_size; ++i) out[i] = br.read_signed(ebps);
   } else if (type >= 8 && type <= 12) {  // FIXED, order 0..4
     int order = static_cast<int>(type) - 8;
+    if (order > block_size) return false;  // warmup would overrun out[]
     for (int i = 0; i < order; ++i) out[i] = br.read_signed(ebps);
     if (!decode_residual(br, order, block_size, out.data())) return false;
     // fixed predictors (residual currently stored in out[order..])
@@ -181,6 +182,7 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
     }
   } else if (type >= 32) {  // LPC, order 1..32
     int order = static_cast<int>(type & 0x1F) + 1;
+    if (order > block_size) return false;  // warmup would overrun out[]
     for (int i = 0; i < order; ++i) out[i] = br.read_signed(ebps);
     uint32_t prec_code = static_cast<uint32_t>(br.read_bits(4));
     if (prec_code == 0xF) return false;
@@ -224,8 +226,8 @@ struct FlacInfo {
 // such slices with mmap and hands the bytes to soundfile). Returns 0 on
 // success. Caller frees *out with flac_free. *out holds interleaved int32
 // samples (n_samples * channels).
-static int decode_buffer_impl(const uint8_t* data, size_t size, int32_t** out,
-                              FlacInfo* info) {
+static int decode_buffer_unguarded(const uint8_t* data, size_t size,
+                                   int32_t** out, FlacInfo* info) {
   // read-only view: the decoder never mutates the stream, so no copy
   // (flac_decode_file would otherwise copy every file twice)
   const uint8_t* buf_d = data;
@@ -266,7 +268,10 @@ static int decode_buffer_impl(const uint8_t* data, size_t size, int32_t** out,
   br.byte_pos = pos;
 
   std::vector<int32_t> pcm;
-  if (si.total_samples > 0) {
+  if (si.total_samples > 0 &&
+      si.total_samples * si.channels < (1LL << 31)) {
+    // reserve only for plausible sizes; a corrupt 2^36 STREAMINFO count
+    // must not trigger a terabyte allocation up front
     pcm.reserve(static_cast<size_t>(si.total_samples * si.channels));
   }
   std::vector<std::vector<int64_t>> ch(8);
@@ -275,7 +280,14 @@ static int decode_buffer_impl(const uint8_t* data, size_t size, int32_t** out,
     // frame sync
     uint32_t sync = static_cast<uint32_t>(br.read_bits(14));
     if (br.error || br.eof()) break;
-    if (sync != 0x3FFE) return -6;
+    if (sync != 0x3FFE) {
+      // streams with unknown STREAMINFO total_samples have no early-exit
+      // condition: once at least one frame decoded, a failed sync means
+      // trailing non-frame bytes (padding/junk), i.e. end of audio —
+      // consistent with the <2-byte-tail case hitting br.eof() above
+      if (si.total_samples == 0 && !pcm.empty()) break;
+      return -6;
+    }
     br.read_bit();                       // reserved
     br.read_bit();                       // blocking strategy
     uint32_t bs_code = static_cast<uint32_t>(br.read_bits(4));
@@ -368,6 +380,17 @@ static int decode_buffer_impl(const uint8_t* data, size_t size, int32_t** out,
   return 0;
 }
 
+// exceptions (bad_alloc from corrupt sizes, length_error) must not cross
+// the extern "C" ABI into ctypes — translate to an error code
+static int decode_buffer_impl(const uint8_t* data, size_t size, int32_t** out,
+                              FlacInfo* info) {
+  try {
+    return decode_buffer_unguarded(data, size, out, info);
+  } catch (const std::exception&) {
+    return -14;
+  }
+}
+
 int flac_decode_buffer(const uint8_t* data, int64_t size, int32_t** out,
                        FlacInfo* info) {
   if (!data || size <= 0) return -1;
@@ -378,10 +401,17 @@ int flac_decode_buffer(const uint8_t* data, int64_t size, int32_t** out,
 int flac_decode_file(const char* path, int32_t** out, FlacInfo* info) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
-  fseek(f, 0, SEEK_END);
+  if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return -2; }
   long fsize = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> buf(static_cast<size_t>(fsize));
+  if (fsize <= 0) { fclose(f); return -2; }  // non-seekable or empty
+  if (fseek(f, 0, SEEK_SET) != 0) { fclose(f); return -2; }
+  std::vector<uint8_t> buf;
+  try {
+    buf.resize(static_cast<size_t>(fsize));
+  } catch (const std::exception&) {
+    fclose(f);
+    return -2;
+  }
   if (fread(buf.data(), 1, buf.size(), f) != buf.size()) {
     fclose(f);
     return -2;

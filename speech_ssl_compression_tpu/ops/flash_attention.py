@@ -70,7 +70,7 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, seed_ref, o_ref,
     # MXU dots run in the input dtype (native bf16 when inputs are bf16)
     # with f32 accumulation; softmax statistics always in f32.
     in_dtype = q_ref.dtype
-    q = q_ref[0, 0] * jnp.asarray(scale, in_dtype)  # (BQ, d)
+    q = q_ref[0, 0]  # (BQ, d)
     bq, d = q.shape
     num_k_blocks = seq_len // block_k
     b_idx = pl.program_id(0)
@@ -79,7 +79,11 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, seed_ref, o_ref,
 
     def scores(ki):
         k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :]
-        s = jax.lax.dot_general(
+        # scale AFTER the dot, in f32 — the backward kernels compute
+        # scale * dot(q, k) in f32, and the recomputed scores must match
+        # the saved lse exactly (pre-scaling q in bf16 rounds the scale
+        # whenever 1/sqrt(d) is not bf16-representable)
+        s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (BQ, BK) f32
@@ -97,6 +101,14 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, seed_ref, o_ref,
             )
             s = jnp.where(k_pos > q_pos, NEG_INF, s)
         return s
+
+    # causal: K blocks strictly above the diagonal are entirely masked —
+    # bound the loops at the diagonal block instead of exp-ing NEG_INF tiles
+    if causal:
+        k_upper = jnp.minimum(num_k_blocks,
+                              (qi * bq + bq - 1) // block_k + 1)
+    else:
+        k_upper = num_k_blocks
 
     if dropout_p == 0.0:
         # single pass: classic online softmax with rescaled accumulator
@@ -117,7 +129,7 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, seed_ref, o_ref,
         m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((bq, 1), jnp.float32)
         acc0 = jnp.zeros((bq, d), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
+        m, l, acc = jax.lax.fori_loop(0, k_upper, body, (m0, l0, acc0))
         l_safe = jnp.maximum(l, 1e-30)
         o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
         lse_ref[0, 0, 0] = (m + jnp.log(l_safe))[:, 0]
@@ -136,7 +148,7 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, seed_ref, o_ref,
 
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    m, l = jax.lax.fori_loop(0, num_k_blocks, stat_body, (m0, l0))
+    m, l = jax.lax.fori_loop(0, k_upper, stat_body, (m0, l0))
     lse = m + jnp.log(jnp.maximum(l, 1e-30))
 
     def acc_body(ki, acc):
@@ -153,7 +165,7 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, seed_ref, o_ref,
         )
 
     acc = jax.lax.fori_loop(
-        0, num_k_blocks, acc_body, jnp.zeros((bq, d), jnp.float32)
+        0, k_upper, acc_body, jnp.zeros((bq, d), jnp.float32)
     )
     o_ref[0, 0] = acc.astype(o_ref.dtype)
     lse_ref[0, 0, 0] = lse[:, 0]
@@ -309,8 +321,14 @@ def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, seed_ref,
             preferred_element_type=jnp.float32,
         )
 
+    if causal:
+        # K blocks above the diagonal contribute ds == 0 — skip them
+        k_upper = jnp.minimum(num_k_blocks,
+                              (qi * bq + bq - 1) // block_k + 1)
+    else:
+        k_upper = num_k_blocks
     dq = jax.lax.fori_loop(
-        0, num_k_blocks, body, jnp.zeros((bq, d), jnp.float32)
+        0, k_upper, body, jnp.zeros((bq, d), jnp.float32)
     )
     dq_ref[0, 0] = (scale * dq).astype(dq_ref.dtype)
 
@@ -377,7 +395,13 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, seed_ref,
 
     dk0 = jnp.zeros((bk, d), jnp.float32)
     dv0 = jnp.zeros((bk, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_q_blocks, body, (dk0, dv0))
+    if causal:
+        # Q blocks strictly above this K tile's diagonal see only masked
+        # scores (k_pos > q_pos everywhere) — start at the diagonal block
+        q_lower = (ki * bk) // block_q
+    else:
+        q_lower = 0
+    dk, dv = jax.lax.fori_loop(q_lower, num_q_blocks, body, (dk0, dv0))
     dk_ref[0, 0] = (scale * dk).astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 

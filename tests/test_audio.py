@@ -102,3 +102,40 @@ def test_parse_path_plain_and_invalid(tmp_path):
     zp.write_bytes(b"PK")
     with pytest.raises(ValueError):
         parse_path(f"{zp}:1")  # needs offset AND length
+
+
+def test_flac_decoder_corrupt_inputs_error_not_crash():
+    """Adversarial bytes through the ctypes boundary: every malformed
+    variant must raise a Python-level error (decoder returns a code),
+    never corrupt memory or abort the process."""
+    import pytest
+
+    from speech_ssl_compression_tpu.data.audio import read_flac_bytes
+
+    real = open("/root/reference/example/100-121669-0000.flac", "rb").read() \
+        if __import__("os").path.exists(
+            "/root/reference/example/100-121669-0000.flac") \
+        else open("example/100-121669-0000.flac", "rb").read()
+
+    # truncations at many points (header, metadata, mid-frame)
+    for cut in (3, 10, 40, 100, 1000, len(real) // 2):
+        with pytest.raises(Exception):
+            read_flac_bytes(real[:cut])
+
+    # single-byte corruptions across the stream: either decodes to
+    # SOMETHING (md5 check catches bad audio) or raises — never crashes
+    data = bytearray(real)
+    rng = __import__("numpy").random.default_rng(0)
+    for _ in range(24):
+        i = int(rng.integers(4, len(data)))
+        old = data[i]
+        data[i] ^= 0xFF
+        try:
+            read_flac_bytes(bytes(data), verify_md5=False)
+        except Exception:
+            pass
+        data[i] = old
+
+    # absurd garbage with a valid magic
+    with pytest.raises(Exception):
+        read_flac_bytes(b"fLaC" + bytes(64))

@@ -78,8 +78,9 @@ def test_flash_fully_padded_row_no_nan():
     assert np.isfinite(np.asarray(out)).all()
 
 
-@pytest.mark.parametrize("t", [1100, 1700])
-def test_flash_gradients_mixed_grid_regimes(t):
+@pytest.mark.parametrize("t,causal", [(1100, False), (1700, False),
+                                      (1700, True)])
+def test_flash_gradients_mixed_grid_regimes(t, causal):
     """ADVICE r1: the asymmetric whole-tile limits (fwd<=1664, bwd<=1024)
     create a mixed-grid regime for 1024 < T <= 1664 — forward runs one
     whole-sequence tile while backward runs 256-blocks with re-padded lse.
@@ -95,12 +96,17 @@ def test_flash_gradients_mixed_grid_regimes(t):
     # matches real model semantics where padded dO is zero.
     valid = jnp.asarray((~np.asarray(pad))[:, None, :, None])
 
+    # causal=True at T=1700 additionally exercises the diagonal loop
+    # bounds (fwd/dq k_upper, dkv q_lower) in the BLOCKED regime — the
+    # whole-tile tests never iterate more than one block
     def f_flash(q, k, v):
-        out = flash_attention(q, k, v, key_padding_mask=pad) * valid
+        out = flash_attention(q, k, v, key_padding_mask=pad,
+                              causal=causal) * valid
         return jnp.sum(out ** 2)
 
     def f_dense(q, k, v):
-        out = dense_attention(q, k, v, key_padding_mask=pad) * valid
+        out = dense_attention(q, k, v, key_padding_mask=pad,
+                              causal=causal) * valid
         return jnp.sum(out ** 2)
 
     with pltpu.force_tpu_interpret_mode():
