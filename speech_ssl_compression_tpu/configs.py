@@ -211,6 +211,9 @@ class HuBERTConfig:
             kwargs["latent_temp"] = tuple(float(x) for x in cfg["latent_temp"])
         return cls(**kwargs)
 
+    def to_dict(self) -> dict:
+        return _wave_config_to_dict(self)
+
     def with_heads(self, heads_per_layer):
         return dataclasses.replace(
             self, encoder_attention_heads=tuple(int(h) for h in heads_per_layer)
@@ -220,6 +223,18 @@ class HuBERTConfig:
         return dataclasses.replace(
             self, encoder_ffn_embed_dim=tuple(int(f) for f in ffn_per_layer)
         )
+
+
+def _wave_config_to_dict(cfg) -> dict:
+    """JSON-friendly dict that round-trips through ``from_dict`` (tuple
+    fields become lists; conv spec stays a list-of-triples, which
+    ``from_dict`` accepts as-is without the string parser)."""
+    d = dataclasses.asdict(cfg)
+    d["encoder_ffn_embed_dim"] = list(cfg.encoder_ffn_embed_dim)
+    d["encoder_attention_heads"] = list(cfg.encoder_attention_heads)
+    d["conv_feature_layers"] = [list(c) for c in cfg.conv_feature_layers]
+    d["latent_temp"] = list(cfg.latent_temp)
+    return d
 
 
 def _parse_conv_spec(spec: str):
@@ -343,6 +358,9 @@ class Wav2Vec2Config:
         if "latent_temp" in cfg:
             kwargs["latent_temp"] = tuple(float(x) for x in cfg["latent_temp"])
         return cls(**kwargs)
+
+    def to_dict(self) -> dict:
+        return _wave_config_to_dict(self)
 
     def with_heads(self, heads_per_layer):
         return dataclasses.replace(

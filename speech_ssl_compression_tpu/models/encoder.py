@@ -344,7 +344,14 @@ def encoder_forward(
     remat: bool = False,
 ):
     """Reference TransformerEncoder.extract_features + forward
-    (module.py:215-257). Returns (x, layer_hiddens, contexts)."""
+    (module.py:215-257). Returns (x, layer_hiddens, contexts).
+
+    ``cfg.required_seq_len_multiple`` (wav2vec2/HuBERT encoders) is enforced
+    like the reference (module.py:492-541): T is padded up to the next
+    multiple AFTER the prologue (pos_conv + post-LN norm), the padded tail is
+    key-padding-masked through the layer stack, and outputs are un-padded.
+    T is static under jit, so this is a compile-time pad, not a dynamic
+    shape."""
     pro_rng = layers_rng = None
     if rng is not None:
         pro_rng, layers_rng = jax.random.split(rng)
@@ -354,7 +361,19 @@ def encoder_forward(
         rng=pro_rng,
         deterministic=deterministic,
     )
-    return encoder_layers_forward(
+
+    t = x.shape[1]
+    mult = int(getattr(cfg, "required_seq_len_multiple", 1) or 1)
+    pad_len = (-t) % mult
+    if pad_len:
+        x = jnp.pad(x, ((0, 0), (0, pad_len), (0, 0)))
+        if padding_mask is None:
+            padding_mask = jnp.zeros((x.shape[0], t), bool)
+        padding_mask = jnp.pad(
+            padding_mask, ((0, 0), (0, pad_len)), constant_values=True
+        )
+
+    x, layer_hiddens, contexts = encoder_layers_forward(
         x, params, cfg,
         padding_mask=padding_mask,
         causal=causal,
@@ -365,3 +384,8 @@ def encoder_forward(
         attn_impl=attn_impl,
         remat=remat,
     )
+    if pad_len:
+        x = x[:, :t]
+        layer_hiddens = [h[:, :t] for h in layer_hiddens]
+        contexts = [c[:, :, :t] for c in contexts]  # (B, H, T, d)
+    return x, layer_hiddens, contexts

@@ -50,7 +50,12 @@ from ..models.wav2vec2 import (
     wav2vec2_pretrain_loss,
 )
 from ..parallel import batch_sharding, make_mesh, shard_params
-from ..utils.checkpoint import save_checkpoint
+from ..utils.checkpoint import (
+    load_checkpoint,
+    restore_opt_state,
+    save_checkpoint,
+)
+from ..utils.tb import TBLogger
 from .steps import (
     accumulate_grads,
     cast_for_compute,
@@ -77,21 +82,26 @@ class WaveRunner:
             else jnp.float32
         )
 
+        self.logger = TBLogger(self.expdir)
+
+        self.masks = None
+        self.pruned_heads: list = []
+        self.wp_state: Optional[wp.WeightPruningState] = None
+        self._resumed_meta = None
+        self._resumed_opt_leaves = None
+
         task = runner_config.get("task", {})
         if self.upstream == "hubert":
             self.task_cfg = HubertTaskConfig.from_dict(task)
             self.cfg = HuBERTConfig.from_dict(upstream_config["hubert"])
             self.dictionaries = self._load_dictionaries()
             self.num_classes = tuple(len(d) for d in self.dictionaries)
-            self.rng, k = jax.random.split(self.rng)
-            self.params = init_hubert_params(k, self.cfg, self.num_classes)
         elif self.upstream == "wav2vec2":
             self.task_cfg = Wav2vec2TaskConfig.from_dict(task)
             self.cfg = Wav2Vec2Config.from_dict(upstream_config["wav2vec2"])
-            self.rng, k = jax.random.split(self.rng)
-            self.params = init_wav2vec2_params(k, self.cfg)
         else:
             raise NotImplementedError(self.upstream)
+        self._init_params()
 
         n = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(self.params))
         print(f"[WaveRunner] - {self.upstream}: {n} parameters")
@@ -112,10 +122,14 @@ class WaveRunner:
         # weight/row-pruning configs for hubert and wav2vec2 too:
         # weight_pruning/config/hubert_config_runner.yaml,
         # row_pruning/config/hubert_config_runner.yaml, ...)
-        self.masks = None
-        self.wp_state: Optional[wp.WeightPruningState] = None
         self.prune_steps = []
-        self.pruned_heads: list = []
+        if self.mode in ("head-pruning", "row-pruning") and self.masks is not None:
+            # starting from a weight-pruned checkpoint: fold masks before
+            # structured pruning (scores must see the zeroed weights, and
+            # prune events change shapes the mask tree would not match)
+            print("[WaveRunner] - Folding weight-pruning masks into params")
+            self.params = wp.fold_masks(self.params, self.masks)
+            self.masks = None
         if self.mode in ("head-pruning", "row-pruning"):
             pc = runner_config["prune"]
             self.total_prune_step = pc["total_steps"]
@@ -147,7 +161,10 @@ class WaveRunner:
             self.prune_steps = weight_prune_steps(
                 self.wp_state.warnup, self.wp_state.period, n_iters
             )
-            self.masks = wp.init_masks(self.params)
+            if self.masks is None:
+                self.masks = wp.init_masks(self.params)
+            if self._resumed_meta and "Pruning" in self._resumed_meta:
+                self.wp_state.load_meta(self._resumed_meta["Pruning"])
 
         opt_cfg = runner_config.get("optimizer", {})
         self.optimizer = make_optimizer(
@@ -160,6 +177,16 @@ class WaveRunner:
             ),
         )
         self.opt_state = self.optimizer.init(self.params)
+        if (
+            getattr(args, "init_optimizer_from_initial_weight", False)
+            and self._resumed_opt_leaves
+        ):
+            self.opt_state = restore_opt_state(
+                self.opt_state, self._resumed_opt_leaves
+            )
+            print(
+                f"[WaveRunner] Loaded optimizer state from {args.initial_weight}"
+            )
         self.apply_step = make_apply_step(self.optimizer, donate=True)
         self._build_grad_step()
 
@@ -172,6 +199,71 @@ class WaveRunner:
         ]
         self._label_lookups = [build_label_lookup(d) for d in dicts]
         return dicts
+
+    def _init_params(self):
+        """Initialize params fresh OR from ``-i initial_weight`` (reference
+        upstream/hubert/pretrain_expert.py:41-90 and
+        upstream/wav2vec2/pretrain_expert.py:41-78: the experts reconstruct
+        the pruned architecture from the checkpoint's metadata and load
+        weights — this is what makes "compress a *pretrained* HuBERT"
+        possible; a fresh init here would silently prune a random model)."""
+        init_w = getattr(self.args, "initial_weight", None)
+        if init_w:
+            if init_w.endswith(".npz"):
+                state = load_checkpoint(init_w)
+                self.params = jax.tree.map(jnp.asarray, state["params"])
+                self.masks = (
+                    jax.tree.map(jnp.asarray, state["masks"])
+                    if state["masks"] is not None else None
+                )
+                self._resumed_meta = state["meta"]
+                self._resumed_opt_leaves = state["opt_leaves"] or None
+                # "Config" is the exact (possibly pruned, per-layer) dataclass
+                # dump; "Upstream_Config" the original YAML — prefer the former
+                meta_cfg = state["meta"].get("Config") or (
+                    state["meta"].get("Upstream_Config", {})
+                    .get(self.upstream)
+                )
+                if meta_cfg:
+                    self.cfg = type(self.cfg).from_dict(meta_cfg)
+            else:
+                from ..utils.torch_convert import load_wave_reference_checkpoint
+
+                params, masks, cfg, extras = load_wave_reference_checkpoint(
+                    init_w, self.upstream
+                )
+                self.params = jax.tree.map(jnp.asarray, params)
+                self.masks = (
+                    jax.tree.map(jnp.asarray, masks) if masks else None
+                )
+                if cfg is not None:
+                    self.cfg = cfg
+                self._resumed_meta = extras
+            self.pruned_heads = list(
+                (self._resumed_meta or {}).get("Pruned_heads", [])
+            )
+            # structured-prune state is encoded in the array shapes: recover
+            # per-layer head/FFN dims so the jitted step re-traces against
+            # the true (pruned) architecture
+            from ..utils.torch_convert import infer_pruned_dims
+
+            heads, ffns = infer_pruned_dims(self.params, self.cfg.head_dim)
+            self.cfg = self.cfg.with_heads(heads).with_ffn_dims(ffns)
+            if self.upstream == "hubert":
+                n_embs = int(
+                    self.params["label_embs_concat"].shape[0]
+                )
+                assert n_embs == int(sum(self.num_classes)), (
+                    f"checkpoint was trained with {n_embs} label embeddings "
+                    f"but the dictionaries define {sum(self.num_classes)}"
+                )
+            print(f"[WaveRunner] Initialized model from {init_w}")
+        else:
+            self.rng, k = jax.random.split(self.rng)
+            if self.upstream == "hubert":
+                self.params = init_hubert_params(k, self.cfg, self.num_classes)
+            else:
+                self.params = init_wav2vec2_params(k, self.cfg)
 
     def _build_grad_step(self):
         cfg = self.cfg
@@ -325,6 +417,7 @@ class WaveRunner:
             "Args": vars(self.args) if hasattr(self.args, "__dict__") else {},
             "Runner": self.runner_config,
             "Upstream_Config": self.upstream_config,
+            "Config": self.cfg.to_dict(),
         }
         if self.wp_state is not None:
             meta["Pruning"] = self.wp_state.to_meta()
@@ -349,6 +442,12 @@ class WaveRunner:
             total_steps = int(n_epochs * len(dataset) / self.accum_steps)
         log_step = runner.get("log_step", 200)
         accum = self.accum_steps
+        step_per_epoch = max(1, len(dataset) // accum)
+        save_every_x_epochs = runner.get("save_every_x_epochs", 10)
+        save_cadence = max(1, int(save_every_x_epochs * step_per_epoch))
+        pretrain_mode = self.mode not in (
+            "weight-pruning", "head-pruning", "row-pruning"
+        )
 
         step = 0
         backward = 0
@@ -361,6 +460,13 @@ class WaveRunner:
             for batch in PrefetchIterator(dataset.epoch(shuffle=True)):
                 if step >= total_steps:
                     break
+                if pretrain_mode and backward % accum == 0:
+                    # periodic checkpoints (reference runner.py:330-333 saves
+                    # every save_every_x_epochs in pre-training modes)
+                    if step > 0 and step % save_cadence == 0:
+                        self.save(
+                            step, f"states-epoch-{step // step_per_epoch}.npz"
+                        )
                 if (
                     self.mode == "weight-pruning"
                     and step in self.prune_steps
@@ -435,9 +541,32 @@ class WaveRunner:
                     if self.upstream == "wav2vec2" else 1.0,
                     jnp.float32,
                 )
-                loss, sample_size, grads, logs = self.grad_step(
-                    self.params, self.masks, jb, k, gumbel_temp
-                )
+                try:
+                    loss, sample_size, grads, logs = self.grad_step(
+                        self.params, self.masks, jb, k, gumbel_temp
+                    )
+                except Exception as e:  # noqa: BLE001
+                    # OOM-recovery parity (reference runner.py:379-386): drop
+                    # the whole accumulation window and keep training. Window
+                    # counters rewind so the surviving windows divide by the
+                    # right sample count (see Runner for the async-dispatch
+                    # caveat: a RESOURCE_EXHAUSTED surfacing at a later host
+                    # sync aborts — this covers the eager-dispatch OOM).
+                    msg = str(e)
+                    if (
+                        "RESOURCE_EXHAUSTED" in msg
+                        or "out of memory" in msg.lower()
+                    ):
+                        print(
+                            f"[WaveRunner] - OOM at step {step}; "
+                            "dropping accumulation window"
+                        )
+                        grads_acc = None
+                        backward -= backward % accum
+                        sample_total = 0.0
+                        accum_loss = 0.0
+                        continue
+                    raise
                 grads_acc = accumulate_grads(grads_acc, grads)
                 # device-side accumulation: no host sync per micro-batch
                 sample_total = sample_total + sample_size
@@ -473,9 +602,15 @@ class WaveRunner:
                 step += 1
 
                 if step % log_step == 0 or step == total_steps:
+                    norm_loss = float(window_loss) / max(window_n, 1)
+                    prefix = f"{self.mode}/train-"
+                    self.logger.scalar(f"{prefix}loss", norm_loss, step)
+                    self.logger.scalar(
+                        f"{prefix}gradient norm", float(gnorm), step
+                    )
                     print(
                         f"[WaveRunner] step {step}/{total_steps} "
-                        f"loss={float(window_loss)/max(window_n,1):.4f} "
+                        f"loss={norm_loss:.4f} "
                         f"gnorm={float(gnorm):.3f} "
                         f"({step/(time.time()-t0):.2f} steps/s)"
                     )

@@ -1,0 +1,27 @@
+"""TensorBoard scalar logging shared by both runners.
+
+The reference logs sample-size-normalized loss and grad-norm through
+tensorboardX (reference runner.py:42,430-446). tensorboardX is optional
+here: when it is missing the logger degrades to a no-op so training
+never depends on an observability package.
+"""
+
+from __future__ import annotations
+
+
+class TBLogger:
+    def __init__(self, logdir: str):
+        try:
+            from tensorboardX import SummaryWriter
+
+            self._writer = SummaryWriter(logdir)
+        except Exception:
+            self._writer = None
+
+    def scalar(self, tag: str, value, step: int) -> None:
+        if self._writer is not None:
+            self._writer.add_scalar(tag, float(value), global_step=step)
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.close()

@@ -24,7 +24,7 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from ..configs import MelHuBERTConfig
+from ..configs import HuBERTConfig, MelHuBERTConfig, Wav2Vec2Config
 
 
 def _to_np(t) -> np.ndarray:
@@ -69,26 +69,11 @@ def _layer_norm(sd: dict, prefix: str) -> dict:
     }
 
 
-def melhubert_state_dict_to_params(
-    sd: Dict[str, "np.ndarray"],
-    keep_masks: bool = True,
-) -> Tuple[dict, Optional[dict], dict]:
-    """Returns (params, masks, arch_info).
-
-    arch_info: {"heads_per_layer": [...] or None (unknown: dense),
-                "ffn_per_layer": [...], "n_layers": int, "head_dim": guess}
-    masks: pytree matching the pruned leaves (1/0 float) or None.
-    """
-    sd = {k: v for k, v in sd.items()}
-    params: dict = {}
-    masks: dict = {}
-
-    if "pre_extract_proj.weight" in sd:
-        params["pre_extract_proj"] = _linear(sd, "pre_extract_proj")
-    if "mask_emb" in sd:
-        params["mask_emb"] = _to_np(sd["mask_emb"]).astype(np.float32)
-    params["final_proj"] = _linear(sd, "final_proj")
-
+def _encoder_from_sd(sd: dict) -> Tuple[dict, dict, bool, list, list]:
+    """Map the shared fairseq-style transformer-encoder state-dict section
+    (``encoder.pos_conv.0.*``, ``encoder.layers.{i}.*``, ``encoder.layer_norm``)
+    onto our encoder pytree. Returns (enc, masks, any_mask, qkv_out_dims,
+    ffn_dims). Handles weight-pruning ``weight_orig``/``weight_mask`` pairs."""
     layer_ids = sorted(
         {
             int(m.group(1))
@@ -106,9 +91,8 @@ def melhubert_state_dict_to_params(
         "layer_norm": _layer_norm(sd, "encoder.layer_norm"),
         "layers": [],
     }
-
-    qkv_out_dims = []
-    ffn_dims = []
+    masks: dict = {}
+    qkv_out_dims, ffn_dims = [], []
     any_mask = False
     for i in layer_ids:
         pre = f"encoder.layers.{i}"
@@ -140,11 +124,33 @@ def melhubert_state_dict_to_params(
                 lm[name] = m
                 any_mask = True
         masks[f"layer_{i}"] = lm
+    return enc, masks, any_mask, qkv_out_dims, ffn_dims
 
+
+def melhubert_state_dict_to_params(
+    sd: Dict[str, "np.ndarray"],
+    keep_masks: bool = True,
+) -> Tuple[dict, Optional[dict], dict]:
+    """Returns (params, masks, arch_info).
+
+    arch_info: {"heads_per_layer": [...] or None (unknown: dense),
+                "ffn_per_layer": [...], "n_layers": int, "head_dim": guess}
+    masks: pytree matching the pruned leaves (1/0 float) or None.
+    """
+    sd = {k: v for k, v in sd.items()}
+    params: dict = {}
+
+    if "pre_extract_proj.weight" in sd:
+        params["pre_extract_proj"] = _linear(sd, "pre_extract_proj")
+    if "mask_emb" in sd:
+        params["mask_emb"] = _to_np(sd["mask_emb"]).astype(np.float32)
+    params["final_proj"] = _linear(sd, "final_proj")
+
+    enc, masks, any_mask, qkv_out_dims, ffn_dims = _encoder_from_sd(sd)
     params["encoder"] = enc
 
     arch_info = {
-        "n_layers": len(layer_ids),
+        "n_layers": len(enc["layers"]),
         "qkv_out_dims": qkv_out_dims,
         "ffn_per_layer": ffn_dims,
     }
@@ -195,6 +201,183 @@ def load_reference_checkpoint(path: str, *, trust_pickle: bool = False):
         if k in all_states
     }
     return params, mask_tree, cfg, extras
+
+
+def _conv_frontend_from_sd(sd: dict, prefix: str = "feature_extractor") -> list:
+    """Map ConvFeatureExtractionModel state-dict keys (reference
+    module.py:270-348) onto our conv-frontend pytree (a list of per-layer
+    dicts). Torch Sequential layout inside each conv block:
+      index 0 = Conv1d (weight shape (O,I,K) — same as ours, no transpose)
+      index 2 = Fp32GroupNorm (default mode, layer 0 only: ``.2.weight``)
+                OR Sequential(TransposeLast, Fp32LayerNorm, TransposeLast)
+                (layer_norm mode: ``.2.1.weight``)."""
+    layer_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            for m in [re.match(rf"{re.escape(prefix)}\.conv_layers\.(\d+)\.", k)]
+            if m
+        }
+    )
+    layers = []
+    for i in layer_ids:
+        p = f"{prefix}.conv_layers.{i}"
+        layer = {"weight": _to_np(sd[f"{p}.0.weight"]).astype(np.float32)}
+        if f"{p}.0.bias" in sd:
+            layer["bias"] = _to_np(sd[f"{p}.0.bias"]).astype(np.float32)
+        if f"{p}.2.weight" in sd:
+            layer["group_norm"] = {
+                "scale": _to_np(sd[f"{p}.2.weight"]).astype(np.float32),
+                "bias": _to_np(sd[f"{p}.2.bias"]).astype(np.float32),
+            }
+        elif f"{p}.2.1.weight" in sd:
+            layer["layer_norm"] = {
+                "scale": _to_np(sd[f"{p}.2.1.weight"]).astype(np.float32),
+                "bias": _to_np(sd[f"{p}.2.1.bias"]).astype(np.float32),
+            }
+        layers.append(layer)
+    return layers
+
+
+def wave_state_dict_to_params(
+    sd: Dict[str, "np.ndarray"], upstream: str, keep_masks: bool = True
+) -> Tuple[dict, Optional[dict], dict]:
+    """HuBERT / wav2vec 2.0 state dict -> (params, masks, arch_info).
+
+    Reference model attribute names (model.py:166-239 HuBERT, :467-551
+    wav2vec2): feature_extractor, post_extract_proj, mask_emb, encoder,
+    layer_norm, final_proj, label_embs_concat / quantizer + project_q,
+    target_glu = Sequential(Linear, GLU) (key ``target_glu.0.*``).
+    Weight-pruning masks, when present, live on the encoder projections only
+    (reference wp_utils.py:13-48 targets encoder layers for every upstream).
+    """
+    params: dict = {
+        "feature_extractor": _conv_frontend_from_sd(sd),
+        "layer_norm": _layer_norm(sd, "layer_norm"),
+        "mask_emb": _to_np(sd["mask_emb"]).astype(np.float32),
+        "final_proj": _linear(sd, "final_proj"),
+    }
+    if "post_extract_proj.weight" in sd:
+        params["post_extract_proj"] = _linear(sd, "post_extract_proj")
+    if "target_glu.0.weight" in sd:
+        params["target_glu"] = _linear(sd, "target_glu.0")
+    if upstream == "hubert":
+        params["label_embs_concat"] = _to_np(
+            sd["label_embs_concat"]
+        ).astype(np.float32)
+    else:
+        if "quantizer.vars" in sd:
+            params["quantizer"] = {
+                "vars": _to_np(sd["quantizer.vars"]).astype(np.float32),
+                "weight_proj": _linear(sd, "quantizer.weight_proj"),
+            }
+        params["project_q"] = _linear(sd, "project_q")
+
+    enc, masks, any_mask, qkv_out_dims, ffn_dims = _encoder_from_sd(sd)
+    params["encoder"] = enc
+
+    arch_info = {
+        "n_layers": len(enc["layers"]),
+        "qkv_out_dims": qkv_out_dims,
+        "ffn_per_layer": ffn_dims,
+    }
+    mask_tree = masks if (any_mask and keep_masks) else None
+    return params, mask_tree, arch_info
+
+
+def load_wave_reference_checkpoint(
+    path: str, upstream: str, *, trust_pickle: bool = False
+):
+    """Load a reference hubert/wav2vec2 .ckpt (torch.save dict) into
+    (params, masks, config, extras) — the load path behind
+    ``train.py -u hubert -i ckpt`` (reference
+    upstream/hubert/pretrain_expert.py:41-90,
+    upstream/wav2vec2/pretrain_expert.py:41-78: reconstruct the pruned
+    architecture from checkpoint metadata, then load weights)."""
+    import torch
+
+    try:
+        all_states = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as safe_err:
+        if not trust_pickle:
+            raise ValueError(
+                f"{path} needs full (unsafe) unpickling "
+                f"({type(safe_err).__name__}: {safe_err}). Unpickling "
+                "executes code embedded in the file; pass trust_pickle=True "
+                "only for checkpoints from a source you trust."
+            ) from safe_err
+        all_states = torch.load(path, map_location="cpu", weights_only=False)
+
+    cfg_cls = HuBERTConfig if upstream == "hubert" else Wav2Vec2Config
+    cfg = None
+    up_cfg = all_states.get("Upstream_Config") or {}
+    if up_cfg.get(upstream):
+        cfg = cfg_cls.from_dict(dict(up_cfg[upstream]))
+
+    params, mask_tree, arch_info = wave_state_dict_to_params(
+        all_states["model"], upstream
+    )
+    if cfg is not None:
+        head_dim = cfg.head_dim
+        heads = tuple(d // head_dim for d in arch_info["qkv_out_dims"])
+        cfg = cfg.with_heads(heads).with_ffn_dims(arch_info["ffn_per_layer"])
+
+    extras = {
+        k: all_states[k]
+        for k in ("Pruned_heads", "Pruning", "Step", "TotalStep")
+        if k in all_states
+    }
+    return params, mask_tree, cfg, extras
+
+
+def wave_params_to_state_dict(
+    params: dict, upstream: str, masks: Optional[dict] = None
+) -> dict:
+    """Inverse of :func:`wave_state_dict_to_params` (numpy arrays, torch
+    naming) so exported checkpoints read back through the reference's
+    consumers. Masks emit weight_orig/weight_mask pairs on encoder leaves."""
+    sd: dict = {}
+    for i, layer in enumerate(params["feature_extractor"]):
+        p = f"feature_extractor.conv_layers.{i}"
+        sd[f"{p}.0.weight"] = np.asarray(layer["weight"])
+        if "bias" in layer:
+            sd[f"{p}.0.bias"] = np.asarray(layer["bias"])
+        if "group_norm" in layer:
+            sd[f"{p}.2.weight"] = np.asarray(layer["group_norm"]["scale"])
+            sd[f"{p}.2.bias"] = np.asarray(layer["group_norm"]["bias"])
+        elif "layer_norm" in layer:
+            sd[f"{p}.2.1.weight"] = np.asarray(layer["layer_norm"]["scale"])
+            sd[f"{p}.2.1.bias"] = np.asarray(layer["layer_norm"]["bias"])
+
+    def put_linear(prefix, p):
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(np.asarray(p["kernel"]).T)
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    sd["layer_norm.weight"] = np.asarray(params["layer_norm"]["scale"])
+    sd["layer_norm.bias"] = np.asarray(params["layer_norm"]["bias"])
+    sd["mask_emb"] = np.asarray(params["mask_emb"])
+    put_linear("final_proj", params["final_proj"])
+    if "post_extract_proj" in params:
+        put_linear("post_extract_proj", params["post_extract_proj"])
+    if "target_glu" in params:
+        put_linear("target_glu.0", params["target_glu"])
+    if upstream == "hubert":
+        sd["label_embs_concat"] = np.asarray(params["label_embs_concat"])
+    else:
+        if "quantizer" in params:
+            sd["quantizer.vars"] = np.asarray(params["quantizer"]["vars"])
+            put_linear("quantizer.weight_proj", params["quantizer"]["weight_proj"])
+        put_linear("project_q", params["project_q"])
+
+    # the shared encoder section (reuses the melhubert writer's naming)
+    enc_sd = params_to_state_dict(
+        {"encoder": params["encoder"], "final_proj": params["final_proj"]},
+        masks,
+    )
+    for k, v in enc_sd.items():
+        if k.startswith("encoder."):
+            sd[k] = v
+    return sd
 
 
 def params_to_state_dict(params: dict, masks: Optional[dict] = None) -> dict:
