@@ -57,6 +57,33 @@ def _load_feats(fp):
     return feat, pad_mask, lengths
 
 
+# Measured 4096^3 matmul ceiling on this v5e chip (BASELINE.md round-2
+# study); f32 lowers to single-pass bf16 MXU, so one ceiling serves both.
+PEAK_TFLOPS = 98.0
+
+
+def _melhubert_fwd_flops(cfg, length, d_in):
+    """Dense-equivalent matmul FLOPs of one forward over `length` valid
+    frames (projections + attention + FFN + pre/final proj); used to report
+    achieved TFLOP/s and MFU against the measured chip ceiling."""
+    d = cfg.encoder_embed_dim
+    total = 2 * length * d_in * d + 2 * length * d * cfg.num_cluster
+    for i in range(cfg.encoder_layers):
+        f = cfg.encoder_ffn_embed_dim[i]
+        p = cfg.encoder_attention_heads[i] * cfg.head_dim
+        total += 2 * length * (3 * d * p + p * d)  # qkv + out projections
+        total += 4 * length * length * p           # scores + context
+        total += 4 * length * d * f                # fc1 + fc2
+    return total
+
+
+def _with_mfu(entry, flops_per_sec):
+    tflops = flops_per_sec / 1e12
+    entry["tflops"] = round(tflops, 1)
+    entry["mfu"] = round(tflops / PEAK_TFLOPS, 3)
+    return entry
+
+
 def _measure(cfg, params, feat, pad_mask, lengths, reps, dtype, precision,
              n_rep=20):
     import jax
@@ -169,14 +196,18 @@ def main():
     ):
         fps = _measure(cfg20, params20, feat, pad, lens, args.reps,
                        dtype, precision)
-        metrics.append(
+        flops_per_frame = sum(
+            _melhubert_fwd_flops(cfg20, n, 80) for n in lens
+        ) / sum(lens)
+        metrics.append(_with_mfu(
             {
                 "metric": name,
                 "value": round(fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / ref_fps, 2) if ref_fps else None,
-            }
-        )
+            },
+            fps * flops_per_frame,
+        ))
 
     # fp=10: 40-d fbank, T~1664 long sequences (f32)
     cfg10 = flagship_cfg(40)
@@ -184,15 +215,19 @@ def main():
     feat, pad, lens = _load_feats(10)
     fps = _measure(cfg10, params10, feat, pad, lens, args.reps,
                    jnp.float32, "default")
-    metrics.append(
+    flops_per_frame = sum(
+        _melhubert_fwd_flops(cfg10, n, 40) for n in lens
+    ) / sum(lens)
+    metrics.append(_with_mfu(
         {
             "metric": "melhubert10ms_longseq_extraction_frames_per_sec_per_chip",
             "value": round(fps, 1),
             "unit": "frames/s",
             # no fp=10 reference baseline measured; fp=20 number not comparable
             "vs_baseline": None,
-        }
-    )
+        },
+        fps * flops_per_frame,
+    ))
 
     if not args.no_train:
         # free the extraction stage's device buffers first — the training
@@ -285,12 +320,21 @@ def _measure_train(n_steps=8):
             sps = n_steps / (time.time() - t0)
             rkey = ("pretrain_steps_per_sec" if not teacher
                     else "distill_steps_per_sec")
-            out.append({
+            # grad step ~ 3x forward matmul FLOPs; distillation adds the
+            # teacher's forward on top of the student's fwd+bwd
+            if teacher:
+                step_flops = b * (
+                    _melhubert_fwd_flops(cfg, t, 80)
+                    + 3 * _melhubert_fwd_flops(scfg, t, 80)
+                )
+            else:
+                step_flops = 3 * b * _melhubert_fwd_flops(cfg, t, 80)
+            out.append(_with_mfu({
                 "metric": f"{name}_steps_per_sec_f32_B4_T768",
                 "value": round(sps, 2),
                 "unit": "steps/s",
                 "vs_baseline": round(sps / ref[rkey], 1) if ref else None,
-            })
+            }, sps * step_flops))
             del gs, p, ost
             jax.clear_caches()
         return out

@@ -282,10 +282,17 @@ static int decode_buffer_unguarded(const uint8_t* data, size_t size,
     if (br.error || br.eof()) break;
     if (sync != 0x3FFE) {
       // streams with unknown STREAMINFO total_samples have no early-exit
-      // condition: once at least one frame decoded, a failed sync means
+      // condition: once at least one frame decoded, a failed sync can mean
       // trailing non-frame bytes (padding/junk), i.e. end of audio —
-      // consistent with the <2-byte-tail case hitting br.eof() above
-      if (si.total_samples == 0 && !pcm.empty()) break;
+      // consistent with the <2-byte-tail case hitting br.eof() above.
+      // Only a BOUNDED remainder is treated that way: a large tail after
+      // sync loss is mid-stream corruption and must error, not silently
+      // truncate (these streams typically lack an MD5 to catch it).
+      if (si.total_samples == 0 && !pcm.empty()) {
+        constexpr size_t kMaxTrailingJunk = 1 << 20;  // 1 MiB
+        size_t consumed = br.byte_pos >= 2 ? br.byte_pos - 2 : 0;
+        if (br.size - consumed <= kMaxTrailingJunk) break;
+      }
       return -6;
     }
     br.read_bit();                       // reserved

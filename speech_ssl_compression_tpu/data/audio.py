@@ -55,7 +55,95 @@ def _ensure_lib():
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
         ctypes.POINTER(_FlacInfo),
     ]
+    _lib.sslc_ogg_available.restype = ctypes.c_int
+    _lib.sslc_ogg_encode_available.restype = ctypes.c_int
+    _lib.sslc_ogg_decode.restype = ctypes.c_int
+    _lib.sslc_ogg_decode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    _lib.sslc_ogg_encode.restype = ctypes.c_int
+    _lib.sslc_ogg_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    _lib.sslc_ogg_free.argtypes = [ctypes.c_void_p]
     return _lib
+
+
+def read_ogg_bytes(data: bytes,
+                   origin: str = "<bytes>") -> Tuple[np.ndarray, int]:
+    """Decode an in-memory Ogg Vorbis stream -> (float32 (C, T), sr).
+
+    Reference parity: fairseq reads ogg members through soundfile
+    (reference fairseq_code/audio_utils.py:40-44 accepts the OggS magic;
+    datasets call sf.read). This build decodes through the SYSTEM
+    libvorbisfile, dlopen'd by native/audio/ogg_vorbis.cc."""
+    lib = _ensure_lib()
+    if not lib.sslc_ogg_available():
+        raise IOError(
+            f"Ogg stream at {origin}: libvorbisfile is not available on "
+            "this system — re-encode as FLAC or WAV"
+        )
+    pcm = ctypes.POINTER(ctypes.c_float)()
+    channels = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    rc = lib.sslc_ogg_decode(
+        data, len(data), ctypes.byref(pcm), ctypes.byref(channels),
+        ctypes.byref(rate), ctypes.byref(frames),
+    )
+    if rc != 0:
+        raise IOError(f"Ogg Vorbis decode failed ({rc}): {origin}")
+    n = int(channels.value) * int(frames.value)
+    wav = np.ctypeslib.as_array(pcm, shape=(n,)).copy().reshape(
+        int(channels.value), int(frames.value)
+    )
+    lib.sslc_ogg_free(pcm)
+    return wav, int(rate.value)
+
+
+def read_ogg(path: str) -> Tuple[np.ndarray, int]:
+    with open(path, "rb") as f:
+        return read_ogg_bytes(f.read(), origin=path)
+
+
+def write_ogg(path: str, wav: np.ndarray, sample_rate: int,
+              quality: float = 0.4) -> None:
+    """Encode (C, T) or (T,) float32 in [-1, 1] to an Ogg Vorbis file
+    (libvorbisenc VBR). Used by tests and for exporting fixtures."""
+    lib = _ensure_lib()
+    if not lib.sslc_ogg_encode_available():
+        raise IOError("libvorbis/libvorbisenc not available on this system")
+    wav = np.asarray(wav, np.float32)
+    if wav.ndim == 1:
+        wav = wav[None, :]
+    wav = np.ascontiguousarray(wav)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    rc = lib.sslc_ogg_encode(
+        wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        wav.shape[1], wav.shape[0], int(sample_rate),
+        ctypes.c_float(quality), ctypes.byref(out), ctypes.byref(out_len),
+    )
+    if rc != 0:
+        raise IOError(f"Ogg Vorbis encode failed ({rc}): {path}")
+    buf = ctypes.cast(
+        out, ctypes.POINTER(ctypes.c_uint8 * out_len.value)
+    ).contents
+    data = bytes(bytearray(buf))
+    lib.sslc_ogg_free(out)
+    with open(path, "wb") as f:
+        f.write(data)
 
 
 def _finish_flac(rc, out, info, origin, verify_md5):
@@ -186,11 +274,7 @@ def read_audio_bytes(data: bytes, origin: str = "<bytes>") -> Tuple[np.ndarray, 
         sr, pcm = wavfile.read(io.BytesIO(data))
         return _normalize_pcm(pcm), int(sr)
     if data[:3] == b"Ogg":
-        raise ValueError(
-            f"Ogg stream detected at {origin}: the reference reads it via "
-            "soundfile, but this build ships only wav/flac decoders — "
-            "re-encode the archive member as FLAC or WAV"
-        )
+        return read_ogg_bytes(data, origin=origin)
     raise ValueError(f"unsupported in-memory audio format: {origin}")
 
 
@@ -213,9 +297,5 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
             "feature manifests route through the datasets' own loaders)"
         )
     if p.endswith(".ogg"):
-        raise ValueError(
-            f"Ogg not supported ({path}): the reference reads it via "
-            "soundfile, but this build ships only wav/flac decoders — "
-            "re-encode as FLAC or WAV"
-        )
+        return read_ogg(file_path)
     raise ValueError(f"unsupported audio format: {path}")

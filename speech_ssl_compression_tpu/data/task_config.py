@@ -46,6 +46,9 @@ class Wav2vec2TaskConfig:
     rebuild_batches: bool = True
     subsample: float = 1.0
     seed: int = 1337
+    # reference task_config/wav2vec2_task_config.py:24: when set, the dataset
+    # precomputes block masks (compute_block_mask_1d) per batch
+    precompute_mask_config: Optional[dict] = None
 
     @classmethod
     def from_dict(cls, cfg: dict) -> "Wav2vec2TaskConfig":

@@ -48,6 +48,8 @@ class Wav2Vec2AudioDataset:
         num_buckets: int = 8,
         crop_seq_to_multiple: int = 1,
         seed: int = 0,
+        precompute_mask_config: Optional[dict] = None,
+        frames_fn=None,  # samples -> conv frames (required with mask config)
     ):
         self.sample_rate = sample_rate
         # int sentinel, not np.inf: every consumer calls int(...) on this
@@ -60,6 +62,36 @@ class Wav2Vec2AudioDataset:
         self.normalize = normalize
         self.crop_seq_to_multiple = max(int(crop_seq_to_multiple), 1)
         self.rng = np.random.default_rng(seed)
+
+        # precomputed block masks (reference FileAudioDataset
+        # compute_mask=..., datasets/wav2vec2_dataset.py:231-243,314-329):
+        # emitted per batch at the final (cropped, static) frame count —
+        # the reference generates per-item then crops, same block semantics.
+        self.precompute_mask_config = None
+        if precompute_mask_config is not None:
+            known = {
+                "mask_prob", "mask_length", "mask_prob_adjust",
+                "inverse_mask", "mask_dropout", "non_overlapping",
+                "require_same_masks",
+            }
+            unknown = {
+                k: v for k, v in precompute_mask_config.items()
+                if k not in known and v
+            }
+            if unknown:
+                raise NotImplementedError(
+                    f"precompute_mask_config keys {sorted(unknown)} are not "
+                    "supported (expand_adjacent/clone_batch are data2vec-"
+                    "only paths the reference never exercises)"
+                )
+            assert frames_fn is not None, (
+                "precompute_mask_config needs frames_fn to map samples to "
+                "conv frames"
+            )
+            self.precompute_mask_config = {
+                k: v for k, v in precompute_mask_config.items() if k in known
+            }
+            self.frames_fn = frames_fn
 
         self.names, self.sizes = [], []
         skipped = 0
@@ -148,7 +180,15 @@ class Wav2Vec2AudioDataset:
                 w = w[start : start + target]
             source[i, : len(w)] = w
             lengths[i] = len(w)
-        return {"source": source, "length": lengths}
+        batch = {"source": source, "length": lengths}
+        if self.precompute_mask_config is not None:
+            from ..ops.block_masking import compute_block_mask_1d
+
+            t_frames = int(self.frames_fn(target))
+            batch["precomputed_mask"] = compute_block_mask_1d(
+                (b, t_frames), rng=self.rng, **self.precompute_mask_config
+            )
+        return batch
 
     def epoch(self, shuffle: bool = True) -> Iterator[dict]:
         order = np.arange(len(self.batches))

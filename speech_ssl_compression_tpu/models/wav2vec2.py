@@ -112,6 +112,7 @@ def wav2vec2_forward(
     gumbel_temp=None,  # float or traced scalar; None -> latent_temp[0]
     attn_impl: str = "auto",
     mask_shared_rounding: bool = False,
+    mask_indices: Optional[jax.Array] = None,  # (B, T_frames) bool
 ) -> dict:
     mask_rng = enc_rng = di_rng = df_rng = vq_rng = neg_rng = None
     if rng is not None:
@@ -133,6 +134,10 @@ def wav2vec2_forward(
     )
     b, t_frames = x.shape[0], x.shape[1]
 
+    # externally supplied (precomputed block) mask, reference model.py:593:
+    # ``if mask_indices is None: compute_mask_indices(...)`` — the dataset's
+    # precomputed_mask (datasets/wav2vec2_dataset.py:314-329) lands here
+    precomputed = mask_indices
     mask_indices = jnp.zeros((b, t_frames), bool)
     if mask:
         if cfg.mask_prob > 0 or cfg.mask_channel_prob > 0:
@@ -160,7 +165,15 @@ def wav2vec2_forward(
         if cfg.mask_channel_prob > 0 and cfg.mask_channel_before:
             # reference model.py:573-590: channels zeroed BEFORE time masking
             x = jnp.where(_chan_mask()[:, None, :], 0.0, x)
-        if cfg.mask_prob > 0:
+        if precomputed is not None:
+            # valid-frame confinement is a no-op for outputs (the prologue
+            # zeroes padded positions anyway) but keeps the loss's
+            # masked-frame set consistent with the on-device generator
+            mask_indices = precomputed.astype(bool) & frame_valid
+            x = jnp.where(
+                mask_indices[:, :, None], params["mask_emb"][None, None, :], x
+            )
+        elif cfg.mask_prob > 0:
             assert mask_rng is not None
             mask_indices = compute_span_mask(
                 time_rng, out_len.astype(jnp.int32), t_frames,

@@ -21,6 +21,7 @@ is the Pallas flash-attention kernel in ops/flash_attention.py, selected by
 from __future__ import annotations
 
 import contextlib
+import sys
 from typing import Optional
 
 import jax
@@ -206,11 +207,14 @@ def multi_head_self_attention(
         else:
             if mesh is not None and (dp > 1 or tp > 1):
                 # trace-time (shapes are static): the fallback is computed
-                # replicated under GSPMD — correct but not parallelized
+                # replicated under GSPMD — correct but not parallelized.
+                # stderr: bench.py's driver contract is ONE JSON line on
+                # stdout (ADVICE r2)
                 print(
                     f"[attention] flash falls back to the replicated path: "
                     f"batch {b} % data {dp} or heads {num_heads} % model "
-                    f"{tp} != 0 (e.g. ragged head counts after pruning)"
+                    f"{tp} != 0 (e.g. ragged head counts after pruning)",
+                    file=sys.stderr,
                 )
             context = flash_attention(
                 q, k, v,

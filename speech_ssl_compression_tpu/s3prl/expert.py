@@ -47,11 +47,16 @@ class UpstreamExpert:
         return self.extractor.get_downsample_rates(key)
 
     def forward(self, wavs: Sequence, no_pred: bool = True, norm: bool = True):
+        from ..ops.attention import attention_mesh
+
         waves = [_to_numpy_wave(w) for w in wavs]
-        if self.packed and len(waves) > 1:
-            out = self.extractor.forward_packed(waves)
-        else:
-            out = self.extractor.forward(waves)
+        # single-process eval: never trace against a training mesh another
+        # runner may have installed in this process (ADVICE r2)
+        with attention_mesh(None):
+            if self.packed and len(waves) > 1:
+                out = self.extractor.forward_packed(waves)
+            else:
+                out = self.extractor.forward(waves)
         return {
             "hidden_states": out["hidden_states"],
             "last_hidden_state": out["last_hidden_state"],

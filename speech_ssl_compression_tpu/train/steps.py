@@ -41,6 +41,11 @@ def make_optimizer(lr=1e-4, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0,
         tx.append(optax.add_decayed_weights(weight_decay))
     tx.append(optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps))
     chain = optax.chain(*tx)
+    if callable(lr):
+        # optax schedule: the fused single-pass apply assumes a constant lr,
+        # so return a plain GradientTransformation (no hyper) and let
+        # make_apply_step take the generic optax path (ADVICE r2)
+        return chain
     return _Optimizer(chain.init, chain.update, dict(
         lr=float(lr), b1=float(betas[0]), b2=float(betas[1]),
         eps=float(eps), weight_decay=float(weight_decay),

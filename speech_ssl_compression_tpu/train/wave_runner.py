@@ -303,6 +303,7 @@ class WaveRunner:
                         batch["length"],
                         mask=True, rng=rng, deterministic=False,
                         gumbel_temp=gumbel_temp,
+                        mask_indices=batch.get("precomputed_mask"),
                         # crop-collated (unpadded) batches: the reference
                         # sees padding_mask=None -> one shared span-count
                         # draw (static: the dataset's pad flag)
@@ -345,6 +346,7 @@ class WaveRunner:
                 single_target=task.single_target,
                 seed=getattr(self.args, "seed", 1337),
             )
+        conv_layers = self.cfg.conv_feature_layers
         return Wav2Vec2AudioDataset(
             manifest_path=f"{task.data}/train.tsv",
             sample_rate=task.sample_rate,
@@ -358,6 +360,8 @@ class WaveRunner:
                 self.cfg, "crop_seq_to_multiple", 1
             ),
             seed=getattr(self.args, "seed", 1337),
+            precompute_mask_config=task.precompute_mask_config,
+            frames_fn=lambda n: conv_output_length(n, conv_layers),
         )
 
     def _collate_device_batch(self, batch):
@@ -376,6 +380,8 @@ class WaveRunner:
             "source": put(batch["source"]),
             "length": put(batch["length"]),
         }
+        if "precomputed_mask" in batch:
+            out["precomputed_mask"] = put(batch["precomputed_mask"])
         if self.upstream == "hubert":
             t_frames = conv_output_length(
                 batch["source"].shape[1], self.cfg.conv_feature_layers

@@ -108,12 +108,15 @@ class HuBERTPretrainExpert:
                 valid[bi, :keep] = True
             target_list.append(jnp.asarray(arr))
 
+        from ..ops.attention import attention_mesh
+
         self.rng, k = jax.random.split(self.rng)
-        loss, sample_size = self._jit_loss(
-            self.cfg, self.num_classes, self.params,
-            jnp.asarray(source), jnp.asarray(lengths),
-            target_list, jnp.asarray(valid), k,
-        )
+        with attention_mesh(None):  # single-process expert (ADVICE r2)
+            loss, sample_size = self._jit_loss(
+                self.cfg, self.num_classes, self.params,
+                jnp.asarray(source), jnp.asarray(lengths),
+                target_list, jnp.asarray(valid), k,
+            )
         return loss, int(sample_size)
 
     __call__ = forward

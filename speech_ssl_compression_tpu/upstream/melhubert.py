@@ -87,15 +87,20 @@ class MelHuBERTPretrainExpert:
 
     def forward(self, data, global_step: int = 0, log_step: int = 1000,
                 **kwargs):
+        from ..ops.attention import attention_mesh
+
         feat, label, pad_mask = data[0], data[1], data[2]
         self.rng, k = jax.random.split(self.rng)
-        loss = self._jit_loss(
-            self.cfg, self.params, self.masks,
-            jnp.asarray(np.asarray(feat, np.float32)),
-            jnp.asarray(np.asarray(label, np.int32)),
-            jnp.asarray(np.asarray(pad_mask, np.float32)),
-            k,
-        )
+        # single-process expert: never trace against a training mesh a
+        # multi-device runner may have installed process-globally (ADVICE r2)
+        with attention_mesh(None):
+            loss = self._jit_loss(
+                self.cfg, self.params, self.masks,
+                jnp.asarray(np.asarray(feat, np.float32)),
+                jnp.asarray(np.asarray(label, np.int32)),
+                jnp.asarray(np.asarray(pad_mask, np.float32)),
+                k,
+            )
         return loss, 1  # (loss, sample_size) like reference :121
 
     __call__ = forward

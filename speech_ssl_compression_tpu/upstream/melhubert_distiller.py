@@ -73,16 +73,19 @@ class MelHuBERTDistillerExpert:
 
     def forward(self, data, global_step: int = 0, log_step: int = 1000,
                 **kwargs):
+        from ..ops.attention import attention_mesh
+
         feat, label, pad_mask = data[0], data[1], data[2]
         self.rng, k = jax.random.split(self.rng)
-        loss = self._jit_loss(
-            self.teacher_cfg, self.student_cfg, self.loss_type,
-            self.teacher_params, self.params,
-            jnp.asarray(np.asarray(feat, np.float32)),
-            jnp.asarray(np.asarray(label, np.int32)),
-            jnp.asarray(np.asarray(pad_mask, np.float32)),
-            k,
-        )
+        with attention_mesh(None):  # single-process expert (ADVICE r2)
+            loss = self._jit_loss(
+                self.teacher_cfg, self.student_cfg, self.loss_type,
+                self.teacher_params, self.params,
+                jnp.asarray(np.asarray(feat, np.float32)),
+                jnp.asarray(np.asarray(label, np.int32)),
+                jnp.asarray(np.asarray(pad_mask, np.float32)),
+                k,
+            )
         return loss, 1
 
     __call__ = forward

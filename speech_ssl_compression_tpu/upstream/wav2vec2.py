@@ -77,11 +77,14 @@ class Wav2Vec2PretrainExpert:
             getattr(self.cfg, "latent_temp", (2.0, 0.5, 0.999995)),
             global_step,
         )
+        from ..ops.attention import attention_mesh
+
         self.rng, k = jax.random.split(self.rng)
-        loss, sample_size = self._jit_loss(
-            self.cfg, self.params, jnp.asarray(source), jnp.asarray(lengths),
-            jnp.asarray(temp, jnp.float32), k,
-        )
+        with attention_mesh(None):  # single-process expert (ADVICE r2)
+            loss, sample_size = self._jit_loss(
+                self.cfg, self.params, jnp.asarray(source),
+                jnp.asarray(lengths), jnp.asarray(temp, jnp.float32), k,
+            )
         return loss, int(sample_size)
 
     __call__ = forward

@@ -215,6 +215,24 @@ def test_generic_path_for_plain_optax_optimizer():
                                rtol=2e-5, atol=2e-7)
 
 
+def test_make_optimizer_accepts_lr_schedule():
+    """ADVICE r2: a callable lr (optax schedule) returns a plain
+    GradientTransformation so make_apply_step takes the generic path
+    instead of raising at build time."""
+    import optax
+
+    sched = optax.linear_schedule(1e-2, 0.0, 10)
+    opt = make_optimizer(lr=sched)
+    assert getattr(opt, "hyper", None) is None
+    params = {"w": jnp.ones((3, 2))}
+    apply_step = make_apply_step(opt)
+    state = opt.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    p, state, gn = apply_step(params, state, g, jnp.asarray(1.0))
+    assert np.isfinite(float(gn))
+    assert not np.allclose(np.asarray(p["w"]), 1.0)
+
+
 def test_accumulate_grads():
     a = {"w": jnp.ones((3,)), "b": jnp.full((2,), 2.0)}
     b = {"w": jnp.full((3,), 3.0), "b": jnp.ones((2,))}

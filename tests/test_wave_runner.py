@@ -116,6 +116,45 @@ def test_wav2vec2_wave_runner_smoke(tmp_path):
     assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))
 
 
+def test_wav2vec2_runner_precomputed_mask(tmp_path):
+    """task.precompute_mask_config flows dataset -> collate -> grad step."""
+    data = make_wav_dataset(tmp_path, with_labels=False)
+    runner_cfg = {
+        "runner": {"total_steps": 2, "gradient_clipping": 10.0,
+                   "gradient_accumulate_steps": 1, "log_step": 1,
+                   "bf16": False},
+        "optimizer": {"lr": 1e-4},
+        "datarc": {"train_batch_size": 2},
+        "task": {
+            "data": data, "sample_rate": 16000,
+            "max_sample_size": 4000, "min_sample_size": 1000,
+            "num_batch_buckets": 2,
+            "precompute_mask_config": {"mask_prob": 0.5, "mask_length": 3},
+        },
+    }
+    upstream_cfg = {
+        "wav2vec2": {
+            "encoder_layers": 1, "encoder_embed_dim": 32,
+            "encoder_attention_heads": 2, "head_dim": 16,
+            "encoder_ffn_embed_dim": 64,
+            "conv_feature_layers": CONV,
+            "final_dim": 16, "conv_pos": 16, "conv_pos_groups": 4,
+            "quantize_targets": True, "latent_vars": 8, "latent_groups": 2,
+            "num_negatives": 4,
+            "mask_prob": 0.65, "mask_length": 4,
+            "dropout": 0.0, "attention_dropout": 0.0,
+            "activation_dropout": 0.0,
+        }
+    }
+    args = _args(tmp_path, "wav2vec2", "wav2vec2")
+    args.expdir = str(tmp_path / "exp_premask")
+    runner = WaveRunner(args, runner_cfg, upstream_cfg)
+    batch = next(iter(runner._get_dataset().epoch(shuffle=False)))
+    assert "precomputed_mask" in batch
+    runner.train()
+    assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))
+
+
 def test_hubert_head_and_row_pruning(tmp_path):
     """Head/row pruning on the shared encoder structure works for HuBERT
     (reference ships hubert pruning configs)."""
