@@ -488,6 +488,10 @@ class WaveRunner:
                             f"{wp.sparsity_of(self.masks):.3f}"
                         )
                     else:
+                        # schedule extension (reference runner.py:334-340:
+                        # pbar.total += period alongside the new prune step)
+                        print("[WaveRunner/WP] - Not converge, keep training")
+                        total_steps += self.wp_state.period
                         self.prune_steps.append(
                             max(self.prune_steps) + self.wp_state.period
                         )

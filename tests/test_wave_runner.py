@@ -382,6 +382,33 @@ def test_wave_runner_torch_flavor_initial_weight(tmp_path):
     )
 
 
+def test_wave_runner_converge_gate_extends_schedule(tmp_path):
+    """When the converge gate defers a prune, the wave runner extends BOTH
+    the prune schedule and total steps (reference runner.py:334-340)."""
+    data = make_wav_dataset(tmp_path)
+    prune = {"sparsity": [0.5], "n_iters": 1, "warnup": 1, "period": 1,
+             "pruning_condition": "converge"}
+    args = _args(tmp_path, "weight-pruning", "hubert")
+    runner = WaveRunner(args, _runner_cfg(data, total_steps=2, prune=prune),
+                        {"hubert": dict(TINY_HUBERT)})
+    verdicts = iter([False, True])  # defer once, then prune
+
+    runner.wp_state.converged = lambda: next(verdicts, True)
+    steps_seen = []
+    orig = runner.apply_step
+
+    def counting(*a, **kw):
+        steps_seen.append(1)
+        return orig(*a, **kw)
+
+    runner.apply_step = counting
+    runner.train()
+    # original total 2, one deferral adds period=1 -> 3 optimizer steps
+    assert len(steps_seen) == 3, len(steps_seen)
+    assert runner.wp_state.pruning_times == 1
+    assert 2 in runner.prune_steps  # the re-scheduled event
+
+
 def test_wave_runner_oom_skip(tmp_path):
     """VERDICT r2 weak #1: an injected RESOURCE_EXHAUSTED on one micro-batch
     drops the window and training continues to completion."""

@@ -1,0 +1,276 @@
+"""Stage-wise ablation of the HuBERT / wav2vec2 pre-training step on the
+real TPU (VERDICT r2 next #3): where do the 82 ms (hubert) / 101 ms (w2v2)
+go?  Stages are timed with the host-chained methodology (each iteration
+consumes the previous output; one scalar fence at the end — see
+BASELINE.md / memory: block_until_ready does not sync on the axon backend).
+
+Run: python tools/perf_wave_ablate.py [--model hubert] [--steps 10]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="hubert",
+                    choices=["hubert", "wav2vec2"])
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--samples", type=int, default=245760)
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from speech_ssl_compression_tpu.configs import (
+        HuBERTConfig,
+        Wav2Vec2Config,
+    )
+    from speech_ssl_compression_tpu.models import (
+        hubert_forward,
+        hubert_pretrain_loss,
+        init_hubert_params,
+        init_wav2vec2_params,
+        wav2vec2_forward,
+        wav2vec2_pretrain_loss,
+    )
+    from speech_ssl_compression_tpu.models.conv_frontend import (
+        conv_frontend_forward,
+        conv_output_length,
+        wave_frontend_forward,
+    )
+    from speech_ssl_compression_tpu.models.encoder import (
+        encoder_forward,
+        layer_norm,
+    )
+    from speech_ssl_compression_tpu.train.steps import cast_for_compute
+
+    dt_ = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
+
+    conv_spec = "[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2"
+    common = {
+        "encoder_layers": 12, "encoder_embed_dim": 768,
+        "encoder_attention_heads": 12, "encoder_ffn_embed_dim": 3072,
+        "conv_feature_layers": conv_spec, "final_dim": 256,
+        "conv_pos": 128, "conv_pos_groups": 16, "mask_length": 10,
+    }
+    b, t_wave = args.batch, args.samples
+    rng = np.random.default_rng(0)
+    source = jnp.asarray(rng.standard_normal((b, t_wave)), dt_)
+    lengths = jnp.full((b,), t_wave, jnp.int32)
+
+    if args.model == "hubert":
+        cfg = HuBERTConfig.from_dict({**common, "mask_prob": 0.8})
+        num_classes = (504,)
+        params = init_hubert_params(jax.random.PRNGKey(0), cfg, num_classes)
+        t_frames = conv_output_length(t_wave, cfg.conv_feature_layers)
+        targets = [jnp.asarray(rng.integers(0, 504, (b, t_frames)),
+                               jnp.int32)]
+    else:
+        cfg = Wav2Vec2Config.from_dict({
+            **common, "mask_prob": 0.65, "quantize_targets": True,
+            "latent_vars": 320, "latent_groups": 2, "num_negatives": 100,
+        })
+        params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+        t_frames = conv_output_length(t_wave, cfg.conv_feature_layers)
+
+    print(f"{args.model} {args.dtype}: B={b} x {t_wave} samples -> "
+          f"{t_frames} frames", flush=True)
+
+    results = {}
+
+    def timeit(name, make_step, init_x):
+        """make_step: x -> jitted fn(params, x, key) -> x-like; chained."""
+        step = jax.jit(make_step)
+        key = jax.random.PRNGKey(7)
+        x = init_x
+        t0 = time.time()
+        x = step(params, x, key)
+        float(jnp.sum(jax.tree.leaves(x)[0].astype(jnp.float32)))
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(args.steps):
+            x = step(params, x, key)
+        float(jnp.sum(jax.tree.leaves(x)[0].astype(jnp.float32)))
+        ms = (time.time() - t0) / args.steps * 1e3
+        results[name] = round(ms, 2)
+        print(f"  {name:34s} {ms:8.2f} ms  (compile {compile_s:.0f}s)",
+              flush=True)
+        del step, x
+        jax.clear_caches()
+
+    def full_loss(p, src, key, grad_mult_override=None):
+        p = cast_for_compute(p, dt_)
+        if grad_mult_override is not None:
+            import dataclasses
+            c = dataclasses.replace(cfg, feature_grad_mult=grad_mult_override)
+        else:
+            c = cfg
+        if args.model == "hubert":
+            out = hubert_forward(p, c, src, lengths, mask=True, rng=key,
+                                 deterministic=False)
+            loss, _, _ = hubert_pretrain_loss(p, c, out, targets, num_classes)
+        else:
+            out = wav2vec2_forward(p, c, src, lengths, mask=True, rng=key,
+                                   deterministic=False, gumbel_temp=2.0)
+            loss, _, _ = wav2vec2_pretrain_loss(out, c)
+        return loss
+
+    # 1. full grad step
+    def grad_full(p, x, key):
+        g = jax.grad(lambda s: full_loss(p, s, key))(x)
+        return x + 1e-20 * g  # chain through the input grad
+
+    timeit("grad_full(wrt input)", grad_full, source)
+
+    def grad_params(p, x, key):
+        g = jax.grad(lambda q: full_loss(q, x, key))(p)
+        leaf = jax.tree.leaves(g)[0]
+        return x + 1e-20 * jnp.mean(leaf).astype(x.dtype)
+
+    timeit("grad_full(wrt params)", grad_params, source)
+
+    # 2. forward only
+    def fwd_only(p, x, key):
+        return x + 1e-20 * full_loss(p, x, key).astype(x.dtype)
+
+    timeit("forward_only", fwd_only, source)
+
+    # 3. frontend stopped (feature_grad_mult=0): removes the conv backward
+    def grad_nofrontbwd(p, x, key):
+        g = jax.grad(
+            lambda q: full_loss(q, x, key, grad_mult_override=0.0)
+        )(p)
+        leaf = jax.tree.leaves(g)[0]
+        return x + 1e-20 * jnp.mean(leaf).astype(x.dtype)
+
+    timeit("grad_conv_stopgrad", grad_nofrontbwd, source)
+
+    # 4. conv frontend forward alone
+    def conv_fwd(p, x, key):
+        p = cast_for_compute(p, dt_)
+        out = conv_frontend_forward(
+            p["feature_extractor"], cfg.conv_feature_layers, x,
+            cfg.extractor_mode,
+        )
+        return x + 1e-20 * jnp.mean(out.astype(jnp.float32)).astype(x.dtype)
+
+    timeit("conv_frontend_fwd", conv_fwd, source)
+
+    # 5. conv frontend fwd+bwd
+    def conv_fwdbwd(p, x, key):
+        p = cast_for_compute(p, dt_)
+
+        def f(s):
+            out = conv_frontend_forward(
+                p["feature_extractor"], cfg.conv_feature_layers, s,
+                cfg.extractor_mode,
+            )
+            return jnp.mean(out.astype(jnp.float32))
+
+        g = jax.grad(f)(x)
+        return x + 1e-20 * g
+
+    timeit("conv_frontend_fwd+bwd", conv_fwdbwd, source)
+
+    # 5b. per-layer cumulative conv cost (fwd+bwd after each prefix)
+    for n_layers in range(1, len(cfg.conv_feature_layers) + 1):
+        spec = cfg.conv_feature_layers[:n_layers]
+
+        def conv_prefix(p, x, key, spec=spec, n=n_layers):
+            p = cast_for_compute(p, dt_)
+
+            def f(s):
+                out = conv_frontend_forward(
+                    p["feature_extractor"][:n], spec, s, cfg.extractor_mode,
+                )
+                return jnp.mean(out.astype(jnp.float32))
+
+            return x + 1e-20 * jax.grad(f)(x)
+
+        timeit(f"conv_prefix_{n_layers}L_fwd+bwd", conv_prefix, source)
+
+    # 6. full frontend (conv + LN + proj + penalty) fwd+bwd
+    def frontend_fwdbwd(p, x, key):
+        p = cast_for_compute(p, dt_)
+
+        def f(s):
+            xx, uf, fv, ol, pen = wave_frontend_forward(
+                p, cfg, s, lengths, layer_norm_fn=layer_norm,
+            )
+            return jnp.mean(xx.astype(jnp.float32)) + pen
+
+        return x + 1e-20 * jax.grad(f)(x)
+
+    timeit("frontend_full_fwd+bwd", frontend_fwdbwd, source)
+
+    # 7. encoder fwd+bwd at the frame scale
+    feat = jnp.asarray(rng.standard_normal((b, t_frames, 768)), dt_)
+
+    def encoder_fwdbwd(p, x, key):
+        p = cast_for_compute(p, dt_)
+
+        def f(h):
+            out, _, _ = encoder_forward(
+                h, p["encoder"], cfg, rng=key, deterministic=False,
+            )
+            return jnp.mean(out.astype(jnp.float32))
+
+        return x + 1e-20 * jax.grad(f)(x)
+
+    timeit("encoder_fwd+bwd", encoder_fwdbwd, feat)
+    del feat
+
+    if args.model == "wav2vec2":
+        # 8. VQ + negatives + contrastive loss on frontend-shaped inputs
+        from speech_ssl_compression_tpu.models.gumbel_vq import (
+            gumbel_vq_forward,
+        )
+        from speech_ssl_compression_tpu.models.wav2vec2 import (
+            sample_negative_indices,
+        )
+
+        yfeat = jnp.asarray(rng.standard_normal((b, t_frames, 512)), dt_)
+
+        def vq_neg(p, x, key):
+            p = cast_for_compute(p, dt_)
+
+            def f(h):
+                q = gumbel_vq_forward(
+                    p["quantizer"], h, num_vars=cfg.latent_vars,
+                    groups=cfg.latent_groups, temperature=2.0,
+                    training=True, rng=key,
+                )
+                y = q["x"] @ p["project_q"]["kernel"] + p["project_q"]["bias"]
+                mask = jnp.ones((b, t_frames), bool)
+                neg = sample_negative_indices(key, mask, cfg.num_negatives)
+                negs = jnp.take_along_axis(
+                    y[:, :, None, :],
+                    neg[..., None].repeat(y.shape[-1], -1), axis=1,
+                )
+                return jnp.mean(y.astype(jnp.float32)) + \
+                    1e-6 * jnp.mean(negs.astype(jnp.float32))
+
+            return x + 1e-20 * jax.grad(f)(x)
+
+        timeit("vq+negatives_fwd+bwd", vq_neg, yfeat)
+        del yfeat
+
+    out_path = pathlib.Path(__file__).resolve().parent.parent / \
+        f"/tmp/wave_ablate_{args.model}_{args.dtype}.json"
+    print(json.dumps({f"{args.model}_{args.dtype}": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,207 @@
+"""On-chip kernel smoke suite (VERDICT r2 next #9).
+
+The CI suite runs the Pallas kernels only in interpret mode on CPU
+(tests/conftest.py forces the CPU platform; tests/test_flash_attention.py
+sets force_tpu_interpret_mode) — Mosaic-level regressions are invisible
+there. This script runs the load-bearing kernel checks on the REAL chip:
+
+  1. flash forward vs dense (padding mask, causal, segments)
+  2. flash backward (dq/dk/dv) vs dense autodiff
+  3. in-kernel hardware-RNG attention dropout keep-rate
+  4. hardware-RNG elementwise dropout keep-rate
+  5. segment-packing parity: packed forward == per-utterance forward
+  6. fused clip+Adam apply vs the optax chain
+
+Run (needs the TPU; one TPU process at a time):
+    python tools/run_tpu_tests.py
+Exit code 0 = all pass. Prints one PASS/FAIL line per check.
+"""
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+FAILED = []
+
+
+def check(name, ok, detail=""):
+    status = "PASS" if ok else "FAIL"
+    print(f"[{status}] {name} {detail}", flush=True)
+    if not ok:
+        FAILED.append(name)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from speech_ssl_compression_tpu.ops.attention import dense_attention
+    from speech_ssl_compression_tpu.ops.flash_attention import flash_attention
+
+    backend = jax.default_backend()
+    print(f"backend: {backend}, devices: {jax.devices()}", flush=True)
+    if backend != "tpu":
+        print("NOT A TPU — this suite validates the Mosaic lowering; "
+              "aborting (CI covers interpret mode)")
+        sys.exit(2)
+
+    rng = np.random.default_rng(0)
+    b, h, t, d = 3, 4, 640, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    lengths = np.array([640, 500, 321])
+    kpm = jnp.asarray(np.arange(t)[None, :] >= lengths[:, None])  # True=PAD
+
+    # -- 1. forward parity ---------------------------------------------------
+    for variant, kwargs in (
+        ("plain", {}),
+        ("padded", {"key_padding_mask": kpm}),
+        ("causal", {"causal": True}),
+        ("causal+padded", {"causal": True, "key_padding_mask": kpm}),
+    ):
+        f = jax.jit(lambda q, k, v, kw=kwargs: flash_attention(q, k, v, **kw))
+        g = jax.jit(lambda q, k, v, kw=kwargs: dense_attention(q, k, v, **kw))
+        out_f = np.asarray(f(q, k, v))
+        out_d = np.asarray(g(q, k, v))
+        valid = ~np.asarray(kpm) if "key_padding_mask" in kwargs else \
+            np.ones((b, t), bool)
+        diff = np.abs(out_f - out_d)[
+            np.broadcast_to(valid[:, None, :, None], out_f.shape)
+        ].max()
+        check(f"flash fwd vs dense ({variant})", diff < 2e-5,
+              f"max|diff|={diff:.2e}")
+
+    # -- 2. backward parity --------------------------------------------------
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, key_padding_mask=kpm)
+        return jnp.sum(jnp.where(~kpm[:, None, :, None], o, 0.0) ** 2)
+
+    def loss_dense(q, k, v):
+        o = dense_attention(q, k, v, key_padding_mask=kpm)
+        return jnp.sum(jnp.where(~kpm[:, None, :, None], o, 0.0) ** 2)
+
+    gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    gd = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2)))(q, k, v)
+    for name, a, bb in zip(("dq", "dk", "dv"), gf, gd):
+        a, bb = np.asarray(a), np.asarray(bb)
+        denom = np.abs(bb).max() + 1e-9
+        diff = np.abs(a - bb).max() / denom
+        check(f"flash bwd {name} vs dense autodiff", diff < 5e-4,
+              f"rel max|diff|={diff:.2e}")
+
+    # -- 3. in-kernel attention dropout keep-rate ---------------------------
+    p_drop = 0.3
+    key = jax.random.PRNGKey(3)
+    ones_v = jnp.ones_like(v)
+    out = np.asarray(jax.jit(
+        lambda q, k, v: flash_attention(
+            q, k, v, dropout_p=p_drop, dropout_rng=key)
+    )(q * 0.0, k * 0.0, ones_v))
+    # with q=k=0 attention is uniform; each output element is a mean of
+    # IID-dropped ones*1/(1-p): its expectation is 1, and the fraction of
+    # EXACTLY-zero score-entries is unobservable post-average, so test the
+    # mean instead (law of large numbers over t=640 keys)
+    mean = out.mean()
+    check("flash in-kernel dropout mean ~ 1", abs(mean - 1.0) < 0.02,
+          f"mean={mean:.4f} (p={p_drop})")
+    out2 = np.asarray(jax.jit(
+        lambda q, k, v: flash_attention(
+            q, k, v, dropout_p=p_drop,
+            dropout_rng=jax.random.PRNGKey(4))
+    )(q * 0.0, k * 0.0, ones_v))
+    check("flash dropout varies with rng", not np.allclose(out, out2))
+
+    # -- 4. elementwise hardware-RNG dropout keep-rate ----------------------
+    from speech_ssl_compression_tpu.ops.dropout import dropout as hw_dropout
+
+    x = jnp.ones((4096, 1024), jnp.float32)
+    y = np.asarray(jax.jit(
+        lambda x: hw_dropout(x, jax.random.PRNGKey(5), 0.3, False)
+    )(x))
+    keep = (y != 0).mean()
+    check("hw-RNG dropout keep-rate", abs(keep - 0.7) < 0.01,
+          f"keep={keep:.4f} (want 0.70)")
+    sc = y[y != 0].mean()
+    check("hw-RNG dropout inverted scale", abs(sc - 1.0 / 0.7) < 1e-3,
+          f"scale={sc:.4f}")
+
+    # -- 5. segment packing parity ------------------------------------------
+    from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+    from speech_ssl_compression_tpu.models import init_melhubert_params
+    from speech_ssl_compression_tpu.extract import MelHuBERTExtractor
+    from speech_ssl_compression_tpu.ops.packing import (
+        build_pack_arrays,
+        plan_packing,
+    )
+
+    cfg = MelHuBERTConfig.from_dict({
+        "feat_emb_dim": 80, "encoder_layers": 2, "encoder_embed_dim": 256,
+        "encoder_ffn_embed_dim": 512, "encoder_attention_heads": 4,
+        "head_dim": 64, "num_cluster": 64,
+    })
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    lens = [300, 200, 140]
+    t_cap = 384
+    feat = np.zeros((3, t_cap, 80), np.float32)
+    for i, ln in enumerate(lens):
+        feat[i, :ln] = rng.standard_normal((ln, 80))
+    pad = (np.arange(t_cap)[None, :] < np.array(lens)[:, None]).astype(
+        np.float32)
+    rows = plan_packing(lens, t_cap)
+    gi, si, ui = build_pack_arrays(lens, rows, t_cap, t_cap)
+    packed = MelHuBERTExtractor._packed_impl(
+        cfg, "default", params, jnp.asarray(feat), jnp.asarray(pad),
+        jnp.asarray(gi), jnp.asarray(si), jnp.asarray(ui),
+    )
+    from speech_ssl_compression_tpu.models import melhubert_forward
+
+    plain = melhubert_forward(params, cfg, jnp.asarray(feat),
+                              jnp.asarray(pad), mask=False, no_pred=True)
+    ph = np.asarray(packed["hidden"])
+    dh = np.asarray(plain["hidden"])
+    diffs = [np.abs(ph[i, :ln] - dh[i, :ln]).max() for i, ln in
+             enumerate(lens)]
+    check("segment packing parity", max(diffs) < 3e-4,
+          f"max|diff|={max(diffs):.2e}")
+
+    # -- 6. fused apply vs optax chain --------------------------------------
+    import optax
+    from speech_ssl_compression_tpu.train.steps import (
+        make_apply_step,
+        make_optimizer,
+    )
+
+    p0 = {"a": jnp.asarray(rng.standard_normal((512, 512)), jnp.float32),
+          "b": jnp.asarray(rng.standard_normal((512,)), jnp.float32)}
+    g0 = {"a": jnp.asarray(rng.standard_normal((512, 512)), jnp.float32),
+          "b": jnp.asarray(rng.standard_normal((512,)), jnp.float32)}
+    fused = make_optimizer(lr=1e-3, weight_decay=0.01)
+    ref = optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.add_decayed_weights(0.01),
+        optax.adam(1e-3),
+    )
+    fa = make_apply_step(fused)
+    p1, _, gn1 = fa(p0, fused.init(p0), g0, jnp.asarray(1.0))
+    ra = make_apply_step(ref)
+    p2, _, gn2 = ra(p0, ref.init(p0), g0, jnp.asarray(1.0))
+    diff = max(
+        float(jnp.abs(p1[kk] - p2[kk]).max()) for kk in ("a", "b")
+    )
+    check("fused clip+Adam vs optax chain", diff < 1e-6,
+          f"max|dp|={diff:.2e}, gnorm {float(gn1):.4f}/{float(gn2):.4f}")
+
+    print(f"\n{'ALL PASS' if not FAILED else 'FAILURES: ' + str(FAILED)}")
+    sys.exit(1 if FAILED else 0)
+
+
+if __name__ == "__main__":
+    t0 = time.time()
+    main()
