@@ -184,6 +184,10 @@ class HuBERTConfig:
     skip_nomask: bool = False
     checkpoint_activations: bool = False
     required_seq_len_multiple: int = 2
+    # TPU perf knob (not in the reference): conv-frontend formulation.
+    # "auto"/"tc_conv" = feature-last NHC convs with an im2col first layer,
+    # "tc_matmul" = every layer as im2col matmul, "nch" = torch layout.
+    conv_frontend_impl: str = "auto"
 
     @classmethod
     def from_dict(cls, cfg: dict) -> "HuBERTConfig":
@@ -334,6 +338,8 @@ class Wav2Vec2Config:
     checkpoint_activations: bool = False
     required_seq_len_multiple: int = 2
     crop_seq_to_multiple: int = 1
+    # TPU perf knob (not in the reference) — see HuBERTConfig
+    conv_frontend_impl: str = "auto"
 
     @classmethod
     def from_dict(cls, cfg: dict) -> "Wav2Vec2Config":

@@ -88,6 +88,84 @@ def conv_frontend_forward(params, conv_layers, source, mode="default"):
     return x
 
 
+def _instance_norm_fp32_tc(x, p):
+    """GroupNorm(C, C) == per-channel normalization over time. x: (B, T, C)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.var(x32, axis=1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    out = out * p["scale"][None, None, :] + p["bias"][None, None, :]
+    return out.astype(x.dtype)
+
+
+def _channel_layer_norm_fp32_tc(x, p):
+    """LayerNorm over the channel (last) dim. x: (B, T, C)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=2, keepdims=True)
+    var = jnp.var(x32, axis=2, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    out = out * p["scale"][None, None, :] + p["bias"][None, None, :]
+    return out.astype(x.dtype)
+
+
+def _im2col_matmul(x, w_oik, k: int, stride: int):
+    """Strided conv as patches @ weights. x: (B, T, C) -> (B, T_out, O).
+
+    The TPU-native formulation when the contraction (k*C) is MXU-sized:
+    k strided slices concatenated on the feature axis, one big matmul.
+    w_oik is the torch-layout (O, I, K) kernel."""
+    b, t, c = x.shape
+    t_out = (t - k) // stride + 1
+    cols = [
+        jax.lax.slice_in_dim(
+            x, j, j + (t_out - 1) * stride + 1, stride=stride, axis=1
+        )
+        for j in range(k)
+    ]
+    patches = jnp.concatenate(cols, axis=-1)  # (B, T_out, k*C)
+    # (O, I, K) -> (K, I, O) -> (k*C, O): row-major over (j, channel) matches
+    # the concat order above
+    w2 = w_oik.transpose(2, 1, 0).reshape(k * c, -1)
+    return patches @ w2.astype(x.dtype)
+
+
+def conv_frontend_forward_tc(params, conv_layers, source, mode="default",
+                             impl="conv"):
+    """Feature-last frontend: source (B, T_wave) -> (B, T_frames, C).
+
+    Same math as :func:`conv_frontend_forward` (parity-tested) in the
+    TPU-native time-major/feature-minor layout: channels live on the
+    128-lane minor dim instead of the sublane dim, which is where XLA's
+    TPU conv/matmul tiling wants them. ``impl``:
+      * "conv"   — layer 0 (in=1) as an im2col matmul (a conv with a 1-wide
+                   input channel has no MXU-sized contraction), remaining
+                   layers as NHC ``conv_general_dilated``;
+      * "matmul" — every layer as im2col patches @ weights (contraction
+                   k*C = 1024-1536: pure MXU work, at the cost of k-times
+                   larger activation residuals).
+    """
+    x = source[:, :, None]  # (B, T, 1)
+    for i, (layer, (dim, k, stride)) in enumerate(zip(params, conv_layers)):
+        w = layer["weight"]  # (O, I, K) torch layout
+        if i == 0 or impl == "matmul":
+            x = _im2col_matmul(x, w, k, stride)
+        else:
+            x = jax.lax.conv_general_dilated(
+                x, w.transpose(2, 1, 0).astype(x.dtype),
+                window_strides=(stride,),
+                padding="VALID",
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
+        if "bias" in layer:
+            x = x + layer["bias"][None, None, :]
+        if "group_norm" in layer:
+            x = _instance_norm_fp32_tc(x, layer["group_norm"])
+        elif "layer_norm" in layer:
+            x = _channel_layer_norm_fp32_tc(x, layer["layer_norm"])
+        x = _gelu(x)
+    return x
+
+
 def conv_output_length(n_samples: int, conv_layers) -> int:
     n = n_samples
     for _, k, stride in conv_layers:
@@ -118,10 +196,19 @@ def wave_frontend_forward(
     import jax
     import jax.numpy as jnp
 
-    features = conv_frontend_forward(
-        params["feature_extractor"], cfg.conv_feature_layers, source,
-        cfg.extractor_mode,
-    )  # (B, C, T')
+    impl = getattr(cfg, "conv_frontend_impl", "auto")
+    if impl in ("auto", "tc_conv", "tc_matmul"):
+        # feature-last frontend (TPU-native layout; parity-tested vs NCH)
+        features = conv_frontend_forward_tc(
+            params["feature_extractor"], cfg.conv_feature_layers, source,
+            cfg.extractor_mode,
+            impl="matmul" if impl == "tc_matmul" else "conv",
+        )  # (B, T', C)
+    else:  # "nch": the torch-layout formulation
+        features = conv_frontend_forward(
+            params["feature_extractor"], cfg.conv_feature_layers, source,
+            cfg.extractor_mode,
+        ).transpose(0, 2, 1)  # (B, C, T') -> (B, T', C)
     if cfg.feature_grad_mult == 0:
         features = jax.lax.stop_gradient(features)
     elif cfg.feature_grad_mult != 1.0:
@@ -131,7 +218,7 @@ def wave_frontend_forward(
 
     features_pen = jnp.mean(features.astype(jnp.float32) ** 2)
 
-    x = features.transpose(0, 2, 1)  # (B, T', C)
+    x = features
     x = layer_norm_fn(x, params["layer_norm"])
     unmasked_features = x
 

@@ -50,6 +50,32 @@ def test_conv_frontend_matches_torch_oracle():
     assert got.shape[2] == conv_output_length(1000, CONV_LAYERS)
 
 
+def test_conv_frontend_tc_matches_nch():
+    """Feature-last (and im2col-matmul) frontends are numerically the NCH
+    one, for both norm modes and with conv bias."""
+    from speech_ssl_compression_tpu.models.conv_frontend import (
+        conv_frontend_forward,
+        conv_frontend_forward_tc,
+        init_conv_frontend,
+    )
+
+    rng = np.random.default_rng(5)
+    src = jnp.asarray(rng.standard_normal((2, 1000)), jnp.float32)
+    for mode, bias in (("default", False), ("layer_norm", True)):
+        params = init_conv_frontend(
+            jax.random.PRNGKey(1), CONV_LAYERS, mode, bias
+        )
+        want = np.asarray(
+            conv_frontend_forward(params, CONV_LAYERS, src, mode)
+        ).transpose(0, 2, 1)
+        for impl in ("conv", "matmul"):
+            got = np.asarray(conv_frontend_forward_tc(
+                params, CONV_LAYERS, src, mode, impl=impl
+            ))
+            np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4,
+                                       err_msg=f"{mode}/{impl}")
+
+
 def _hubert_cfg():
     return HuBERTConfig.from_dict(
         {

@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--samples", type=int, default=245760)
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--impl", default="auto",
+                    choices=["auto", "tc_conv", "tc_matmul", "nch"],
+                    help="conv-frontend formulation (configs.py knob)")
+    ap.add_argument("--stages", default="all",
+                    help="comma list: full,conv,prefix,frontend,encoder,vq")
     args = ap.parse_args()
 
     import jax
@@ -45,8 +50,11 @@ def main():
         wav2vec2_forward,
         wav2vec2_pretrain_loss,
     )
+    import dataclasses
+
     from speech_ssl_compression_tpu.models.conv_frontend import (
         conv_frontend_forward,
+        conv_frontend_forward_tc,
         conv_output_length,
         wave_frontend_forward,
     )
@@ -85,8 +93,19 @@ def main():
         params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
         t_frames = conv_output_length(t_wave, cfg.conv_feature_layers)
 
-    print(f"{args.model} {args.dtype}: B={b} x {t_wave} samples -> "
-          f"{t_frames} frames", flush=True)
+    cfg = dataclasses.replace(cfg, conv_frontend_impl=args.impl)
+    stages = set(args.stages.split(","))
+
+    def conv_fn(fe_params, x):
+        if args.impl == "nch":
+            return conv_frontend_forward(
+                fe_params, cfg.conv_feature_layers, x, cfg.extractor_mode)
+        return conv_frontend_forward_tc(
+            fe_params, cfg.conv_feature_layers, x, cfg.extractor_mode,
+            impl="matmul" if args.impl == "tc_matmul" else "conv")
+
+    print(f"{args.model} {args.dtype} impl={args.impl}: B={b} x {t_wave} "
+          f"samples -> {t_frames} frames", flush=True)
 
     results = {}
 
@@ -127,112 +146,102 @@ def main():
             loss, _, _ = wav2vec2_pretrain_loss(out, c)
         return loss
 
-    # 1. full grad step
-    def grad_full(p, x, key):
-        g = jax.grad(lambda s: full_loss(p, s, key))(x)
-        return x + 1e-20 * g  # chain through the input grad
+    if "full" in stages or "all" in stages:
+        # 1. full grad step
+        def grad_params(p, x, key):
+            g = jax.grad(lambda q: full_loss(q, x, key))(p)
+            # reduce over EVERY leaf: reducing one leaf lets XLA DCE the
+            # other weight gradients and understates the stage cost
+            tot = sum(jnp.sum(l.astype(jnp.float32))
+                      for l in jax.tree.leaves(g))
+            return x + 1e-20 * tot.astype(x.dtype)
 
-    timeit("grad_full(wrt input)", grad_full, source)
+        timeit("grad_full(wrt params)", grad_params, source)
 
-    def grad_params(p, x, key):
-        g = jax.grad(lambda q: full_loss(q, x, key))(p)
-        leaf = jax.tree.leaves(g)[0]
-        return x + 1e-20 * jnp.mean(leaf).astype(x.dtype)
+        # 2. forward only
+        def fwd_only(p, x, key):
+            return x + 1e-20 * full_loss(p, x, key).astype(x.dtype)
 
-    timeit("grad_full(wrt params)", grad_params, source)
+        timeit("forward_only", fwd_only, source)
 
-    # 2. forward only
-    def fwd_only(p, x, key):
-        return x + 1e-20 * full_loss(p, x, key).astype(x.dtype)
+        # 3. frontend stopped (feature_grad_mult=0): no conv backward
+        def grad_nofrontbwd(p, x, key):
+            g = jax.grad(
+                lambda q: full_loss(q, x, key, grad_mult_override=0.0)
+            )(p)
+            # reduce over EVERY leaf: reducing one leaf lets XLA DCE the
+            # other weight gradients and understates the stage cost
+            tot = sum(jnp.sum(l.astype(jnp.float32))
+                      for l in jax.tree.leaves(g))
+            return x + 1e-20 * tot.astype(x.dtype)
 
-    timeit("forward_only", fwd_only, source)
+        timeit("grad_conv_stopgrad", grad_nofrontbwd, source)
 
-    # 3. frontend stopped (feature_grad_mult=0): removes the conv backward
-    def grad_nofrontbwd(p, x, key):
-        g = jax.grad(
-            lambda q: full_loss(q, x, key, grad_mult_override=0.0)
-        )(p)
-        leaf = jax.tree.leaves(g)[0]
-        return x + 1e-20 * jnp.mean(leaf).astype(x.dtype)
+    if "conv" in stages or "all" in stages:
+        # 4. conv frontend forward alone
+        def conv_fwd(p, x, key):
+            p = cast_for_compute(p, dt_)
+            out = conv_fn(p["feature_extractor"], x)
+            return x + 1e-20 * jnp.mean(
+                out.astype(jnp.float32)).astype(x.dtype)
 
-    timeit("grad_conv_stopgrad", grad_nofrontbwd, source)
+        timeit("conv_frontend_fwd", conv_fwd, source)
 
-    # 4. conv frontend forward alone
-    def conv_fwd(p, x, key):
-        p = cast_for_compute(p, dt_)
-        out = conv_frontend_forward(
-            p["feature_extractor"], cfg.conv_feature_layers, x,
-            cfg.extractor_mode,
-        )
-        return x + 1e-20 * jnp.mean(out.astype(jnp.float32)).astype(x.dtype)
-
-    timeit("conv_frontend_fwd", conv_fwd, source)
-
-    # 5. conv frontend fwd+bwd
-    def conv_fwdbwd(p, x, key):
-        p = cast_for_compute(p, dt_)
-
-        def f(s):
-            out = conv_frontend_forward(
-                p["feature_extractor"], cfg.conv_feature_layers, s,
-                cfg.extractor_mode,
-            )
-            return jnp.mean(out.astype(jnp.float32))
-
-        g = jax.grad(f)(x)
-        return x + 1e-20 * g
-
-    timeit("conv_frontend_fwd+bwd", conv_fwdbwd, source)
-
-    # 5b. per-layer cumulative conv cost (fwd+bwd after each prefix)
-    for n_layers in range(1, len(cfg.conv_feature_layers) + 1):
-        spec = cfg.conv_feature_layers[:n_layers]
-
-        def conv_prefix(p, x, key, spec=spec, n=n_layers):
+        # 5. conv frontend fwd + dW bwd (the training-relevant backward:
+        # grad wrt WEIGHTS; the waveform-input grad is dead in training
+        # and XLA DCEs it there)
+        def conv_fwddw(p, x, key):
             p = cast_for_compute(p, dt_)
 
-            def f(s):
-                out = conv_frontend_forward(
-                    p["feature_extractor"][:n], spec, s, cfg.extractor_mode,
+            def f(fe):
+                return jnp.mean(conv_fn(fe, x).astype(jnp.float32))
+
+            g = jax.grad(f)(p["feature_extractor"])
+            tot = sum(jnp.sum(l.astype(jnp.float32))
+                      for l in jax.tree.leaves(g))
+            return x + 1e-20 * tot.astype(x.dtype)
+
+        timeit("conv_frontend_fwd+dW", conv_fwddw, source)
+
+    if "frontend" in stages or "all" in stages:
+        # 6. full frontend (conv + LN + proj + penalty) fwd + dW
+        def frontend_fwdbwd(p, x, key):
+            p = cast_for_compute(p, dt_)
+
+            def f(q):
+                xx, uf, fv, ol, pen = wave_frontend_forward(
+                    q, cfg, x, lengths, layer_norm_fn=layer_norm,
+                )
+                return jnp.mean(xx.astype(jnp.float32)) + pen
+
+            g = jax.grad(f)(p)
+            # reduce over EVERY leaf: reducing one leaf lets XLA DCE the
+            # other weight gradients and understates the stage cost
+            tot = sum(jnp.sum(l.astype(jnp.float32))
+                      for l in jax.tree.leaves(g))
+            return x + 1e-20 * tot.astype(x.dtype)
+
+        timeit("frontend_full_fwd+dW", frontend_fwdbwd, source)
+
+    if "encoder" in stages or "all" in stages:
+        # 7. encoder fwd+bwd at the frame scale
+        feat = jnp.asarray(rng.standard_normal((b, t_frames, 768)), dt_)
+
+        def encoder_fwdbwd(p, x, key):
+            p = cast_for_compute(p, dt_)
+
+            def f(h):
+                out, _, _ = encoder_forward(
+                    h, p["encoder"], cfg, rng=key, deterministic=False,
                 )
                 return jnp.mean(out.astype(jnp.float32))
 
             return x + 1e-20 * jax.grad(f)(x)
 
-        timeit(f"conv_prefix_{n_layers}L_fwd+bwd", conv_prefix, source)
+        timeit("encoder_fwd+bwd", encoder_fwdbwd, feat)
+        del feat
 
-    # 6. full frontend (conv + LN + proj + penalty) fwd+bwd
-    def frontend_fwdbwd(p, x, key):
-        p = cast_for_compute(p, dt_)
-
-        def f(s):
-            xx, uf, fv, ol, pen = wave_frontend_forward(
-                p, cfg, s, lengths, layer_norm_fn=layer_norm,
-            )
-            return jnp.mean(xx.astype(jnp.float32)) + pen
-
-        return x + 1e-20 * jax.grad(f)(x)
-
-    timeit("frontend_full_fwd+bwd", frontend_fwdbwd, source)
-
-    # 7. encoder fwd+bwd at the frame scale
-    feat = jnp.asarray(rng.standard_normal((b, t_frames, 768)), dt_)
-
-    def encoder_fwdbwd(p, x, key):
-        p = cast_for_compute(p, dt_)
-
-        def f(h):
-            out, _, _ = encoder_forward(
-                h, p["encoder"], cfg, rng=key, deterministic=False,
-            )
-            return jnp.mean(out.astype(jnp.float32))
-
-        return x + 1e-20 * jax.grad(f)(x)
-
-    timeit("encoder_fwd+bwd", encoder_fwdbwd, feat)
-    del feat
-
-    if args.model == "wav2vec2":
+    if args.model == "wav2vec2" and ("vq" in stages or "all" in stages):
         # 8. VQ + negatives + contrastive loss on frontend-shaped inputs
         from speech_ssl_compression_tpu.models.gumbel_vq import (
             gumbel_vq_forward,
@@ -267,9 +276,9 @@ def main():
         timeit("vq+negatives_fwd+bwd", vq_neg, yfeat)
         del yfeat
 
-    out_path = pathlib.Path(__file__).resolve().parent.parent / \
-        f"/tmp/wave_ablate_{args.model}_{args.dtype}.json"
-    print(json.dumps({f"{args.model}_{args.dtype}": results}))
+    print(json.dumps(
+        {f"{args.model}_{args.dtype}_{args.impl}": results}
+    ))
 
 
 if __name__ == "__main__":
