@@ -233,6 +233,7 @@ def wav2vec2_forward(
             params["quantizer"], unmasked_features,
             num_vars=cfg.latent_vars, groups=cfg.latent_groups,
             temperature=temp, training=not deterministic, rng=vq_rng,
+            produce_targets=True,  # code ids drive neg_is_pos (below)
         )
         y = q["x"]
         out["prob_perplexity"] = q["prob_perplexity"]
@@ -252,16 +253,55 @@ def wav2vec2_forward(
         mask_indices & frame_valid,
         cfg.num_negatives,
     )  # (B, T, N)
-    negs = jnp.take_along_axis(
-        y[:, :, None, :], neg_idx[..., None], axis=1
-    )  # (B, T, N, D)
 
-    pos_logit, neg_logit = contrastive_logits(
-        x_proj, y, negs, cfg.logit_temp
-    )
+    if cfg.quantize_targets and q.get("targets") is not None:
+        # gather-free formulation: the (B, T, N, D) negatives tensor is
+        # ~300 MB at base scale and dominates this section's HBM traffic;
+        # cosine dots come from one (B, T, T) matmul + a scalar gather,
+        # and neg_is_pos from quantizer code-id equality
+        pos_logit, neg_logit = contrastive_logits_from_idx(
+            x_proj, y, neg_idx, cfg.logit_temp, q["targets"]
+        )
+    else:
+        negs = jnp.take_along_axis(
+            y[:, :, None, :], neg_idx[..., None], axis=1
+        )  # (B, T, N, D)
+        pos_logit, neg_logit = contrastive_logits(
+            x_proj, y, negs, cfg.logit_temp
+        )
     out["pos_logit"] = pos_logit
     out["neg_logit"] = neg_logit
     return out
+
+
+def contrastive_logits_from_idx(x_proj, y, neg_idx, logit_temp,
+                                code_targets):
+    """Index-based contrastive logits, numerically equal to
+    :func:`contrastive_logits` over gathered negatives (parity-tested).
+
+    TPU formulation: normalize once, compute ALL pairwise cosines with one
+    (B, T, T) MXU matmul (9 MB at base scale), then gather SCALARS —
+    instead of gathering (B, T, N, D) negative vectors (~300 MB) and
+    reducing elementwise on the VPU. ``neg_is_pos`` (reference
+    model.py:688 compares quantized vectors elementwise) is decided by
+    quantizer code-id equality — identical unless two distinct code
+    combinations project to the exact same vector (measure-zero)."""
+    xf = x_proj.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    xn = xf / jnp.maximum(jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-8)
+    yn = yf / jnp.maximum(jnp.linalg.norm(yf, axis=-1, keepdims=True), 1e-8)
+    pos_logit = jnp.sum(xn * yn, axis=-1) / logit_temp  # (B, T)
+    all_cos = jnp.einsum("btd,bsd->bts", xn, yn)  # (B, T, T)
+    neg_logit = jnp.take_along_axis(all_cos, neg_idx, axis=2) / logit_temp
+
+    # (B, T, G) int codes -> gathered (B, T, N, G); equal codes == equal
+    # quantized target vectors
+    neg_codes = jnp.take_along_axis(
+        code_targets[:, :, None, :], neg_idx[..., None], axis=1
+    )
+    neg_is_pos = jnp.all(neg_codes == code_targets[:, :, None, :], axis=-1)
+    neg_logit = jnp.where(neg_is_pos, -1e30, neg_logit)
+    return pos_logit, neg_logit
 
 
 def contrastive_logits(x_proj, y, negs, logit_temp):

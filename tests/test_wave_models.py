@@ -321,6 +321,45 @@ def test_wav2vec2_dataset_emits_precomputed_mask(tmp_path):
         )
 
 
+def test_contrastive_logits_from_idx_matches_gathered():
+    """The (B,T,T)-matmul + scalar-gather contrastive path equals the
+    gathered-negatives path, including neg_is_pos exclusion on code
+    collisions (quantized targets: code equality == vector equality)."""
+    from speech_ssl_compression_tpu.models.wav2vec2 import (
+        contrastive_logits,
+        contrastive_logits_from_idx,
+    )
+
+    rng = np.random.default_rng(2)
+    b, t, n, d, g, v = 2, 31, 6, 16, 2, 3  # tiny codebook -> collisions
+    codes = rng.integers(0, v, (b, t, g))
+    emb = rng.standard_normal((g, v, d)).astype(np.float32)
+    y = (emb[0][codes[..., 0]] + emb[1][codes[..., 1]]).astype(np.float32)
+    x = rng.standard_normal((b, t, d)).astype(np.float32)
+    neg_idx = rng.integers(0, t, (b, t, n))
+
+    negs = np.take_along_axis(
+        y[:, :, None, :], neg_idx[..., None], axis=1
+    )
+    pos_ref, neg_ref = contrastive_logits(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(negs), 0.1
+    )
+    pos_new, neg_new = contrastive_logits_from_idx(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(neg_idx), 0.1,
+        jnp.asarray(codes),
+    )
+    np.testing.assert_allclose(np.asarray(pos_new), np.asarray(pos_ref),
+                               atol=3e-5)
+    # same exclusions (collisions DO occur with v=3)
+    excl_ref = np.asarray(neg_ref) < -1e29
+    excl_new = np.asarray(neg_new) < -1e29
+    assert excl_ref.any() and (excl_ref == excl_new).all()
+    np.testing.assert_allclose(
+        np.asarray(neg_new)[~excl_new], np.asarray(neg_ref)[~excl_ref],
+        atol=3e-5,
+    )
+
+
 def test_wav2vec2_forward_and_loss():
     from speech_ssl_compression_tpu.models import (
         init_wav2vec2_params,
