@@ -74,6 +74,27 @@ def main():
     apply_step = make_apply_step(opt, donate=True)
     dtype_map = {"f32": jnp.float32, "bf16": jnp.bfloat16}
 
+    PEAK_TFLOPS = 98.0  # measured 4096^3 ceiling (BASELINE.md)
+
+    def step_flops(cfg, t_frames):
+        """Analytic matmul FLOPs of one grad step (3x forward: fwd + bwd)."""
+        d = cfg.encoder_embed_dim
+        fwd = 0
+        # conv frontend
+        n, in_d = t_wave, 1
+        for dim, k, s in cfg.conv_feature_layers:
+            n = (n - k) // s + 1
+            fwd += 2 * n * dim * in_d * k
+            in_d = dim
+        fwd += 2 * t_frames * in_d * d  # post_extract_proj
+        for i in range(cfg.encoder_layers):
+            f = cfg.encoder_ffn_embed_dim[i]
+            p = cfg.encoder_attention_heads[i] * cfg.head_dim
+            fwd += 2 * t_frames * (3 * d * p + p * d)
+            fwd += 4 * t_frames * t_frames * p
+            fwd += 4 * t_frames * d * f
+        return 3 * b * fwd
+
     def fence(tree):
         return float(jnp.sum(jax.tree.leaves(tree)[0].astype(jnp.float32)))
 
@@ -143,9 +164,14 @@ def main():
             dt = (time.time() - t0) / args.steps
             results[f"{model}_pretrain_steps_per_sec_{dname}"] = round(
                 1 / dt, 2)
+            tflops = step_flops(cfg, t_frames) / dt / 1e12
+            results[f"{model}_pretrain_mfu_{dname}"] = round(
+                tflops / PEAK_TFLOPS, 3)
             print(f"{model} pretrain {dname}: {dt*1e3:.1f} ms/step "
                   f"({1/dt:.2f} steps/s, "
-                  f"{b*t_wave/16000/dt:.1f}x realtime audio)", flush=True)
+                  f"{b*t_wave/16000/dt:.1f}x realtime audio, "
+                  f"{tflops:.1f} TFLOP/s = {tflops/PEAK_TFLOPS:.2f} MFU)",
+                  flush=True)
             del p, ost, grad_step
             jax.clear_caches()
         del params
