@@ -57,24 +57,10 @@ def _load_feats(fp):
     return feat, pad_mask, lengths
 
 
-# Measured 4096^3 matmul ceiling on this v5e chip (BASELINE.md round-2
-# study); f32 lowers to single-pass bf16 MXU, so one ceiling serves both.
-PEAK_TFLOPS = 98.0
-
-
-def _melhubert_fwd_flops(cfg, length, d_in):
-    """Dense-equivalent matmul FLOPs of one forward over `length` valid
-    frames (projections + attention + FFN + pre/final proj); used to report
-    achieved TFLOP/s and MFU against the measured chip ceiling."""
-    d = cfg.encoder_embed_dim
-    total = 2 * length * d_in * d + 2 * length * d * cfg.num_cluster
-    for i in range(cfg.encoder_layers):
-        f = cfg.encoder_ffn_embed_dim[i]
-        p = cfg.encoder_attention_heads[i] * cfg.head_dim
-        total += 2 * length * (3 * d * p + p * d)  # qkv + out projections
-        total += 4 * length * length * p           # scores + context
-        total += 4 * length * d * f                # fc1 + fc2
-    return total
+from speech_ssl_compression_tpu.utils.flops import (  # noqa: E402
+    PEAK_TFLOPS,
+    melhubert_fwd_flops as _melhubert_fwd_flops,
+)
 
 
 def _with_mfu(entry, flops_per_sec):

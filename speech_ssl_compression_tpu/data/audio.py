@@ -36,9 +36,17 @@ def _ensure_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    # staleness check BEFORE dlopen (glibc returns the cached handle for an
+    # already-loaded path, so a post-load rebuild could not be picked up):
+    # a prebuilt .so from before the Ogg codec lacks the sslc_ogg_* exports
+    stale = (
+        _LIB_PATH.exists()
+        and b"sslc_ogg_available" not in _LIB_PATH.read_bytes()
+    )
+    if stale or not _LIB_PATH.exists():
         subprocess.run(
-            ["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True
+            ["make", "-C", str(_NATIVE_DIR), "clean", "all"],
+            check=True, capture_output=True,
         )
     _lib = ctypes.CDLL(str(_LIB_PATH))
     _lib.flac_decode_file.restype = ctypes.c_int

@@ -165,8 +165,10 @@ def wav2vec2_forward(
         if cfg.mask_channel_prob > 0 and cfg.mask_channel_before:
             # reference model.py:573-590: channels zeroed BEFORE time masking
             x = jnp.where(_chan_mask()[:, None, :], 0.0, x)
-        if precomputed is not None:
-            # valid-frame confinement is a no-op for outputs (the prologue
+        if precomputed is not None and cfg.mask_prob > 0:
+            # fairseq gates supplied mask_indices behind mask_prob > 0
+            # (reference model.py:593 sits inside the mask_prob branch).
+            # Valid-frame confinement is a no-op for outputs (the prologue
             # zeroes padded positions anyway) but keeps the loss's
             # masked-frame set consistent with the on-device generator
             mask_indices = precomputed.astype(bool) & frame_valid

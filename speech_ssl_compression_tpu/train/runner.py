@@ -44,6 +44,7 @@ from ..data.bucket_dataset import MelFeatBuckets, PrefetchIterator
 from ..models import init_melhubert_params, melhubert_forward
 from ..parallel import batch_sharding, make_mesh, shard_params
 from ..utils.checkpoint import save_checkpoint, load_checkpoint, restore_opt_state
+from ..utils.tb import TBLogger
 from .steps import (
     make_apply_step,
     make_distill_grad_step,
@@ -62,7 +63,7 @@ class Runner:
 
         self.expdir = args.expdir
         os.makedirs(self.expdir, exist_ok=True)
-        self.logger = self._make_logger()
+        self.logger = TBLogger(self.expdir)
 
         self.rng = jax.random.PRNGKey(getattr(args, "seed", 1337))
         self.compute_dtype = (
@@ -191,17 +192,8 @@ class Runner:
         self._rebuild_steps()
 
     # ------------------------------------------------------------------
-    def _make_logger(self):
-        try:
-            from tensorboardX import SummaryWriter
-
-            return SummaryWriter(self.expdir)
-        except Exception:
-            return None
-
     def _log_scalar(self, tag, value, step):
-        if self.logger is not None:
-            self.logger.add_scalar(tag, float(value), global_step=step)
+        self.logger.scalar(tag, value, step)
 
     # ------------------------------------------------------------------
     def _init_melhubert(self):
@@ -630,13 +622,17 @@ class Runner:
                 # keep loss on device: a float() here would block async
                 # dispatch on every micro-batch; fetch once per log window
                 # (and once per accumulation window in weight-pruning mode)
-                window_loss = window_loss + loss
-                window_count += sample_size
                 all_sample_size += sample_size
                 batch_loss = batch_loss + loss
                 backward_steps += 1
                 if backward_steps % accum > 0:
                     continue
+
+                # log-window counters absorb COMPLETED windows only — an
+                # OOM-dropped window's micro-losses (batch_loss rewound in
+                # the handler above) never skew the reported loss
+                window_loss = window_loss + batch_loss
+                window_count += all_sample_size
 
                 if self.mode == "weight-pruning":
                     self.wp_state.update_smooth_loss(
@@ -645,7 +641,7 @@ class Runner:
                     self.wp_state.update_target_smooth_loss(
                         global_step, self.prune_steps
                     )
-                    batch_loss = 0.0
+                batch_loss = 0.0
 
                 self.params, self.opt_state, grad_norm = self.apply_step(
                     self.params, self.opt_state, grads_acc,
@@ -686,4 +682,5 @@ class Runner:
                         self.save(global_step, f"states_prune_{n_left}.npz")
                 pbar["n"] += 1
 
+        self.logger.close()  # flush buffered scalars before returning
         print(f"[Runner] - Done: {pbar['total']} steps")

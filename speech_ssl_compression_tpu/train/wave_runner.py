@@ -177,16 +177,25 @@ class WaveRunner:
             ),
         )
         self.opt_state = self.optimizer.init(self.params)
-        if (
-            getattr(args, "init_optimizer_from_initial_weight", False)
-            and self._resumed_opt_leaves
-        ):
-            self.opt_state = restore_opt_state(
-                self.opt_state, self._resumed_opt_leaves
-            )
-            print(
-                f"[WaveRunner] Loaded optimizer state from {args.initial_weight}"
-            )
+        if getattr(args, "init_optimizer_from_initial_weight", False):
+            if self._resumed_opt_leaves:
+                self.opt_state = restore_opt_state(
+                    self.opt_state, self._resumed_opt_leaves
+                )
+                print(
+                    f"[WaveRunner] Loaded optimizer state from "
+                    f"{args.initial_weight}"
+                )
+            else:
+                # torch-format ckpts / npz without opt state: be loud, not
+                # silent (the reference restores torch Adam state here;
+                # mapping it onto the fused optax layout is unsupported)
+                print(
+                    "[WaveRunner] WARNING: --init_optimizer_from_initial_"
+                    "weight requested but the checkpoint carries no "
+                    "compatible optimizer state — starting with fresh "
+                    "Adam moments"
+                )
         self.apply_step = make_apply_step(self.optimizer, donate=True)
         self._build_grad_step()
 
@@ -581,11 +590,15 @@ class WaveRunner:
                 # device-side accumulation: no host sync per micro-batch
                 sample_total = sample_total + sample_size
                 accum_loss = accum_loss + loss
-                window_loss = window_loss + loss
-                window_n += 1
                 backward += 1
                 if backward % accum:
                     continue
+
+                # log-window counters only absorb COMPLETED windows, so an
+                # OOM-dropped window's micro-losses never skew the reported
+                # loss (accum_loss rewinds with the window)
+                window_loss = window_loss + accum_loss
+                window_n += accum
 
                 st_dev = jnp.maximum(
                     jnp.asarray(sample_total, jnp.float32), 1.0
@@ -626,4 +639,5 @@ class WaveRunner:
                     )
                     window_loss, window_n = 0.0, 0
         self.save(step, "last-step.npz")
+        self.logger.close()  # flush buffered scalars before returning
         print(f"[WaveRunner] - Done: {step} steps")

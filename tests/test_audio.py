@@ -99,9 +99,14 @@ def test_ogg_roundtrip_and_zip_slice(tmp_path):
     import zipfile
 
     from speech_ssl_compression_tpu.data.audio import (
+        _ensure_lib,
         read_ogg_bytes,
         write_ogg,
     )
+
+    lib = _ensure_lib()
+    if not (lib.sslc_ogg_available() and lib.sslc_ogg_encode_available()):
+        pytest.skip("system libvorbis/libvorbisenc not available")
 
     rng = np.random.default_rng(7)
     t = np.arange(16000)

@@ -74,26 +74,14 @@ def main():
     apply_step = make_apply_step(opt, donate=True)
     dtype_map = {"f32": jnp.float32, "bf16": jnp.bfloat16}
 
-    PEAK_TFLOPS = 98.0  # measured 4096^3 ceiling (BASELINE.md)
+    from speech_ssl_compression_tpu.utils.flops import (
+        PEAK_TFLOPS,
+        wave_fwd_flops,
+    )
 
     def step_flops(cfg, t_frames):
         """Analytic matmul FLOPs of one grad step (3x forward: fwd + bwd)."""
-        d = cfg.encoder_embed_dim
-        fwd = 0
-        # conv frontend
-        n, in_d = t_wave, 1
-        for dim, k, s in cfg.conv_feature_layers:
-            n = (n - k) // s + 1
-            fwd += 2 * n * dim * in_d * k
-            in_d = dim
-        fwd += 2 * t_frames * in_d * d  # post_extract_proj
-        for i in range(cfg.encoder_layers):
-            f = cfg.encoder_ffn_embed_dim[i]
-            p = cfg.encoder_attention_heads[i] * cfg.head_dim
-            fwd += 2 * t_frames * (3 * d * p + p * d)
-            fwd += 4 * t_frames * t_frames * p
-            fwd += 4 * t_frames * d * f
-        return 3 * b * fwd
+        return 3 * b * wave_fwd_flops(cfg, t_wave, t_frames)
 
     def fence(tree):
         return float(jnp.sum(jax.tree.leaves(tree)[0].astype(jnp.float32)))
