@@ -250,30 +250,51 @@ def main():
             sample_negative_indices,
         )
 
+        from speech_ssl_compression_tpu.models.wav2vec2 import (
+            contrastive_logits,
+            contrastive_logits_from_idx,
+        )
+
         yfeat = jnp.asarray(rng.standard_normal((b, t_frames, 512)), dt_)
+        xh = jnp.asarray(
+            rng.standard_normal((b, t_frames, cfg.final_dim)), dt_
+        )
 
-        def vq_neg(p, x, key):
-            p = cast_for_compute(p, dt_)
+        def make_vq_stage(use_idx):
+            def vq_neg(p, x, key):
+                p = cast_for_compute(p, dt_)
 
-            def f(h):
-                q = gumbel_vq_forward(
-                    p["quantizer"], h, num_vars=cfg.latent_vars,
-                    groups=cfg.latent_groups, temperature=2.0,
-                    training=True, rng=key,
-                )
-                y = q["x"] @ p["project_q"]["kernel"] + p["project_q"]["bias"]
-                mask = jnp.ones((b, t_frames), bool)
-                neg = sample_negative_indices(key, mask, cfg.num_negatives)
-                negs = jnp.take_along_axis(
-                    y[:, :, None, :],
-                    neg[..., None].repeat(y.shape[-1], -1), axis=1,
-                )
-                return jnp.mean(y.astype(jnp.float32)) + \
-                    1e-6 * jnp.mean(negs.astype(jnp.float32))
+                def f(h):
+                    q = gumbel_vq_forward(
+                        p["quantizer"], h, num_vars=cfg.latent_vars,
+                        groups=cfg.latent_groups, temperature=2.0,
+                        training=True, rng=key, produce_targets=use_idx,
+                    )
+                    y = (q["x"] @ p["project_q"]["kernel"]
+                         + p["project_q"]["bias"])
+                    mask = jnp.ones((b, t_frames), bool)
+                    neg = sample_negative_indices(
+                        key, mask, cfg.num_negatives)
+                    if use_idx:
+                        pos, negl = contrastive_logits_from_idx(
+                            xh, y, neg, cfg.logit_temp, q["targets"])
+                    else:
+                        negs = jnp.take_along_axis(
+                            y[:, :, None, :], neg[..., None], axis=1)
+                        pos, negl = contrastive_logits(
+                            xh, y, negs, cfg.logit_temp)
+                    return (jnp.sum(pos.astype(jnp.float32))
+                            + jnp.sum(jnp.where(negl < -1e29, 0.0, negl)
+                                      .astype(jnp.float32)))
 
-            return x + 1e-20 * jax.grad(f)(x)
+                return x + 1e-20 * jax.grad(f)(x)
 
-        timeit("vq+negatives_fwd+bwd", vq_neg, yfeat)
+            return vq_neg
+
+        timeit("vq+contrastive(gathered)_fwd+bwd", make_vq_stage(False),
+               yfeat)
+        timeit("vq+contrastive(indexed)_fwd+bwd", make_vq_stage(True),
+               yfeat)
         del yfeat
 
     print(json.dumps(
