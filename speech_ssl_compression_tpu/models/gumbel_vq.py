@@ -103,10 +103,14 @@ def gumbel_vq_forward(
     if combine_groups:
         codebook = jnp.tile(codebook, (1, groups, 1))
 
-    q = q.reshape(b * t, groups * num_vars)
-    out = q[:, :, None] * codebook  # (B*T, G*V, var_dim)
-    out = out.reshape(b * t, groups, num_vars, -1).sum(axis=2)
-    out = out.reshape(b, t, -1)
+    # codebook combine as a grouped matmul: the reference's broadcasted
+    # multiply (gumbel_vector_quantizer.py: q.unsqueeze(-1) * vars, then
+    # view+sum) materializes a (B*T, G*V, var_dim) intermediate — ~1 GB at
+    # base scale per direction — for a 0.5 GFLOP contraction. Same math,
+    # no intermediate.
+    q3 = q.reshape(b * t, groups, num_vars)
+    cb = codebook.reshape(groups, num_vars, -1)
+    out = jnp.einsum("xgv,gvd->xgd", q3, cb).reshape(b, t, -1)
 
     return {
         "x": out,
