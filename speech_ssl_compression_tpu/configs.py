@@ -185,8 +185,11 @@ class HuBERTConfig:
     checkpoint_activations: bool = False
     required_seq_len_multiple: int = 2
     # TPU perf knob (not in the reference): conv-frontend formulation.
-    # "auto"/"tc_conv" = feature-last NHC convs with an im2col first layer,
-    # "tc_matmul" = every layer as im2col matmul, "nch" = torch layout.
+    # "auto"/"tc_conv" = feature-last NHC convs with an im2col first layer
+    # (fastest, measured); "tc_matmul" = every layer as im2col matmul;
+    # "tc_taps" = per-tap strided matmuls; "nch" = torch layout. The
+    # non-default variants are measured-slower but kept parity-tested
+    # (BASELINE.md round-3 study).
     conv_frontend_impl: str = "auto"
 
     @classmethod

@@ -129,6 +129,23 @@ def _im2col_matmul(x, w_oik, k: int, stride: int):
     return patches @ w2.astype(x.dtype)
 
 
+def _tap_matmul_conv(x, w_oik, k: int, stride: int):
+    """Strided conv as k per-tap matmuls summed: out[t] = sum_j x[s*t+j] @
+    W_j. Same FLOPs as the conv, full C-deep MXU contraction per tap, and —
+    unlike im2col — no k-times patch materialization (the strided slices
+    feed the matmuls directly)."""
+    b, t, c = x.shape
+    t_out = (t - k) // stride + 1
+    out = None
+    for j in range(k):
+        xs = jax.lax.slice_in_dim(
+            x, j, j + (t_out - 1) * stride + 1, stride=stride, axis=1
+        )
+        term = xs @ w_oik[:, :, j].T.astype(x.dtype)  # (I, O)
+        out = term if out is None else out + term
+    return out
+
+
 def conv_frontend_forward_tc(params, conv_layers, source, mode="default",
                              impl="conv"):
     """Feature-last frontend: source (B, T_wave) -> (B, T_frames, C).
@@ -149,6 +166,8 @@ def conv_frontend_forward_tc(params, conv_layers, source, mode="default",
         w = layer["weight"]  # (O, I, K) torch layout
         if i == 0 or impl == "matmul":
             x = _im2col_matmul(x, w, k, stride)
+        elif impl == "taps":
+            x = _tap_matmul_conv(x, w, k, stride)
         else:
             x = jax.lax.conv_general_dilated(
                 x, w.transpose(2, 1, 0).astype(x.dtype),
@@ -197,12 +216,12 @@ def wave_frontend_forward(
     import jax.numpy as jnp
 
     impl = getattr(cfg, "conv_frontend_impl", "auto")
-    if impl in ("auto", "tc_conv", "tc_matmul"):
+    if impl in ("auto", "tc_conv", "tc_matmul", "tc_taps"):
         # feature-last frontend (TPU-native layout; parity-tested vs NCH)
         features = conv_frontend_forward_tc(
             params["feature_extractor"], cfg.conv_feature_layers, source,
             cfg.extractor_mode,
-            impl="matmul" if impl == "tc_matmul" else "conv",
+            impl={"tc_matmul": "matmul", "tc_taps": "taps"}.get(impl, "conv"),
         )  # (B, T', C)
     else:  # "nch": the torch-layout formulation
         features = conv_frontend_forward(
