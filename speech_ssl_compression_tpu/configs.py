@@ -187,7 +187,8 @@ class HuBERTConfig:
     # TPU perf knob (not in the reference): conv-frontend formulation.
     # "auto"/"tc_conv" = feature-last NHC convs with an im2col first layer
     # (fastest, measured); "tc_matmul" = every layer as im2col matmul;
-    # "tc_taps" = per-tap strided matmuls; "nch" = torch layout. The
+    # "tc_taps" = per-tap strided matmuls; "tc_pallas" = custom Pallas
+    # strided-conv kernel (ops/conv1d.py); "nch" = torch layout. The
     # non-default variants are measured-slower but kept parity-tested
     # (BASELINE.md round-3 study).
     conv_frontend_impl: str = "auto"

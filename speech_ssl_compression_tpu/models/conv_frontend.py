@@ -168,6 +168,13 @@ def conv_frontend_forward_tc(params, conv_layers, source, mode="default",
             x = _im2col_matmul(x, w, k, stride)
         elif impl == "taps":
             x = _tap_matmul_conv(x, w, k, stride)
+        elif (impl == "pallas" and x.shape[-1] % 128 == 0
+              and dim % 128 == 0):
+            from ..ops.conv1d import conv1d_strided
+
+            x = conv1d_strided(
+                x, w.transpose(2, 1, 0).astype(x.dtype), stride
+            )
         else:
             x = jax.lax.conv_general_dilated(
                 x, w.transpose(2, 1, 0).astype(x.dtype),
@@ -216,12 +223,13 @@ def wave_frontend_forward(
     import jax.numpy as jnp
 
     impl = getattr(cfg, "conv_frontend_impl", "auto")
-    if impl in ("auto", "tc_conv", "tc_matmul", "tc_taps"):
+    if impl in ("auto", "tc_conv", "tc_matmul", "tc_taps", "tc_pallas"):
         # feature-last frontend (TPU-native layout; parity-tested vs NCH)
         features = conv_frontend_forward_tc(
             params["feature_extractor"], cfg.conv_feature_layers, source,
             cfg.extractor_mode,
-            impl={"tc_matmul": "matmul", "tc_taps": "taps"}.get(impl, "conv"),
+            impl={"tc_matmul": "matmul", "tc_taps": "taps",
+                  "tc_pallas": "pallas"}.get(impl, "conv"),
         )  # (B, T', C)
     else:  # "nch": the torch-layout formulation
         features = conv_frontend_forward(

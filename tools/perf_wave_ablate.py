@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "tc_conv", "tc_matmul", "tc_taps",
-                             "nch"],
+                             "tc_pallas", "nch"],
                     help="conv-frontend formulation (configs.py knob)")
     ap.add_argument("--stages", default="all",
                     help="comma list: full,conv,prefix,frontend,encoder,vq")
@@ -103,8 +103,8 @@ def main():
                 fe_params, cfg.conv_feature_layers, x, cfg.extractor_mode)
         return conv_frontend_forward_tc(
             fe_params, cfg.conv_feature_layers, x, cfg.extractor_mode,
-            impl={"tc_matmul": "matmul", "tc_taps": "taps"}.get(
-                args.impl, "conv"))
+            impl={"tc_matmul": "matmul", "tc_taps": "taps",
+                  "tc_pallas": "pallas"}.get(args.impl, "conv"))
 
     print(f"{args.model} {args.dtype} impl={args.impl}: B={b} x {t_wave} "
           f"samples -> {t_frames} frames", flush=True)
