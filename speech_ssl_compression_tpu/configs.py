@@ -344,6 +344,12 @@ class Wav2Vec2Config:
     crop_seq_to_multiple: int = 1
     # TPU perf knob (not in the reference) — see HuBERTConfig
     conv_frontend_impl: str = "auto"
+    # TPU perf knob (not in the reference): contrastive-section
+    # formulation. "auto"/"dense" = multiplicity-count dense InfoNCE (no
+    # gather/scatter — fastest, measured); "index" = (B,T,T) cosines +
+    # scalar gathers; "gathered" = (B,T,N,D) negatives like the torch
+    # reference. All three parity-tested (BASELINE.md round-3 VQ study).
+    contrastive_impl: str = "auto"
 
     @classmethod
     def from_dict(cls, cfg: dict) -> "Wav2Vec2Config":

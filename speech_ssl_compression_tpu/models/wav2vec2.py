@@ -73,16 +73,15 @@ def init_wav2vec2_params(rng, cfg: Wav2Vec2Config, dtype=jnp.float32) -> dict:
     return params
 
 
-def sample_negative_indices(rng, mask: jax.Array, num_negatives: int):
-    """For each frame (B, T), indices (B, T, N) of negative frames drawn from
-    the masked frames of the same row (uniform, avoid self). Rows/positions
-    that are not masked get arbitrary (but valid) indices — callers mask the
-    loss. Returns absolute time indices."""
+def _negative_draws(rng, mask: jax.Array, num_negatives: int):
+    """Shared draw stream for negative sampling: per frame (B, T),
+    `num_negatives` ORDINALS into the row's compacted masked frames
+    (uniform, avoid self — reference fairseq_code shift :649-651).
+    Returns (draws (B, T, N) int32, ordinal (B, T) int32) where
+    ordinal[b, s] is the rank of masked frame s among its row's masked
+    frames (cumsum-1; meaningless where ~mask)."""
     b, t = mask.shape
-    # compact masked positions to the front (stable)
-    order = jnp.argsort(~mask, axis=-1, stable=True)  # (B, T): masked first
     n_masked = jnp.sum(mask, axis=-1)  # (B,)
-    # ordinal of each time step among masked frames of its row
     ordinal = jnp.cumsum(mask, axis=-1) - 1  # valid where mask
 
     high = jnp.maximum(n_masked - 1, 1)[:, None, None]  # avoid-self range
@@ -92,10 +91,40 @@ def sample_negative_indices(rng, mask: jax.Array, num_negatives: int):
     # shift draws >= own ordinal to skip self (reference :649-651)
     draws = draws + (draws >= ordinal[:, :, None])
     draws = jnp.clip(draws, 0, jnp.maximum(n_masked - 1, 0)[:, None, None])
+    return draws, ordinal
+
+
+def sample_negative_indices(rng, mask: jax.Array, num_negatives: int):
+    """For each frame (B, T), indices (B, T, N) of negative frames drawn from
+    the masked frames of the same row (uniform, avoid self). Rows/positions
+    that are not masked get arbitrary (but valid) indices — callers mask the
+    loss. Returns absolute time indices."""
+    b, t = mask.shape
+    draws, _ = _negative_draws(rng, mask, num_negatives)
+    # compact masked positions to the front (stable)
+    order = jnp.argsort(~mask, axis=-1, stable=True)  # (B, T): masked first
     neg_time = jnp.take_along_axis(
         order, draws.reshape(b, t * num_negatives), axis=-1
     ).reshape(b, t, num_negatives)
     return neg_time
+
+
+def sample_negative_counts(rng, mask: jax.Array, num_negatives: int):
+    """Dense multiplicity formulation of :func:`sample_negative_indices`
+    (same draw stream — parity-tested): counts[b, t, s] = #draws of frame
+    (b, t) that landed on frame s. Negatives are drawn WITH replacement, so
+    the InfoNCE denominator only needs these multiplicities — and counts
+    need no argsort, no gather and (crucially) no scatter in the backward:
+    the compaction inverse becomes an ordinal-equality compare that XLA
+    fuses into the reduction over N. Rows with no masked frame get all-zero
+    counts (callers emit an empty-negative-set sentinel; the loss masks
+    those rows either way)."""
+    draws, ordinal = _negative_draws(rng, mask, num_negatives)
+    # masked frame s (ordinal o) is selected by draw d iff d == o; unmasked
+    # frames alias the previous masked frame's ordinal -> mask them out
+    eq = draws[:, :, :, None] == ordinal[:, None, None, :]  # (B, T, N, S)
+    counts = jnp.sum(eq, axis=2, dtype=jnp.float32)
+    return counts * mask[:, None, :].astype(jnp.float32)
 
 
 def wav2vec2_forward(
@@ -250,14 +279,31 @@ def wav2vec2_forward(
     fp = params["final_proj"]
     x_proj = hidden @ fp["kernel"] + fp["bias"]
 
+    nrng = neg_rng if neg_rng is not None else jax.random.PRNGKey(0)
+    neg_mask = mask_indices & frame_valid
+    impl = getattr(cfg, "contrastive_impl", "auto")
+
+    if (cfg.quantize_targets and q.get("targets") is not None
+            and impl in ("auto", "dense")):
+        # fully dense formulation (fastest, measured — BASELINE.md round-3
+        # VQ study): negative multiplicity counts + (B, T, T) cosines; no
+        # gather in the forward, no scatter in the backward
+        counts = sample_negative_counts(nrng, neg_mask, cfg.num_negatives)
+        pos_logit, neg_lse, best_neg = contrastive_dense(
+            x_proj, y, counts, cfg.logit_temp, q["targets"]
+        )
+        out["pos_logit"] = pos_logit
+        out["neg_lse"] = neg_lse
+        out["best_neg"] = best_neg
+        return out
+
     neg_idx = sample_negative_indices(
-        neg_rng if neg_rng is not None else jax.random.PRNGKey(0),
-        mask_indices & frame_valid,
-        cfg.num_negatives,
+        nrng, neg_mask, cfg.num_negatives
     )  # (B, T, N)
 
-    if cfg.quantize_targets and q.get("targets") is not None:
-        # gather-free formulation: the (B, T, N, D) negatives tensor is
+    if (cfg.quantize_targets and q.get("targets") is not None
+            and impl != "gathered"):
+        # index formulation: the (B, T, N, D) negatives tensor is
         # ~300 MB at base scale and dominates this section's HBM traffic;
         # cosine dots come from one (B, T, T) matmul + a scalar gather,
         # and neg_is_pos from quantizer code-id equality
@@ -306,6 +352,50 @@ def contrastive_logits_from_idx(x_proj, y, neg_idx, logit_temp,
     return pos_logit, neg_logit
 
 
+def contrastive_dense(x_proj, y, counts, logit_temp, code_targets):
+    """Gather/scatter-free contrastive section: returns
+    (pos_logit (B,T), neg_lse (B,T), best_neg (B,T)) where neg_lse equals
+    logsumexp over :func:`contrastive_logits_from_idx`'s (B, T, N) row and
+    best_neg its max (up to fp association) — exactly what the InfoNCE
+    loss consumes.
+
+    TPU motivation (BASELINE.md round-3 VQ study): the index formulation's
+    take_along_axis on the (B, T, T) cosine matrix turns into a serialized
+    scatter-add in the backward (~8 ms of the w2v2 step at base scale,
+    vs <0.1 ms of matmul FLOPs). With per-frame multiplicity `counts`
+    (see :func:`sample_negative_counts`),
+
+        sum_n exp(neg_logit_n) = sum_s counts[b,t,s] * exp(cos[b,t,s]/T)
+
+    so the whole section is two (B,T,T) matmuls + fused elementwise work,
+    and the backward is dense as well. ``neg_is_pos`` (reference
+    model.py:688) excludes every frame whose quantizer codes equal the
+    positive's, identical to the index path."""
+    xf = x_proj.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    xn = xf / jnp.maximum(jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-8)
+    yn = yf / jnp.maximum(jnp.linalg.norm(yf, axis=-1, keepdims=True), 1e-8)
+    pos_logit = jnp.sum(xn * yn, axis=-1) / logit_temp  # (B, T)
+    all_cos = jnp.einsum("btd,bsd->bts", xn, yn) / logit_temp  # (B, T, S)
+
+    code_eq = jnp.all(
+        code_targets[:, :, None, :] == code_targets[:, None, :, :], axis=-1
+    )  # (B, T, S): frame s quantized to the same codes as frame t
+    eff = jnp.where(code_eq, 0.0, counts)
+    has_neg = jnp.sum(eff, axis=-1) > 0
+
+    # shift by the global row max (stop-grad: the shift cancels
+    # analytically); exp <= 1 everywhere, excluded terms weighted 0
+    m = jax.lax.stop_gradient(jnp.max(all_cos, axis=-1))
+    ssum = jnp.sum(eff * jnp.exp(all_cos - m[:, :, None]), axis=-1)
+    neg_lse = jnp.where(has_neg, m + jnp.log(jnp.maximum(ssum, 1e-38)),
+                        -1e30)
+    # metrics only (accuracy): the best surviving negative logit
+    best_neg = jax.lax.stop_gradient(jnp.max(
+        jnp.where(eff > 0, all_cos, -1e30), axis=-1))
+    return pos_logit, neg_lse, best_neg
+
+
 def contrastive_logits(x_proj, y, negs, logit_temp):
     """Cosine similarities of predictions vs positive/negative targets
     (reference compute_preds, model.py:672-692): negatives identical to the
@@ -338,9 +428,13 @@ def wav2vec2_pretrain_loss(
     sample_size. Returns (loss, sample_size, logs)."""
     select = out["mask_indices"] & ~out["padding_mask"]
     pos = out["pos_logit"]
-    lse = jnp.logaddexp(
-        pos, jax.scipy.special.logsumexp(out["neg_logit"], axis=-1)
-    )
+    if "neg_lse" in out:  # dense contrastive path (see contrastive_dense)
+        neg_lse = out["neg_lse"]
+        best_neg = out["best_neg"]
+    else:
+        neg_lse = jax.scipy.special.logsumexp(out["neg_logit"], axis=-1)
+        best_neg = jnp.max(out["neg_logit"], axis=-1)
+    lse = jnp.logaddexp(pos, neg_lse)
     ce = lse - pos
     infonce = jnp.sum(jnp.where(select, ce, 0.0))
     sample_size = jnp.sum(select)
@@ -358,7 +452,6 @@ def wav2vec2_pretrain_loss(
         logs["loss_features_pen"] = out["features_pen"]
 
     # accuracy (pos beats all negatives)
-    best_neg = jnp.max(out["neg_logit"], axis=-1)
     corr = jnp.sum(jnp.where(select, pos > best_neg, False))
     logs["accuracy"] = corr / jnp.maximum(sample_size, 1)
     return loss, sample_size, logs

@@ -360,6 +360,119 @@ def test_contrastive_logits_from_idx_matches_gathered():
     )
 
 
+def test_sample_negative_counts_matches_indices():
+    """Dense multiplicity counts reproduce sample_negative_indices exactly
+    (same key, same draw stream): counts == bincount of the time indices."""
+    from speech_ssl_compression_tpu.models.wav2vec2 import (
+        sample_negative_counts,
+        sample_negative_indices,
+    )
+
+    key = jax.random.PRNGKey(11)
+    mask = jnp.asarray(
+        np.array(
+            [[0, 1, 1, 0, 1, 0, 0, 1],
+             [1, 1, 0, 0, 0, 0, 0, 0],
+             [0, 0, 0, 0, 0, 0, 0, 0]], bool  # empty row -> zero counts
+        )
+    )
+    n = 16
+    idx = np.asarray(sample_negative_indices(key, mask, n))
+    counts = np.asarray(sample_negative_counts(key, mask, n))
+    b, t = mask.shape
+    want = np.zeros((b, t, t), np.float32)
+    for bi in range(b):
+        if not mask[bi].any():
+            continue  # index path emits arbitrary valid indices there
+        for ti in range(t):
+            for s in idx[bi, ti]:
+                want[bi, ti, s] += 1
+    np.testing.assert_array_equal(counts[:2], want[:2])
+    assert (counts[2] == 0).all()
+
+
+def test_contrastive_dense_matches_index_path():
+    """Dense counts formulation == logsumexp/max over the index path's
+    (B,T,N) logits — values AND gradients (incl. code-collision
+    exclusions and with-replacement duplicate multiplicities)."""
+    from speech_ssl_compression_tpu.models.wav2vec2 import (
+        contrastive_dense,
+        contrastive_logits_from_idx,
+        sample_negative_counts,
+        sample_negative_indices,
+    )
+
+    rng = np.random.default_rng(3)
+    b, t, n, d, g, v = 2, 31, 6, 16, 2, 3  # tiny codebook -> collisions
+    codes = jnp.asarray(rng.integers(0, v, (b, t, g)))
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, t)) < 0.6)
+    key = jax.random.PRNGKey(5)
+    neg_idx = sample_negative_indices(key, mask, n)
+    counts = sample_negative_counts(key, mask, n)
+
+    def ce_index(x, y):
+        pos, negl = contrastive_logits_from_idx(x, y, neg_idx, 0.1, codes)
+        lse = jnp.logaddexp(
+            pos, jax.scipy.special.logsumexp(negl, axis=-1))
+        return jnp.sum(jnp.where(mask, lse - pos, 0.0)), (pos, negl)
+
+    def ce_dense(x, y):
+        pos, neg_lse, best = contrastive_dense(x, y, counts, 0.1, codes)
+        lse = jnp.logaddexp(pos, neg_lse)
+        return jnp.sum(jnp.where(mask, lse - pos, 0.0)), (pos, best)
+
+    (li, (pos_i, negl)), gi = jax.value_and_grad(
+        ce_index, argnums=(0, 1), has_aux=True)(x, y)
+    (ld, (pos_d, best_d)), gd = jax.value_and_grad(
+        ce_dense, argnums=(0, 1), has_aux=True)(x, y)
+
+    np.testing.assert_allclose(float(ld), float(li), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pos_d), np.asarray(pos_i),
+                               atol=3e-6)
+    # accuracy statistic: best surviving negative equal on masked rows
+    best_i = np.asarray(jnp.max(negl, axis=-1))
+    np.testing.assert_allclose(np.asarray(best_d)[np.asarray(mask)],
+                               best_i[np.asarray(mask)], atol=3e-6)
+    for a, b_ in zip(gd, gi):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-5)
+
+
+def test_wav2vec2_forward_dense_vs_index_loss():
+    """Model-level: contrastive_impl='dense' (the default) and 'index'
+    give the same pretrain loss and accuracy."""
+    import dataclasses
+
+    from speech_ssl_compression_tpu.models import (
+        init_wav2vec2_params,
+        wav2vec2_forward,
+        wav2vec2_pretrain_loss,
+    )
+
+    cfg = _w2v2_cfg()
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(4)
+    source = jnp.asarray(rng.standard_normal((2, 2000)), jnp.float32)
+    lengths = jnp.asarray([2000, 1400], jnp.int32)
+
+    def run(impl):
+        out = wav2vec2_forward(
+            params, dataclasses.replace(cfg, contrastive_impl=impl),
+            source, lengths, mask=True, rng=jax.random.PRNGKey(3),
+            deterministic=False, gumbel_temp=2.0, attn_impl="dense",
+        )
+        loss, ss, logs = wav2vec2_pretrain_loss(out, cfg)
+        return float(loss), int(ss), float(logs["accuracy"])
+
+    ld, ssd, accd = run("dense")
+    li, ssi, acci = run("index")
+    assert ssd == ssi
+    np.testing.assert_allclose(ld, li, rtol=2e-5)
+    np.testing.assert_allclose(accd, acci, atol=1e-6)
+
+
 def test_wav2vec2_forward_and_loss():
     from speech_ssl_compression_tpu.models import (
         init_wav2vec2_params,
