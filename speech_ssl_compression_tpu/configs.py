@@ -192,6 +192,12 @@ class HuBERTConfig:
     # non-default variants are measured-slower but kept parity-tested
     # (BASELINE.md round-3 study).
     conv_frontend_impl: str = "auto"
+    # TPU perf knob: barrier between frontend layers against the chained
+    # conv backward's space-to-depth layout-copy storm (BASELINE.md
+    # round-3 chain study). False = none; "bwd" = backward-only cotangent
+    # barrier (forward fusion intact); True = full optimization_barrier
+    # (measured net-negative in-model — study option).
+    conv_frontend_barrier: object = False
 
     @classmethod
     def from_dict(cls, cfg: dict) -> "HuBERTConfig":
@@ -344,6 +350,12 @@ class Wav2Vec2Config:
     crop_seq_to_multiple: int = 1
     # TPU perf knob (not in the reference) — see HuBERTConfig
     conv_frontend_impl: str = "auto"
+    # TPU perf knob: barrier between frontend layers against the chained
+    # conv backward's space-to-depth layout-copy storm (BASELINE.md
+    # round-3 chain study). False = none; "bwd" = backward-only cotangent
+    # barrier (forward fusion intact); True = full optimization_barrier
+    # (measured net-negative in-model — study option).
+    conv_frontend_barrier: object = False
     # TPU perf knob (not in the reference): contrastive-section
     # formulation. "auto"/"dense" = multiplicity-count dense InfoNCE (no
     # gather/scatter — fastest, measured); "index" = (B,T,T) cosines +

@@ -129,6 +129,48 @@ def _im2col_matmul(x, w_oik, k: int, stride: int):
     return patches @ w2.astype(x.dtype)
 
 
+def _fold_matmul(x, w_oik, k: int, stride: int):
+    """Strided conv as a matmul on the stride-FOLDED input.
+
+    (B, T, C) -> reshape (free, row-major) -> (B, T/s, s*C): folded row t'
+    holds x[s*t' : s*t'+s]. Output t needs taps j=0..k-1, i.e. folded rows
+    t .. t+ceil(k/s)-1 — so patches are nwin CONTIGUOUS row-shifted views
+    concatenated on the lane axis, and the conv is ONE dot with contraction
+    nwin*s*C (zero-padded weight rows for j >= k). For k == s this
+    degenerates to `reshape @ W` with zero overhead; for the k=3,s=2
+    frontend layers the patch is 4C wide (4/3 FLOPs overhead).
+
+    Round-3 motivation (BASELINE.md): XLA's conv lowering is near-bound in
+    isolation but its space-to-depth pass shuffles ~3 GB of layout copies
+    per backward through the chained frontend; expressing the chain as
+    dots removes every conv op from both fwd and bwd.
+    """
+    b, t, c = x.shape
+    o = w_oik.shape[0]
+    nwin = -(-k // stride)  # ceil: folded rows each output row touches
+    t_out = (t - k) // stride + 1
+    rows = t_out + nwin - 1
+    pad = rows * stride - t
+    if pad > 0:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    elif pad < 0:
+        # trailing samples no VALID output row reaches
+        x = x[:, :rows * stride]
+    xf = x.reshape(b, rows, stride * c)
+    if nwin == 1:
+        patches = xf[:, :t_out]
+    else:
+        patches = jnp.concatenate(
+            [xf[:, q:q + t_out] for q in range(nwin)], axis=-1
+        )  # (B, T_out, nwin*s*C)
+    # weight row (q, rm, c) = w[:, c, q*s+rm] for j = q*s+rm < k else 0
+    wj = jnp.pad(
+        w_oik.transpose(2, 1, 0), ((0, nwin * stride - k), (0, 0), (0, 0))
+    )  # (nwin*s, C, O) with zero taps for j >= k
+    wf = wj.reshape(nwin * stride * c, o)
+    return patches @ wf.astype(x.dtype)
+
+
 def _tap_matmul_conv(x, w_oik, k: int, stride: int):
     """Strided conv as k per-tap matmuls summed: out[t] = sum_j x[s*t+j] @
     W_j. Same FLOPs as the conv, full C-deep MXU contraction per tap, and —
@@ -146,8 +188,29 @@ def _tap_matmul_conv(x, w_oik, k: int, stride: int):
     return out
 
 
+@jax.custom_vjp
+def _ct_barrier(x):
+    """Identity whose BACKWARD inserts an optimization_barrier on the
+    cotangent: shields the chained conv backward from cross-layer fusion
+    (the space-to-depth layout-copy storm, BASELINE.md round-3) without
+    touching forward fusion (a forward barrier measurably hurts — it
+    blocks the conv→norm→GELU epilogue fusions)."""
+    return x
+
+
+def _ct_barrier_fwd(x):
+    return x, None
+
+
+def _ct_barrier_bwd(_, ct):
+    return (jax.lax.optimization_barrier(ct),)
+
+
+_ct_barrier.defvjp(_ct_barrier_fwd, _ct_barrier_bwd)
+
+
 def conv_frontend_forward_tc(params, conv_layers, source, mode="default",
-                             impl="conv"):
+                             impl="conv", barrier=False):
     """Feature-last frontend: source (B, T_wave) -> (B, T_frames, C).
 
     Same math as :func:`conv_frontend_forward` (parity-tested) in the
@@ -157,6 +220,10 @@ def conv_frontend_forward_tc(params, conv_layers, source, mode="default",
       * "conv"   — layer 0 (in=1) as an im2col matmul (a conv with a 1-wide
                    input channel has no MXU-sized contraction), remaining
                    layers as NHC ``conv_general_dilated``;
+      * "fold"   — every layer as a dot on the stride-folded input
+                   (:func:`_fold_matmul`): no conv ops anywhere, so the
+                   chained backward avoids XLA's space-to-depth layout
+                   copies (round-3 study);
       * "matmul" — every layer as im2col patches @ weights (contraction
                    k*C = 1024-1536: pure MXU work, at the cost of k-times
                    larger activation residuals).
@@ -166,6 +233,8 @@ def conv_frontend_forward_tc(params, conv_layers, source, mode="default",
         w = layer["weight"]  # (O, I, K) torch layout
         if i == 0 or impl == "matmul":
             x = _im2col_matmul(x, w, k, stride)
+        elif impl == "fold":
+            x = _fold_matmul(x, w, k, stride)
         elif impl == "taps":
             x = _tap_matmul_conv(x, w, k, stride)
         elif (impl == "pallas" and x.shape[-1] % 128 == 0
@@ -189,6 +258,15 @@ def conv_frontend_forward_tc(params, conv_layers, source, mode="default",
         elif "layer_norm" in layer:
             x = _channel_layer_norm_fp32_tc(x, layer["layer_norm"])
         x = _gelu(x)
+        if barrier == "bwd":
+            # backward-only cotangent barrier (forward fusion intact)
+            x = _ct_barrier(x)
+        elif barrier:
+            # full barrier: blocks cross-layer fusion in fwd AND bwd (the
+            # bwd side kills the space-to-depth layout-copy storm, but the
+            # fwd side costs epilogue fusions — measured net-negative
+            # in-model, kept for study; BASELINE.md round-3 chain study)
+            x = jax.lax.optimization_barrier(x)
     return x
 
 
@@ -223,13 +301,16 @@ def wave_frontend_forward(
     import jax.numpy as jnp
 
     impl = getattr(cfg, "conv_frontend_impl", "auto")
-    if impl in ("auto", "tc_conv", "tc_matmul", "tc_taps", "tc_pallas"):
+    if impl in ("auto", "tc_fold", "tc_conv", "tc_matmul", "tc_taps",
+                "tc_pallas"):
         # feature-last frontend (TPU-native layout; parity-tested vs NCH)
         features = conv_frontend_forward_tc(
             params["feature_extractor"], cfg.conv_feature_layers, source,
             cfg.extractor_mode,
-            impl={"tc_matmul": "matmul", "tc_taps": "taps",
-                  "tc_pallas": "pallas"}.get(impl, "conv"),
+            impl={"tc_fold": "fold", "tc_matmul": "matmul",
+                  "tc_taps": "taps", "tc_pallas": "pallas"}.get(impl,
+                                                               "conv"),
+            barrier=getattr(cfg, "conv_frontend_barrier", False),
         )  # (B, T', C)
     else:  # "nch": the torch-layout formulation
         features = conv_frontend_forward(

@@ -68,7 +68,7 @@ def test_conv_frontend_tc_matches_nch():
         want = np.asarray(
             conv_frontend_forward(params, CONV_LAYERS, src, mode)
         ).transpose(0, 2, 1)
-        for impl in ("conv", "matmul", "taps"):
+        for impl in ("conv", "fold", "matmul", "taps"):
             got = np.asarray(conv_frontend_forward_tc(
                 params, CONV_LAYERS, src, mode, impl=impl
             ))

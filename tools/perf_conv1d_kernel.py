@@ -21,6 +21,10 @@ def main():
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--bts", default="128,256,512")
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--bwd", action="store_true",
+                    help="also time dW/dx backward variants in isolation")
+    ap.add_argument("--skip-fwd", action="store_true",
+                    help="skip the forward variants (already measured)")
     args = ap.parse_args()
 
     import jax
@@ -84,15 +88,53 @@ def main():
 
         ctrl = timeit(f"{lname} control(chain only)",
                       lambda x, w: x[:, :1] * 0 + x[:, :1], x, w)
-        timeit(f"{lname} xla_conv",
-               lambda x, w: jax.lax.conv_general_dilated(
-                   x, w, (s,), "VALID",
-                   dimension_numbers=("NHC", "HIO", "NHC")), x, w,
-               ctrl_ms=ctrl)
-        for bt in bts:
-            timeit(f"{lname} pallas bt={bt}",
-                   lambda x, w, bt=bt: conv1d_strided(x, w, s, bt), x, w,
-                   ctrl_ms=ctrl)
+
+        def xla_conv(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (s,), "VALID",
+                dimension_numbers=("NHC", "HIO", "NHC"))
+
+        if not args.skip_fwd:
+            timeit(f"{lname} xla_conv", xla_conv, x, w, ctrl_ms=ctrl)
+            for bt in bts:
+                timeit(f"{lname} pallas bt={bt}",
+                       lambda x, w, bt=bt: conv1d_strided(x, w, s, bt), x, w,
+                       ctrl_ms=ctrl)
+
+        if args.bwd:
+            from speech_ssl_compression_tpu.ops.conv1d import (
+                _conv1d_dw,
+                _conv1d_dx,
+            )
+
+            t_out = (t - k) // s + 1
+            dy = jnp.asarray(rng.standard_normal((b, t_out, o)), dt)
+
+            # grad wrt w only (xla picks its own dW algorithm); dy via
+            # closure, x chained
+            def xla_dw(x, w):
+                return jax.grad(
+                    lambda w: jnp.sum(xla_conv(x, w).astype(jnp.float32)
+                                      * dy.astype(jnp.float32))
+                )(w)
+
+            # grad wrt x only
+            def xla_dx(x, w):
+                return jax.grad(
+                    lambda x: jnp.sum(xla_conv(x, w).astype(jnp.float32)
+                                      * dy.astype(jnp.float32))
+                )(x)
+
+            timeit(f"{lname} xla dW", xla_dw, x, w, ctrl_ms=ctrl)
+            timeit(f"{lname} xla dx", xla_dx, x, w, ctrl_ms=ctrl)
+            for bt in bts:
+                timeit(f"{lname} pallas dW bt={bt}",
+                       lambda x, w, bt=bt: _conv1d_dw(x, dy, k, s, o, bt),
+                       x, w, ctrl_ms=ctrl)
+                timeit(f"{lname} pallas dx bt={bt}",
+                       lambda x, w, bt=bt: _conv1d_dx(dy, w, t, s, bt),
+                       x, w, ctrl_ms=ctrl)
+            del dy
         del x, w
 
     print(json.dumps(results))

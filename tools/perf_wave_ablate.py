@@ -27,11 +27,16 @@ def main():
     ap.add_argument("--samples", type=int, default=245760)
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--impl", default="auto",
-                    choices=["auto", "tc_conv", "tc_matmul", "tc_taps",
-                             "tc_pallas", "nch"],
+                    choices=["auto", "tc_conv", "tc_fold", "tc_matmul",
+                             "tc_taps", "tc_pallas", "nch"],
                     help="conv-frontend formulation (configs.py knob)")
+    ap.add_argument("--barrier", default="none",
+                    choices=["none", "full", "bwd"],
+                    help="barrier between frontend layers "
+                         "(configs.py conv_frontend_barrier)")
     ap.add_argument("--stages", default="all",
-                    help="comma list: full,conv,prefix,frontend,encoder,vq")
+                    help="comma list: full,conv,convonly,prefix,frontend,"
+                         "encoder,vq")
     args = ap.parse_args()
 
     import jax
@@ -94,7 +99,9 @@ def main():
         params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
         t_frames = conv_output_length(t_wave, cfg.conv_feature_layers)
 
-    cfg = dataclasses.replace(cfg, conv_frontend_impl=args.impl)
+    barrier = {"none": False, "full": True, "bwd": "bwd"}[args.barrier]
+    cfg = dataclasses.replace(cfg, conv_frontend_impl=args.impl,
+                              conv_frontend_barrier=barrier)
     stages = set(args.stages.split(","))
 
     def conv_fn(fe_params, x):
@@ -103,8 +110,10 @@ def main():
                 fe_params, cfg.conv_feature_layers, x, cfg.extractor_mode)
         return conv_frontend_forward_tc(
             fe_params, cfg.conv_feature_layers, x, cfg.extractor_mode,
-            impl={"tc_matmul": "matmul", "tc_taps": "taps",
-                  "tc_pallas": "pallas"}.get(args.impl, "conv"))
+            impl={"tc_fold": "fold", "tc_matmul": "matmul",
+                  "tc_taps": "taps",
+                  "tc_pallas": "pallas"}.get(args.impl, "conv"),
+            barrier=barrier)
 
     print(f"{args.model} {args.dtype} impl={args.impl}: B={b} x {t_wave} "
           f"samples -> {t_frames} frames", flush=True)
@@ -204,6 +213,143 @@ def main():
             return x + 1e-20 * tot.astype(x.dtype)
 
         timeit("conv_frontend_fwd+dW", conv_fwddw, source)
+
+    if "convonly" in stages or "all" in stages:
+        # 5b. the conv chain ALONE (no norm, no GELU): isolates how much of
+        # the conv-frontend stage is convolution vs elementwise/norm
+        # (BASELINE round-3: isolated convs are near bound, so the frontend
+        # overhead must be in the elementwise chain)
+        from speech_ssl_compression_tpu.models.conv_frontend import (
+            _im2col_matmul,
+        )
+
+        def conv_chain(fe, x):
+            x = x[:, :, None]
+            for i, (layer, (dim, k, stride)) in enumerate(
+                    zip(fe, cfg.conv_feature_layers)):
+                w = layer["weight"]
+                if i == 0:
+                    x = _im2col_matmul(x, w, k, stride)
+                else:
+                    x = jax.lax.conv_general_dilated(
+                        x, w.transpose(2, 1, 0).astype(x.dtype),
+                        window_strides=(stride,), padding="VALID",
+                        dimension_numbers=("NHC", "HIO", "NHC"),
+                    )
+            return x
+
+        def convonly_fwd(p, x, key):
+            p = cast_for_compute(p, dt_)
+            out = conv_chain(p["feature_extractor"], x)
+            return x + 1e-20 * jnp.mean(
+                out.astype(jnp.float32)).astype(x.dtype)
+
+        timeit("conv_chain_noelem_fwd", convonly_fwd, source)
+
+        def convonly_fwddw(p, x, key):
+            p = cast_for_compute(p, dt_)
+
+            def f(fe):
+                return jnp.mean(conv_chain(fe, x).astype(jnp.float32))
+
+            g = jax.grad(f)(p["feature_extractor"])
+            tot = sum(jnp.sum(l.astype(jnp.float32))
+                      for l in jax.tree.leaves(g))
+            return x + 1e-20 * tot.astype(x.dtype)
+
+        timeit("conv_chain_noelem_fwd+dW", convonly_fwddw, source)
+
+    if "convprobe" in stages:
+        # localize the chain-backward anomaly (in-chain bwd costs ~2.5x the
+        # sum of isolated per-layer grads): (a) dx-only chain — grad wrt the
+        # waveform with weights fixed (no dW work); (b) truncated prefixes —
+        # grad wrt weights of the first n layers only
+        from speech_ssl_compression_tpu.models.conv_frontend import (
+            _im2col_matmul,
+        )
+
+        def conv_chain_n(fe, x, n):
+            x = x[:, :, None]
+            for i, (layer, (dim, k, stride)) in enumerate(
+                    zip(fe[:n], cfg.conv_feature_layers[:n])):
+                w = layer["weight"]
+                if i == 0:
+                    x = _im2col_matmul(x, w, k, stride)
+                else:
+                    x = jax.lax.conv_general_dilated(
+                        x, w.transpose(2, 1, 0).astype(x.dtype),
+                        window_strides=(stride,), padding="VALID",
+                        dimension_numbers=("NHC", "HIO", "NHC"),
+                    )
+            return x
+
+        def dx_only(p, x, key):
+            p = cast_for_compute(p, dt_)
+            fe = jax.tree.map(jax.lax.stop_gradient,
+                              p["feature_extractor"])
+
+            def f(xx):
+                return jnp.mean(conv_chain_n(fe, xx, 7)
+                                .astype(jnp.float32))
+
+            return x + 1e-20 * jax.grad(f)(x)
+
+        timeit("conv_chain_dx_only", dx_only, source)
+
+        for n in range(1, len(cfg.conv_feature_layers) + 1):
+            def trunc(p, x, key, n=n):
+                p = cast_for_compute(p, dt_)
+
+                def f(fe):
+                    return jnp.mean(conv_chain_n(fe, x, n)
+                                    .astype(jnp.float32))
+
+                g = jax.grad(f)(p["feature_extractor"])
+                tot = sum(jnp.sum(l.astype(jnp.float32))
+                          for l in jax.tree.leaves(g))
+                return x + 1e-20 * tot.astype(x.dtype)
+
+            timeit(f"conv_chain_fwd+dW_first{n}", trunc, source)
+
+    if "convbarrier" in stages:
+        # does an optimization_barrier between layers (blocking cross-layer
+        # fusion in both fwd and bwd — its transpose is a barrier on the
+        # cotangent) recover the isolated per-layer backward speed?
+        from speech_ssl_compression_tpu.models.conv_frontend import (
+            _im2col_matmul,
+        )
+
+        def conv_chain_b(fe, x, where):
+            x = x[:, :, None]
+            for i, (layer, (dim, k, stride)) in enumerate(
+                    zip(fe, cfg.conv_feature_layers)):
+                w = layer["weight"]
+                if i == 0:
+                    x = _im2col_matmul(x, w, k, stride)
+                else:
+                    x = jax.lax.conv_general_dilated(
+                        x, w.transpose(2, 1, 0).astype(x.dtype),
+                        window_strides=(stride,), padding="VALID",
+                        dimension_numbers=("NHC", "HIO", "NHC"),
+                    )
+                if where == "all" or i in (1, 2):
+                    x = jax.lax.optimization_barrier(x)
+            return x
+
+        for where in ("all", "l12"):
+            def bar(p, x, key, where=where):
+                p = cast_for_compute(p, dt_)
+
+                def f(fe):
+                    return jnp.mean(conv_chain_b(fe, x, where)
+                                    .astype(jnp.float32))
+
+                g = jax.grad(f)(p["feature_extractor"])
+                tot = sum(jnp.sum(l.astype(jnp.float32))
+                          for l in jax.tree.leaves(g))
+                return x + 1e-20 * tot.astype(x.dtype)
+
+            timeit(f"conv_chain_fwd+dW_barrier_{where}", bar, source)
 
     if "frontend" in stages or "all" in stages:
         # 6. full frontend (conv + LN + proj + penalty) fwd + dW
