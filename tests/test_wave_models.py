@@ -76,6 +76,39 @@ def test_conv_frontend_tc_matches_nch():
                                        err_msg=f"{mode}/{impl}")
 
 
+def test_conv_frontend_variant_grads_match():
+    """The perf variants (fold, and the barrier study knobs) produce the
+    same WEIGHT GRADIENTS as the default conv formulation — the training-
+    relevant parity the forward-only test can't see."""
+    from speech_ssl_compression_tpu.models.conv_frontend import (
+        conv_frontend_forward_tc,
+        init_conv_frontend,
+    )
+
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.standard_normal((2, 1000)), jnp.float32)
+    params = init_conv_frontend(jax.random.PRNGKey(1), CONV_LAYERS)
+
+    def grads(impl, barrier=False):
+        def f(p):
+            out = conv_frontend_forward_tc(
+                p, CONV_LAYERS, src, impl=impl, barrier=barrier
+            )
+            return jnp.sum(out * out)
+
+        return jax.tree.leaves(jax.grad(f)(params))
+
+    want = grads("conv")
+    for impl, barrier in (("fold", False), ("conv", True), ("conv", "bwd")):
+        got = grads(impl, barrier)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=2e-4, rtol=1e-3,
+                err_msg=f"{impl}/barrier={barrier}",
+            )
+
+
 def _hubert_cfg():
     return HuBERTConfig.from_dict(
         {
