@@ -334,49 +334,28 @@ def _measure_train(n_steps=8):
 def _measure_wave_train(n_steps=8):
     """HuBERT / wav2vec 2.0 pre-train steps/s from raw waveform (B=4 x
     15.36 s of 16 kHz audio -> 767 frames; base architectures, reference
-    model.py defaults). The reference marks these paths unmodified /
+    model.py defaults; one shared recipe with tools/bench_wave_train.py —
+    train/wave_bench.py). The reference marks these paths unmodified /
     unbenchmarked (upstream/hubert/pretrain_expert.py:5-6), so
-    `vs_baseline` reports the x-realtime-audio factor instead (seconds of
-    audio trained per wall second). Mirrors tools/bench_wave_train.py;
-    never fails the other metrics: returns [] on any error."""
+    `vs_baseline` is null and `realtime_x` carries the x-realtime-audio
+    factor (seconds of audio trained per wall second). Never fails the
+    other metrics: returns [] on any error."""
     import jax
     import jax.numpy as jnp
 
-    from speech_ssl_compression_tpu.configs import (
-        HuBERTConfig,
-        Wav2Vec2Config,
-    )
-    from speech_ssl_compression_tpu.models import (
-        hubert_forward,
-        hubert_pretrain_loss,
-        init_hubert_params,
-        init_wav2vec2_params,
-        wav2vec2_forward,
-        wav2vec2_pretrain_loss,
-    )
-    from speech_ssl_compression_tpu.models.conv_frontend import (
-        conv_output_length,
-    )
     from speech_ssl_compression_tpu.train.steps import (
-        cast_for_compute,
         make_apply_step,
         make_optimizer,
+    )
+    from speech_ssl_compression_tpu.train.wave_bench import (
+        make_wave_bench_grad_step,
+        wave_bench_setup,
     )
     from speech_ssl_compression_tpu.utils.flops import wave_fwd_flops
 
     try:
         jax.clear_caches()
-        conv_spec = "[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2"
-        common = {
-            "encoder_layers": 12, "encoder_embed_dim": 768,
-            "encoder_attention_heads": 12, "encoder_ffn_embed_dim": 3072,
-            "conv_feature_layers": conv_spec, "final_dim": 256,
-            "conv_pos": 128, "conv_pos_groups": 16, "mask_length": 10,
-        }
         b, t_wave = 4, 245760
-        rng = np.random.default_rng(0)
-        source = jnp.asarray(rng.standard_normal((b, t_wave)), jnp.float32)
-        lengths = jnp.full((b,), t_wave, jnp.int32)
         opt = make_optimizer(lr=5e-4)
         apply_step = make_apply_step(opt, donate=True)
 
@@ -386,43 +365,10 @@ def _measure_wave_train(n_steps=8):
 
         out = []
         for model in ("hubert", "wav2vec2"):
-            if model == "hubert":
-                cfg = HuBERTConfig.from_dict({**common, "mask_prob": 0.8})
-                num_classes = (504,)
-                params = init_hubert_params(jax.random.PRNGKey(0), cfg,
-                                            num_classes)
-                t_frames = conv_output_length(t_wave,
-                                              cfg.conv_feature_layers)
-                targets = [jnp.asarray(
-                    rng.integers(0, 504, (b, t_frames)), jnp.int32)]
-            else:
-                cfg = Wav2Vec2Config.from_dict({
-                    **common, "mask_prob": 0.65, "quantize_targets": True,
-                    "latent_vars": 320, "latent_groups": 2,
-                    "num_negatives": 100,
-                })
-                params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
-                t_frames = conv_output_length(t_wave,
-                                              cfg.conv_feature_layers)
-
-            def loss_fn(p, key):
-                p = cast_for_compute(p, jnp.float32)
-                if model == "hubert":
-                    o = hubert_forward(
-                        p, cfg, source, lengths, mask=True, rng=key,
-                        deterministic=False)
-                    loss, _, _ = hubert_pretrain_loss(
-                        p, cfg, o, targets, num_classes)
-                else:
-                    o = wav2vec2_forward(
-                        p, cfg, source, lengths, mask=True, rng=key,
-                        deterministic=False, gumbel_temp=2.0)
-                    loss, _, _ = wav2vec2_pretrain_loss(o, cfg)
-                return loss
-
-            @jax.jit
-            def grad_step(p, key):
-                return jax.grad(lambda q: loss_fn(q, key))(p)
+            setup = wave_bench_setup(model, b, t_wave)
+            grad_step = make_wave_bench_grad_step(
+                model, setup, jnp.float32
+            )
 
             def one_step(p, ost, key):
                 key, k2 = jax.random.split(key)
@@ -430,7 +376,7 @@ def _measure_wave_train(n_steps=8):
                 p, ost, _ = apply_step(p, ost, grads, jnp.asarray(1.0))
                 return p, ost, key
 
-            p = jax.tree.map(jnp.array, params)
+            p = jax.tree.map(jnp.array, setup["params"])
             ost = opt.init(p)
             p, ost, key = one_step(p, ost, jax.random.PRNGKey(2))
             fence(p)  # compile + warm
@@ -439,14 +385,19 @@ def _measure_wave_train(n_steps=8):
                 p, ost, key = one_step(p, ost, key)
             fence(p)
             dt = (time.time() - t0) / n_steps
-            step_flops = 3 * b * wave_fwd_flops(cfg, t_wave, t_frames)
+            step_flops = 3 * b * wave_fwd_flops(
+                setup["cfg"], t_wave, setup["t_frames"]
+            )
             out.append(_with_mfu({
                 "metric": f"{model}_pretrain_steps_per_sec_f32_B4_15s",
                 "value": round(1 / dt, 2),
                 "unit": "steps/s",
-                "vs_baseline": round(b * t_wave / 16000 / dt, 1),
+                # no reference number exists for these paths; realtime_x
+                # is the honest scale anchor
+                "vs_baseline": None,
+                "realtime_x": round(b * t_wave / 16000 / dt, 1),
             }, step_flops / dt))
-            del grad_step, p, ost, params
+            del grad_step, p, ost, setup
             jax.clear_caches()
         return out
     except Exception as e:  # noqa: BLE001 — other metrics still print

@@ -322,6 +322,20 @@ def wav2vec2_forward(
     return out
 
 
+def _cosine_prologue(x_proj, y, logit_temp):
+    """Shared by the index and dense contrastive paths (their parity tests
+    assert value AND grad equality, so the numerics must come from one
+    place): f32 normalize with a 1e-8 floor, the (B, T) positive logit,
+    and the raw (un-tempered) (B, T, T) all-pairs cosine matmul."""
+    xf = x_proj.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    xn = xf / jnp.maximum(jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-8)
+    yn = yf / jnp.maximum(jnp.linalg.norm(yf, axis=-1, keepdims=True), 1e-8)
+    pos_logit = jnp.sum(xn * yn, axis=-1) / logit_temp  # (B, T)
+    all_cos = jnp.einsum("btd,bsd->bts", xn, yn)  # (B, T, T)
+    return pos_logit, all_cos
+
+
 def contrastive_logits_from_idx(x_proj, y, neg_idx, logit_temp,
                                 code_targets):
     """Index-based contrastive logits, numerically equal to
@@ -334,12 +348,7 @@ def contrastive_logits_from_idx(x_proj, y, neg_idx, logit_temp,
     model.py:688 compares quantized vectors elementwise) is decided by
     quantizer code-id equality — identical unless two distinct code
     combinations project to the exact same vector (measure-zero)."""
-    xf = x_proj.astype(jnp.float32)
-    yf = y.astype(jnp.float32)
-    xn = xf / jnp.maximum(jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-8)
-    yn = yf / jnp.maximum(jnp.linalg.norm(yf, axis=-1, keepdims=True), 1e-8)
-    pos_logit = jnp.sum(xn * yn, axis=-1) / logit_temp  # (B, T)
-    all_cos = jnp.einsum("btd,bsd->bts", xn, yn)  # (B, T, T)
+    pos_logit, all_cos = _cosine_prologue(x_proj, y, logit_temp)
     neg_logit = jnp.take_along_axis(all_cos, neg_idx, axis=2) / logit_temp
 
     # (B, T, G) int codes -> gathered (B, T, N, G); equal codes == equal
@@ -371,12 +380,8 @@ def contrastive_dense(x_proj, y, counts, logit_temp, code_targets):
     and the backward is dense as well. ``neg_is_pos`` (reference
     model.py:688) excludes every frame whose quantizer codes equal the
     positive's, identical to the index path."""
-    xf = x_proj.astype(jnp.float32)
-    yf = y.astype(jnp.float32)
-    xn = xf / jnp.maximum(jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-8)
-    yn = yf / jnp.maximum(jnp.linalg.norm(yf, axis=-1, keepdims=True), 1e-8)
-    pos_logit = jnp.sum(xn * yn, axis=-1) / logit_temp  # (B, T)
-    all_cos = jnp.einsum("btd,bsd->bts", xn, yn) / logit_temp  # (B, T, S)
+    pos_logit, all_cos = _cosine_prologue(x_proj, y, logit_temp)
+    all_cos = all_cos / logit_temp  # (B, T, S)
 
     code_eq = jnp.all(
         code_targets[:, :, None, :] == code_targets[:, None, :, :], axis=-1

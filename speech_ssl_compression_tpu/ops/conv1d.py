@@ -16,9 +16,9 @@ divmod(j, s) becomes a CONTIGUOUS 2-D slice of the VMEM window — rows
 reshapes, and every slice boundary is a multiple of C (>= 128 lanes).
 Each grid step then accumulates k (BT, C) @ (C, O) MXU matmuls in f32.
 
-Scope: feature-last x; C and O multiples of 128; k <= (SLACK+1) * s
-(covers every HuBERT/wav2vec2 frontend layer after layer 0; layer 0 has
-C=1 and stays an im2col matmul). Backward = two more kernels (dW with
+Scope: feature-last x; C and O multiples of 128; s <= k <= SLACK * s
+(validated at call time; covers every HuBERT/wav2vec2 frontend layer
+after layer 0 — layer 0 has C=1 and stays an im2col matmul). Backward = two more kernels (dW with
 revisited accumulation; dx written in the same folded layout), wired
 through jax.custom_vjp.
 
@@ -209,15 +209,37 @@ def _conv1d_dx(dy, w, t_in, s, bt_r):
 # public op
 # ---------------------------------------------------------------------------
 
+def _validate(k, c, o, stride):
+    # stride <= k: the dx kernel assigns every output phase rm < stride at
+    # least one tap (rm <= k-1); k <= SLACK*stride: bounds the reachable
+    # folded-row offset q and guarantees the forward's padded row count
+    # covers T for every block size.
+    if stride < 1 or k < stride or k > _SLACK * stride:
+        raise ValueError(
+            f"conv1d_strided supports stride >= 1 and stride <= K <= "
+            f"{_SLACK}*stride; got K={k}, stride={stride}"
+        )
+    if c % 128 or o % 128:
+        raise ValueError(
+            f"conv1d_strided needs C and O to be multiples of 128 "
+            f"(TPU lane width); got C={c}, O={o}"
+        )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def conv1d_strided(x, w, stride: int, block_t: int = 256):
     """VALID strided conv, x (B, T, C) @ w (K, C, O) -> (B, T_out, O).
 
-    Requires stride >= 1, C/O multiples of 128, K <= (8+1)*stride."""
+    Requires C/O multiples of 128 and stride <= K <= 8*stride (validated;
+    covers every HuBERT/wav2vec2 frontend layer after layer 0)."""
+    _validate(w.shape[0], x.shape[2], w.shape[2], stride)
     return _conv1d_fwd(x, w, stride, block_t)
 
 
 def _vjp_fwd(x, w, stride, block_t):
+    # custom_vjp routes differentiated calls here, bypassing the primal
+    # body — validate again so jax.grad users get the same error
+    _validate(w.shape[0], x.shape[2], w.shape[2], stride)
     return _conv1d_fwd(x, w, stride, block_t), (x, w)
 
 

@@ -65,3 +65,26 @@ def test_conv_frontend_pallas_impl_matches_nch():
             params, conv_layers, src, "default", impl="pallas"
         ))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_conv1d_strided_validates_preconditions():
+    """Unsupported (k, stride) combos and non-128 channel dims raise
+    instead of crashing inside the kernels (k < stride would append None
+    in the dx kernel; k > 8*stride under-pads the forward)."""
+    import pytest
+
+    from speech_ssl_compression_tpu.ops.conv1d import conv1d_strided
+
+    x = jnp.zeros((1, 64, 128), jnp.float32)
+    for k, s in ((1, 2), (17, 2), (3, 0)):
+        w = jnp.zeros((k, 128, 128), jnp.float32)
+        with pytest.raises(ValueError, match="conv1d_strided"):
+            conv1d_strided(x, w, s)
+        if s >= 1:
+            with pytest.raises(ValueError, match="conv1d_strided"):
+                jax.grad(lambda w: jnp.sum(conv1d_strided(x, w, s)))(w)
+    with pytest.raises(ValueError, match="multiples of 128"):
+        conv1d_strided(
+            jnp.zeros((1, 64, 64), jnp.float32),
+            jnp.zeros((2, 64, 128), jnp.float32), 2,
+        )

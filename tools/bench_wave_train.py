@@ -5,7 +5,8 @@ Base architectures (reference model.py defaults: conv frontend
 of 16 kHz audio per row -> 767 frames, matching the MelHuBERT bench's
 B=4 x T=768. The reference marks these paths "haven't been modified yet"
 (upstream/hubert/pretrain_expert.py:5-6) and publishes no numbers — these
-rows ESTABLISH the baseline (BASELINE.md).
+rows ESTABLISH the baseline (BASELINE.md). The benchmarked step is the
+ONE shared recipe in train/wave_bench.py (also used by bench.py).
 
 Run: python tools/bench_wave_train.py [--steps 8] [--dtypes f32,bf16]
 """
@@ -36,101 +37,42 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from speech_ssl_compression_tpu.configs import (
-        HuBERTConfig,
-        Wav2Vec2Config,
-    )
-    from speech_ssl_compression_tpu.models import (
-        hubert_forward,
-        hubert_pretrain_loss,
-        init_hubert_params,
-        init_wav2vec2_params,
-        wav2vec2_forward,
-        wav2vec2_pretrain_loss,
-    )
-    from speech_ssl_compression_tpu.models.conv_frontend import (
-        conv_output_length,
-    )
     from speech_ssl_compression_tpu.train.steps import (
-        cast_for_compute,
         make_apply_step,
         make_optimizer,
     )
-
-    conv_spec = "[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2"
-    common = {
-        "encoder_layers": 12, "encoder_embed_dim": 768,
-        "encoder_attention_heads": 12, "encoder_ffn_embed_dim": 3072,
-        "conv_feature_layers": conv_spec, "final_dim": 256,
-        "conv_pos": 128, "conv_pos_groups": 16,
-        "mask_length": 10,
-    }
-    b, t_wave = args.batch, args.samples
-    rng = np.random.default_rng(0)
-    source = jnp.asarray(rng.standard_normal((b, t_wave)), jnp.float32)
-    lengths = jnp.full((b,), t_wave, jnp.int32)
-
-    opt = make_optimizer(lr=5e-4)
-    apply_step = make_apply_step(opt, donate=True)
-    dtype_map = {"f32": jnp.float32, "bf16": jnp.bfloat16}
-
+    from speech_ssl_compression_tpu.train.wave_bench import (
+        make_wave_bench_grad_step,
+        wave_bench_setup,
+    )
     from speech_ssl_compression_tpu.utils.flops import (
         PEAK_TFLOPS,
         wave_fwd_flops,
     )
 
-    def step_flops(cfg, t_frames):
-        """Analytic matmul FLOPs of one grad step (3x forward: fwd + bwd)."""
-        return 3 * b * wave_fwd_flops(cfg, t_wave, t_frames)
+    b, t_wave = args.batch, args.samples
+    opt = make_optimizer(lr=5e-4)
+    apply_step = make_apply_step(opt, donate=True)
+    dtype_map = {"f32": jnp.float32, "bf16": jnp.bfloat16}
 
     def fence(tree):
         return float(jnp.sum(jax.tree.leaves(tree)[0].astype(jnp.float32)))
 
     results = {}
     for model in args.models.split(","):
-        if model == "hubert":
-            cfg = HuBERTConfig.from_dict({**common, "mask_prob": 0.8})
-            num_classes = (504,)
-            params = init_hubert_params(jax.random.PRNGKey(0), cfg,
-                                        num_classes)
-            t_frames = conv_output_length(t_wave, cfg.conv_feature_layers)
-            targets = [jnp.asarray(rng.integers(0, 504, (b, t_frames)),
-                                   jnp.int32)]
-        else:
-            cfg = Wav2Vec2Config.from_dict({
-                **common, "mask_prob": 0.65, "quantize_targets": True,
-                "latent_vars": 320, "latent_groups": 2,
-                "num_negatives": 100,
-            })
-            params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
-            t_frames = conv_output_length(t_wave, cfg.conv_feature_layers)
-
+        setup = wave_bench_setup(model, b, t_wave)
         n_params = sum(int(np.prod(x.shape))
-                       for x in jax.tree.leaves(params))
+                       for x in jax.tree.leaves(setup["params"]))
         print(f"{model}: {n_params/1e6:.1f}M params, "
-              f"{t_frames} frames/row", flush=True)
+              f"{setup['t_frames']} frames/row", flush=True)
+        step_flops = 3 * b * wave_fwd_flops(
+            setup["cfg"], t_wave, setup["t_frames"]
+        )
 
         for dname in args.dtypes.split(","):
-            dt_ = dtype_map[dname]
-
-            def loss_fn(p, key):
-                p = cast_for_compute(p, dt_)
-                if model == "hubert":
-                    out = hubert_forward(
-                        p, cfg, source.astype(dt_), lengths, mask=True,
-                        rng=key, deterministic=False)
-                    loss, _, _ = hubert_pretrain_loss(
-                        p, cfg, out, targets, num_classes)
-                else:
-                    out = wav2vec2_forward(
-                        p, cfg, source.astype(dt_), lengths, mask=True,
-                        rng=key, deterministic=False, gumbel_temp=2.0)
-                    loss, _, _ = wav2vec2_pretrain_loss(out, cfg)
-                return loss
-
-            @jax.jit
-            def grad_step(p, key):
-                return jax.grad(lambda q: loss_fn(q, key))(p)
+            grad_step = make_wave_bench_grad_step(
+                model, setup, dtype_map[dname]
+            )
 
             def one_step(p, ost, key):
                 key, k2 = jax.random.split(key)
@@ -138,7 +80,7 @@ def main():
                 p, ost, _ = apply_step(p, ost, grads, jnp.asarray(1.0))
                 return p, ost, key
 
-            p = jax.tree.map(jnp.array, params)
+            p = jax.tree.map(jnp.array, setup["params"])
             ost = opt.init(p)
             t0 = time.time()
             p, ost, key = one_step(p, ost, jax.random.PRNGKey(2))
@@ -152,7 +94,7 @@ def main():
             dt = (time.time() - t0) / args.steps
             results[f"{model}_pretrain_steps_per_sec_{dname}"] = round(
                 1 / dt, 2)
-            tflops = step_flops(cfg, t_frames) / dt / 1e12
+            tflops = step_flops / dt / 1e12
             results[f"{model}_pretrain_mfu_{dname}"] = round(
                 tflops / PEAK_TFLOPS, 3)
             print(f"{model} pretrain {dname}: {dt*1e3:.1f} ms/step "
@@ -162,7 +104,7 @@ def main():
                   flush=True)
             del p, ost, grad_step
             jax.clear_caches()
-        del params
+        del setup
         jax.clear_caches()
 
     out = pathlib.Path(__file__).resolve().parent.parent / "BENCH_train.json"

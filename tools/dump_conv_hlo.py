@@ -28,9 +28,7 @@ def main():
 
     from speech_ssl_compression_tpu.configs import HuBERTConfig
     from speech_ssl_compression_tpu.models import init_hubert_params
-    from speech_ssl_compression_tpu.models.conv_frontend import (
-        _im2col_matmul,
-    )
+    from tools._conv_chain import conv_chain as _shared_chain
 
     conv_spec = "[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2"
     cfg = HuBERTConfig.from_dict({
@@ -48,21 +46,10 @@ def main():
     x = jnp.asarray(rng.standard_normal((b, t_wave)), jnp.float32)
 
     def conv_chain(fe, x):
-        x = x[:, :, None]
-        for i, (layer, (dim, k, stride)) in enumerate(
-                zip(fe[:args.layers], cfg.conv_feature_layers[:args.layers])):
-            w = layer["weight"]
-            if i == 0:
-                x = _im2col_matmul(x, w, k, stride)
-            else:
-                x = jax.lax.conv_general_dilated(
-                    x, w.transpose(2, 1, 0).astype(x.dtype),
-                    window_strides=(stride,), padding="VALID",
-                    dimension_numbers=("NHC", "HIO", "NHC"),
-                )
-            if args.barrier:
-                x = jax.lax.optimization_barrier(x)
-        return x
+        return _shared_chain(
+            fe, cfg.conv_feature_layers, x, n=args.layers,
+            barrier_where="all" if args.barrier else None,
+        )
 
     def step(fe, x):
         def f(fe):

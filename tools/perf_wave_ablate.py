@@ -35,8 +35,9 @@ def main():
                     help="barrier between frontend layers "
                          "(configs.py conv_frontend_barrier)")
     ap.add_argument("--stages", default="all",
-                    help="comma list: full,conv,convonly,prefix,frontend,"
-                         "encoder,vq")
+                    help="comma list: full,conv,convonly,frontend,encoder,"
+                         "vq (in 'all') plus the chain-study probes "
+                         "convprobe,convbarrier (explicit only)")
     args = ap.parse_args()
 
     import jax
@@ -219,28 +220,12 @@ def main():
         # the conv-frontend stage is convolution vs elementwise/norm
         # (BASELINE round-3: isolated convs are near bound, so the frontend
         # overhead must be in the elementwise chain)
-        from speech_ssl_compression_tpu.models.conv_frontend import (
-            _im2col_matmul,
-        )
-
-        def conv_chain(fe, x):
-            x = x[:, :, None]
-            for i, (layer, (dim, k, stride)) in enumerate(
-                    zip(fe, cfg.conv_feature_layers)):
-                w = layer["weight"]
-                if i == 0:
-                    x = _im2col_matmul(x, w, k, stride)
-                else:
-                    x = jax.lax.conv_general_dilated(
-                        x, w.transpose(2, 1, 0).astype(x.dtype),
-                        window_strides=(stride,), padding="VALID",
-                        dimension_numbers=("NHC", "HIO", "NHC"),
-                    )
-            return x
+        from tools._conv_chain import conv_chain
 
         def convonly_fwd(p, x, key):
             p = cast_for_compute(p, dt_)
-            out = conv_chain(p["feature_extractor"], x)
+            out = conv_chain(p["feature_extractor"],
+                             cfg.conv_feature_layers, x)
             return x + 1e-20 * jnp.mean(
                 out.astype(jnp.float32)).astype(x.dtype)
 
@@ -250,7 +235,9 @@ def main():
             p = cast_for_compute(p, dt_)
 
             def f(fe):
-                return jnp.mean(conv_chain(fe, x).astype(jnp.float32))
+                return jnp.mean(
+                    conv_chain(fe, cfg.conv_feature_layers, x)
+                    .astype(jnp.float32))
 
             g = jax.grad(f)(p["feature_extractor"])
             tot = sum(jnp.sum(l.astype(jnp.float32))
@@ -264,24 +251,10 @@ def main():
         # sum of isolated per-layer grads): (a) dx-only chain — grad wrt the
         # waveform with weights fixed (no dW work); (b) truncated prefixes —
         # grad wrt weights of the first n layers only
-        from speech_ssl_compression_tpu.models.conv_frontend import (
-            _im2col_matmul,
-        )
+        from tools._conv_chain import conv_chain
 
         def conv_chain_n(fe, x, n):
-            x = x[:, :, None]
-            for i, (layer, (dim, k, stride)) in enumerate(
-                    zip(fe[:n], cfg.conv_feature_layers[:n])):
-                w = layer["weight"]
-                if i == 0:
-                    x = _im2col_matmul(x, w, k, stride)
-                else:
-                    x = jax.lax.conv_general_dilated(
-                        x, w.transpose(2, 1, 0).astype(x.dtype),
-                        window_strides=(stride,), padding="VALID",
-                        dimension_numbers=("NHC", "HIO", "NHC"),
-                    )
-            return x
+            return conv_chain(fe, cfg.conv_feature_layers, x, n=n)
 
         def dx_only(p, x, key):
             p = cast_for_compute(p, dt_)
@@ -315,26 +288,12 @@ def main():
         # does an optimization_barrier between layers (blocking cross-layer
         # fusion in both fwd and bwd — its transpose is a barrier on the
         # cotangent) recover the isolated per-layer backward speed?
-        from speech_ssl_compression_tpu.models.conv_frontend import (
-            _im2col_matmul,
-        )
+        from tools._conv_chain import conv_chain
 
         def conv_chain_b(fe, x, where):
-            x = x[:, :, None]
-            for i, (layer, (dim, k, stride)) in enumerate(
-                    zip(fe, cfg.conv_feature_layers)):
-                w = layer["weight"]
-                if i == 0:
-                    x = _im2col_matmul(x, w, k, stride)
-                else:
-                    x = jax.lax.conv_general_dilated(
-                        x, w.transpose(2, 1, 0).astype(x.dtype),
-                        window_strides=(stride,), padding="VALID",
-                        dimension_numbers=("NHC", "HIO", "NHC"),
-                    )
-                if where == "all" or i in (1, 2):
-                    x = jax.lax.optimization_barrier(x)
-            return x
+            return conv_chain(fe, cfg.conv_feature_layers, x,
+                              barrier_where="all" if where == "all"
+                              else (1, 2))
 
         for where in ("all", "l12"):
             def bar(p, x, key, where=where):
