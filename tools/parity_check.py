@@ -43,7 +43,8 @@ def main():
     mels, lengths = [], []
     for name in ("100-121669-0000.flac", "1001-134707-0000.flac"):
         wav, _ = read_audio(EXAMPLES / name)
-        m = wav_to_mel(wav[0], mean, std, fp=20)
+        # "high": the golden-parity number is defined on the f64 oracle
+        m = wav_to_mel(wav[0], mean, std, fp=20, precision="high")
         mels.append(m)
         lengths.append(m.shape[0])
     t = max(lengths)
