@@ -49,6 +49,12 @@ def get_args():
                         choices=["float32", "bfloat16"],
                         help="compute dtype (bfloat16 trades ~1e-1 worst-case "
                              "rel err for throughput)")
+    parser.add_argument("--featurizer", default="host",
+                        choices=["host", "device"],
+                        help="where fbank+normalize+stacking run: 'host' "
+                             "(reference-parity f64-grade path) or "
+                             "'device' (on-chip, ~10x the host's frames/s "
+                             "— tools/bench_data.py)")
     parser.add_argument("--wav", nargs="*", default=None,
                         help="optional custom audio paths")
     return parser.parse_args()
@@ -89,7 +95,7 @@ def main():
     )
 
     t0 = time.time()
-    out = extractor.forward_files(wav_path)
+    out = extractor.forward_files(wav_path, featurizer=args.featurizer)
     last = out["last_hidden_state"]
     last.block_until_ready()
     dt = time.time() - t0

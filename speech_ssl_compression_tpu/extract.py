@@ -153,8 +153,51 @@ class MelHuBERTExtractor:
         ).astype(np.float32)
         return feat, pad_mask, lengths
 
-    def forward(self, wavs: Sequence[np.ndarray]) -> dict:
-        feat, pad_mask, lengths = self.featurize(wavs)
+    def featurize_device(self, wavs: Sequence[np.ndarray]):
+        """On-device wav -> normalized (stacked) features: fbank +
+        normalize + stacking run on the chip (ops/fbank.featurize_batch).
+        The host sustains ~45k stacked frames/s per process while the chip
+        extracts ~350k (tools/bench_data.py) — this removes the host
+        bottleneck from bulk serving. Returns (feat (B, T_pad, D) device
+        array, pad_mask, lengths) shaped exactly like :meth:`featurize`
+        (parity ~1e-4 rel vs the host f64 path)."""
+        from .ops.fbank import featurize_batch, num_frames
+
+        n_samp = [int(w.shape[-1]) for w in wavs]
+        frames10 = [num_frames(n) for n in n_samp]
+        if self.fp == 20:
+            t_out = max(-(-f // 2) for f in frames10)
+            t_pad = -(-t_out // self.pad_multiple) * self.pad_multiple
+            max_frames, stack = 2 * t_pad, True
+            lengths = [-(-f // 2) for f in frames10]
+        else:
+            t_out = max(frames10)
+            t_pad = -(-t_out // self.pad_multiple) * self.pad_multiple
+            max_frames, stack = t_pad, False
+            lengths = frames10
+        max_samples = (max_frames - 1) * 160 + 400
+        batch = np.zeros((len(wavs), max_samples), np.float32)
+        for i, w in enumerate(wavs):
+            batch[i, : n_samp[i]] = np.asarray(w, np.float32) * (2**15)
+        feat, n_valid = featurize_batch(
+            jnp.asarray(batch),
+            jnp.asarray(n_samp, jnp.int32),
+            jnp.asarray(self.mean, jnp.float32),
+            jnp.asarray(self.std, jnp.float32),
+            max_frames,
+            stack=stack,
+        )
+        pad_mask = (
+            np.arange(t_pad)[None, :] < np.asarray(lengths)[:, None]
+        ).astype(np.float32)
+        return feat, pad_mask, lengths
+
+    def forward(self, wavs: Sequence[np.ndarray],
+                featurizer: str = "host") -> dict:
+        if featurizer == "device":
+            feat, pad_mask, lengths = self.featurize_device(wavs)
+        else:
+            feat, pad_mask, lengths = self.featurize(wavs)
         from .ops.attention import attention_mesh
 
         # serving is single-device: never trace against a (possibly stale,
@@ -171,13 +214,14 @@ class MelHuBERTExtractor:
             "lengths": lengths,
         }
 
-    def forward_files(self, paths: Sequence[str]) -> dict:
+    def forward_files(self, paths: Sequence[str],
+                      featurizer: str = "host") -> dict:
         wavs = []
         for p in paths:
             wav, sr = read_audio(p)
             assert sr == 16000, f"{p}: expected 16 kHz, got {sr}"
             wavs.append(wav[0])
-        return self.forward(wavs)
+        return self.forward(wavs, featurizer=featurizer)
 
     # ------------------------------------------------------------------
     # sequence-packed extraction: identical outputs, less padding waste

@@ -164,3 +164,29 @@ def test_cli_weight_pruned_torch_flavor(tmp_path):
     p, _, _ = load_any_checkpoint(str(ckpt))
     kern = np.asarray(p["encoder"]["layers"][0]["fc1"]["kernel"])
     assert (kern == 0).mean() > 0.90
+
+
+@pytest.mark.skipif(not EXAMPLES.exists(), reason="example assets missing")
+def test_extractor_device_featurizer_matches_host(tmp_path):
+    """forward(featurizer='device') — on-chip fbank+normalize+stacking —
+    produces the same hidden states as the host wav_to_mel path."""
+    from speech_ssl_compression_tpu.extract import MelHuBERTExtractor
+
+    ckpt = _save_tiny(tmp_path, 20)
+    ex = MelHuBERTExtractor(
+        ckpt, fp=20,
+        mean_std_npy_path=str(EXAMPLES / "libri-960-mean-std.npy"),
+    )
+    from speech_ssl_compression_tpu.data.audio import read_audio
+
+    wavs = [read_audio(EXAMPLES / n)[0][0]
+            for n in ("100-121669-0000.flac", "1001-134707-0000.flac")]
+    host = ex.forward(wavs)
+    dev = ex.forward(wavs, featurizer="device")
+    assert host["lengths"] == dev["lengths"]
+    for i, n in enumerate(host["lengths"]):
+        np.testing.assert_allclose(
+            np.asarray(dev["last_hidden_state"])[i, :n],
+            np.asarray(host["last_hidden_state"])[i, :n],
+            atol=5e-3, rtol=5e-3,
+        )

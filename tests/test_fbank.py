@@ -91,3 +91,48 @@ def test_fbank_fast_precision_matches_oracle():
     lo = kaldi_fbank_np(wav, dtype=np.float32)
     rel = np.max(np.abs(lo - hi) / (np.abs(hi) + 1e-6))
     assert rel < 1e-4, rel
+
+
+def test_featurize_batch_matches_host_path():
+    """The on-device featurizer (fbank + normalize + stacking, one jit)
+    equals the host wav_to_mel path for ragged batches, fp=20 and fp=10."""
+    from speech_ssl_compression_tpu.extract import wav_to_mel
+    from speech_ssl_compression_tpu.ops.fbank import (
+        featurize_batch,
+        num_frames,
+    )
+
+    rng = np.random.default_rng(9)
+    wavs = [rng.standard_normal(n).astype(np.float32) * 0.1
+            for n in (7000, 12345, 4000)]
+    mean = rng.standard_normal(40).astype(np.float32)
+    std = (1.0 + rng.random(40)).astype(np.float32)
+
+    for fp in (20, 10):
+        mels = [wav_to_mel(w, mean, std, fp=fp, precision="high")
+                for w in wavs]
+        frames10 = [num_frames(len(w)) for w in wavs]
+        if fp == 20:
+            t_pad = -(-max(-(-f // 2) for f in frames10) // 128) * 128
+            max_frames, stack = 2 * t_pad, True
+        else:
+            t_pad = -(-max(frames10) // 128) * 128
+            max_frames, stack = t_pad, False
+        max_samples = (max_frames - 1) * 160 + 400
+        batch = np.zeros((len(wavs), max_samples), np.float32)
+        for i, w in enumerate(wavs):
+            batch[i, : len(w)] = w * (2**15)
+        feat, n_valid = featurize_batch(
+            jnp.asarray(batch), jnp.asarray([len(w) for w in wavs],
+                                            jnp.int32),
+            jnp.asarray(mean), jnp.asarray(std), max_frames, stack=stack,
+        )
+        feat = np.asarray(feat)
+        assert feat.shape[1] == t_pad
+        for i, m in enumerate(mels):
+            assert int(n_valid[i]) == m.shape[0], (fp, i)
+            np.testing.assert_allclose(
+                feat[i, : m.shape[0]], m, atol=2e-4, rtol=2e-4,
+                err_msg=f"fp={fp} row={i}",
+            )
+            assert np.all(feat[i, m.shape[0]:] == 0.0)

@@ -120,15 +120,63 @@ def bench_training_loader(rows: int, fp: int = 20):
     }
 
 
+def bench_device_featurizer(steps: int = 20):
+    """featurize_batch (fbank + normalize + stacking) on the accelerator:
+    host-chained timing (each step consumes the previous output; one
+    scalar fence — BASELINE.md methodology)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    import jax.numpy as jnp
+
+    from speech_ssl_compression_tpu.ops.fbank import featurize_batch
+
+    rng = np.random.default_rng(0)
+    b, t_pad = 16, 1536                      # 16 x ~30.7 s utterances
+    max_frames = 2 * t_pad
+    max_samples = (max_frames - 1) * 160 + 400
+    batch = jnp.asarray(
+        rng.standard_normal((b, max_samples)) * 2**12, jnp.float32
+    )
+    n_samp = jnp.full((b,), max_samples, jnp.int32)
+    mean = jnp.zeros((40,), jnp.float32)
+    std = jnp.ones((40,), jnp.float32)
+
+    @jax.jit
+    def step(x):
+        feat, n_valid = featurize_batch(
+            x, n_samp, mean, std, max_frames, stack=True
+        )
+        # fold the result back into the carry so steps chain
+        return x + 1e-20 * jnp.sum(feat).astype(x.dtype)
+
+    x = step(batch)
+    float(jnp.sum(x[0, :8]))  # compile + warm
+    t0 = time.time()
+    for _ in range(steps):
+        x = step(x)
+    float(jnp.sum(x[0, :8]))
+    dt = (time.time() - t0) / steps
+    frames = b * t_pad  # stacked 20 ms frames per step
+    return {
+        "device_featurizer_stacked_frames_per_sec": round(frames / dt),
+        "device_featurizer_batch": f"B={b} x {max_samples / 16000:.1f}s",
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--rows", type=int, default=256)
+    ap.add_argument("--device", action="store_true",
+                    help="also bench the on-device featurizer "
+                         "(ops/fbank.featurize_batch) on the accelerator")
     args = ap.parse_args()
 
     out = {}
     out.update(bench_online_extraction(args.reps))
     out.update(bench_training_loader(args.rows))
+    if args.device:
+        out.update(bench_device_featurizer())
     print(json.dumps(out))
 
 
