@@ -268,15 +268,22 @@ class MelHuBERTExtractor:
             }
 
     def forward_packed(self, wavs: Sequence[np.ndarray],
-                       capacity: Optional[int] = None) -> dict:
+                       capacity: Optional[int] = None,
+                       featurizer: str = "host") -> dict:
         """Like :meth:`forward` but packs utterances into fixed-capacity
         rows with segment-masked attention (block-diagonal). Outputs match
-        the unpacked path."""
+        the unpacked path. ``featurizer="device"`` composes the on-chip
+        featurizer with packing (lengths come from host-side frame
+        arithmetic, so no device sync): the full wav -> packed features ->
+        encoder pipeline is then device-resident."""
         if int(self.cfg.encoder_layers) == 0:
             # no encoder params to pack over; the plain path handles the
             # gelu(pre_feat) fallback (melhubert.py:124-137)
-            return self.forward(wavs)
-        feat, pad_mask, lengths = self.featurize(wavs)
+            return self.forward(wavs, featurizer=featurizer)
+        if featurizer == "device":
+            feat, pad_mask, lengths = self.featurize_device(wavs)
+        else:
+            feat, pad_mask, lengths = self.featurize(wavs)
         b, t, _ = feat.shape
         cap = capacity or t
         cap = max(cap, max(lengths))

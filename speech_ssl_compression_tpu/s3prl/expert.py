@@ -31,13 +31,15 @@ def _to_numpy_wave(w):
 class UpstreamExpert:
     def __init__(self, ckpt: str, mode: str = "melhubert", fp: int = 20,
                  mean_std_npy_path: str = None, model_config=None,
-                 packed: bool = False, **kwargs):
+                 packed: bool = False, featurizer: str = "host", **kwargs):
         """packed=True serves batches with sequence packing (segment-masked
         attention): identical outputs, ~2x throughput on mixed-length
-        batches."""
+        batches. featurizer="device" runs fbank + normalize + stacking on
+        the accelerator (~10x the host featurizer; tools/bench_data.py)."""
         self.mode = mode
         self.fp = fp
         self.packed = packed
+        self.featurizer = featurizer
         self.extractor = MelHuBERTExtractor(
             ckpt, fp=fp, mean_std_npy_path=mean_std_npy_path
         )
@@ -54,9 +56,13 @@ class UpstreamExpert:
         # runner may have installed in this process (ADVICE r2)
         with attention_mesh(None):
             if self.packed and len(waves) > 1:
-                out = self.extractor.forward_packed(waves)
+                out = self.extractor.forward_packed(
+                    waves, featurizer=self.featurizer
+                )
             else:
-                out = self.extractor.forward(waves)
+                out = self.extractor.forward(
+                    waves, featurizer=self.featurizer
+                )
         return {
             "hidden_states": out["hidden_states"],
             "last_hidden_state": out["last_hidden_state"],

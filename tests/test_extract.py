@@ -190,3 +190,30 @@ def test_extractor_device_featurizer_matches_host(tmp_path):
             np.asarray(host["last_hidden_state"])[i, :n],
             atol=5e-3, rtol=5e-3,
         )
+
+
+@pytest.mark.skipif(not EXAMPLES.exists(), reason="example assets missing")
+def test_packed_device_featurizer_matches_host(tmp_path):
+    """forward_packed(featurizer='device') — the fully device-resident
+    wav -> packed features -> encoder pipeline — matches the host path."""
+    from speech_ssl_compression_tpu.extract import MelHuBERTExtractor
+
+    ckpt = _save_tiny(tmp_path, 20)
+    ex = MelHuBERTExtractor(
+        ckpt, fp=20,
+        mean_std_npy_path=str(EXAMPLES / "libri-960-mean-std.npy"),
+    )
+    from speech_ssl_compression_tpu.data.audio import read_audio
+
+    wavs = [read_audio(EXAMPLES / n)[0][0]
+            for n in ("100-121669-0000.flac", "1001-134707-0000.flac")]
+    host = ex.forward_packed(wavs)
+    dev = ex.forward_packed(wavs, featurizer="device")
+    assert host["lengths"] == dev["lengths"]
+    assert host["n_packed_rows"] == dev["n_packed_rows"]
+    for i, n in enumerate(host["lengths"]):
+        np.testing.assert_allclose(
+            np.asarray(dev["last_hidden_state"])[i, :n],
+            np.asarray(host["last_hidden_state"])[i, :n],
+            atol=5e-3, rtol=5e-3,
+        )
