@@ -161,7 +161,17 @@ class MelHuBERTExtractor:
         bottleneck from bulk serving. Returns (feat (B, T_pad, D) device
         array, pad_mask, lengths) shaped exactly like :meth:`featurize`
         (parity ~1e-4 rel vs the host f64 path)."""
-        from .ops.fbank import featurize_batch, num_frames
+        batch, n_samp, max_frames, stack, lengths, t_pad = (
+            self._assemble_wave_batch(wavs)
+        )
+        return self._featurize_batch_device(
+            batch, n_samp, max_frames, stack, lengths, t_pad
+        )
+
+    def _assemble_wave_batch(self, wavs):
+        """Host half of :meth:`featurize_device`: scale, pad, and size the
+        batch (pure NumPy — safe inside a prefetch worker thread)."""
+        from .ops.fbank import num_frames
 
         n_samp = [int(w.shape[-1]) for w in wavs]
         frames10 = [num_frames(n) for n in n_samp]
@@ -179,6 +189,13 @@ class MelHuBERTExtractor:
         batch = np.zeros((len(wavs), max_samples), np.float32)
         for i, w in enumerate(wavs):
             batch[i, : n_samp[i]] = np.asarray(w, np.float32) * (2**15)
+        return batch, n_samp, max_frames, stack, lengths, t_pad
+
+    def _featurize_batch_device(self, batch, n_samp, max_frames, stack,
+                                lengths, t_pad):
+        """Device half of :meth:`featurize_device` (main-thread only)."""
+        from .ops.fbank import featurize_batch
+
         feat, n_valid = featurize_batch(
             jnp.asarray(batch),
             jnp.asarray(n_samp, jnp.int32),
@@ -307,3 +324,73 @@ class MelHuBERTExtractor:
             "lengths": lengths,
             "n_packed_rows": len(rows),
         }
+
+    def forward_stream(self, batch_iter, capacity: Optional[int] = None,
+                       featurizer: str = "host", depth: int = 2):
+        """Pipelined bulk serving: yields :meth:`forward_packed` outputs
+        for an iterator of wav batches, overlapping host featurization
+        (a background prefetch thread) and device compute (JAX's async
+        dispatch — up to ``depth`` batches are in flight before the
+        consumer's first fetch fences one).
+
+        The fence-per-call pattern (tools/bench_serve_e2e.py) serializes
+        host fbank, upload, and encoder; streaming hides the host work
+        behind the chip, so sustained throughput approaches
+        max(featurize, encode) instead of their sum. Outputs arrive in
+        input order; consume each yielded dict (e.g. np.asarray one
+        tensor) to fence it.
+        """
+        from collections import deque
+
+        from .data.bucket_dataset import PrefetchIterator
+
+        if featurizer == "device":
+            # the worker thread does only NumPy assembly; all device calls
+            # stay on this thread
+            feats = PrefetchIterator(
+                (self._assemble_wave_batch(b) for b in batch_iter),
+                depth=depth,
+            )
+        else:
+            feats = PrefetchIterator(
+                (self.featurize(b) for b in batch_iter), depth=depth
+            )
+        try:
+            pending = deque()
+            for item in feats:
+                if featurizer == "device":
+                    feat, pad_mask, lengths = (
+                        self._featurize_batch_device(*item)
+                    )
+                else:
+                    feat, pad_mask, lengths = item
+                b, t, _ = feat.shape
+                cap = capacity or t
+                cap = max(cap, max(lengths))
+                cap = -(-cap // self.pad_multiple) * self.pad_multiple
+                rows = plan_packing(lengths, cap)
+                gather_idx, seg_ids, unpack_idx = build_pack_arrays(
+                    lengths, rows, cap, t
+                )
+                from .ops.attention import attention_mesh
+
+                with attention_mesh(None):
+                    out = self._packed_impl(
+                        self.cfg, self.matmul_precision, self.params,
+                        jnp.asarray(feat, self.dtype), jnp.asarray(pad_mask),
+                        jnp.asarray(gather_idx), jnp.asarray(seg_ids),
+                        jnp.asarray(unpack_idx),
+                    )
+                pending.append({
+                    "hidden_states": [out["pre_feat"]]
+                    + list(out["layer_hiddens"]),
+                    "last_hidden_state": out["hidden"],
+                    "lengths": lengths,
+                    "n_packed_rows": len(rows),
+                })
+                if len(pending) > depth:
+                    yield pending.popleft()
+            while pending:
+                yield pending.popleft()
+        finally:
+            feats.close()

@@ -217,3 +217,31 @@ def test_packed_device_featurizer_matches_host(tmp_path):
             np.asarray(host["last_hidden_state"])[i, :n],
             atol=5e-3, rtol=5e-3,
         )
+
+
+@pytest.mark.skipif(not EXAMPLES.exists(), reason="example assets missing")
+@pytest.mark.parametrize("featurizer", ["host", "device"])
+def test_forward_stream_matches_sequential(tmp_path, featurizer):
+    """The pipelined serve API yields the same outputs, in order, as
+    per-batch forward_packed calls."""
+    from speech_ssl_compression_tpu.extract import MelHuBERTExtractor
+
+    ckpt = _save_tiny(tmp_path, 20)
+    ex = MelHuBERTExtractor(
+        ckpt, fp=20,
+        mean_std_npy_path=str(EXAMPLES / "libri-960-mean-std.npy"),
+    )
+    from speech_ssl_compression_tpu.data.audio import read_audio
+
+    wavs = [read_audio(EXAMPLES / n)[0][0]
+            for n in ("100-121669-0000.flac", "1001-134707-0000.flac")]
+    batches = [wavs, wavs[::-1], [wavs[0]]]
+    want = [ex.forward_packed(b, featurizer=featurizer) for b in batches]
+    got = list(ex.forward_stream(iter(batches), featurizer=featurizer))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["lengths"] == w["lengths"]
+        np.testing.assert_allclose(
+            np.asarray(g["last_hidden_state"]),
+            np.asarray(w["last_hidden_state"]), atol=1e-5,
+        )

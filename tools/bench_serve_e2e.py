@@ -87,6 +87,22 @@ def main():
                   f"{fps:,.0f} frames/s "
                   f"(B={len(wavs)}, {n_frames} frames/call)", flush=True)
 
+            # pipelined serve loop: prefetch-threaded featurize + async
+            # dispatch (forward_stream) over the same total work
+            t0 = time.time()
+            n_done = 0
+            for out in ex.forward_stream(
+                (wavs for _ in range(args.calls)), featurizer=featurizer
+            ):
+                float(jnp.sum(out["last_hidden_state"][0, 0, :8]))
+                n_done += sum(out["lengths"])
+            dt = time.time() - t0
+            fps = n_done / dt
+            results[f"serve_stream_frames_per_sec_{featurizer}"] = round(
+                fps)
+            print(f"{featurizer} stream: {dt / args.calls * 1e3:.1f} "
+                  f"ms/batch, {fps:,.0f} frames/s", flush=True)
+
     print(json.dumps(results))
 
 
