@@ -161,19 +161,11 @@ def hubert_forward(
             )
             x = jnp.where(chan[:, None, :], 0.0, x)
 
-    if features_only:
-        # reference extract_features path (model.py:365-366,419-435)
-        return {
-            "x": x,
-            "features": x,
-            "padding_mask": ~frame_valid,
-            "mask_indices": mask_indices,
-            "features_pen": features_pen,
-            "layer_hiddens": [],
-            "frame_lengths": out_len,
-            "unmasked_features": unmasked_features,
-        }
-
+    # features_only (reference extract_features, model.py:359-366,419-435)
+    # still runs the ENCODER: "x" is the encoder output, "features" the
+    # pre-encoder (post-mask — fairseq's apply_mask mutates in place)
+    # tensor. An earlier build returned before the encoder here, which
+    # would have served conv features as hidden states.
     hidden, layer_hiddens, _ = encoder_forward(
         x, params["encoder"], cfg,
         padding_mask=~frame_valid,

@@ -655,3 +655,28 @@ def test_wav2vec2_channel_masking_before_and_after():
     # time-masked frames; after-placement zeroes them — different outputs
     assert not np.allclose(before, after)
     np.testing.assert_array_equal(base, run(replace(cfg, mask_channel_prob=0.0)))
+
+
+def test_hubert_features_only_runs_encoder():
+    """Reference parity (model.py:359-366): features_only returns the
+    ENCODER output as "x" (an earlier build returned conv features).
+    "features" stays the pre-encoder (post-mask) tensor."""
+    from speech_ssl_compression_tpu.models import (
+        hubert_forward,
+        init_hubert_params,
+    )
+
+    cfg = _hubert_cfg()
+    params = init_hubert_params(jax.random.PRNGKey(0), cfg, (20,))
+    rng = np.random.default_rng(11)
+    source = jnp.asarray(rng.standard_normal((2, 2000)), jnp.float32)
+    lengths = jnp.asarray([2000, 1500], jnp.int32)
+
+    fo = hubert_forward(params, cfg, source, lengths, mask=False,
+                        features_only=True, deterministic=True)
+    full = hubert_forward(params, cfg, source, lengths, mask=False,
+                          deterministic=True)
+    assert not np.allclose(np.asarray(fo["x"]), np.asarray(fo["features"]))
+    np.testing.assert_allclose(
+        np.asarray(fo["x"]), np.asarray(full["x"]), atol=1e-6
+    )
