@@ -52,9 +52,14 @@ def get_args():
     parser.add_argument("--featurizer", default="host",
                         choices=["host", "device"],
                         help="where fbank+normalize+stacking run: 'host' "
-                             "(reference-parity f64-grade path) or "
-                             "'device' (on-chip, ~10x the host's frames/s "
-                             "— tools/bench_data.py)")
+                             "(NumPy; see --fbank-precision) or 'device' "
+                             "(on-chip, ~10x the host's frames/s — "
+                             "tools/bench_data.py)")
+    parser.add_argument("--fbank-precision", default="fast",
+                        choices=["fast", "high"],
+                        help="host featurizer numerics: 'fast' = f32 fbank "
+                             "(~1.4x, ~2e-6 rel err), 'high' = the f64 "
+                             "oracle used for golden parity")
     parser.add_argument("--wav", nargs="*", default=None,
                         help="optional custom audio paths")
     return parser.parse_args()
@@ -88,6 +93,7 @@ def main():
         args.checkpoint, fp=args.fp, mean_std_npy_path=str(mean_std),
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         matmul_precision=args.matmul_precision,
+        fbank_precision=args.fbank_precision,
     )
     print(
         f"[Extractor] - Successfully load model with "

@@ -56,6 +56,13 @@ def wav_to_mel(
     return y.astype(np.float32)
 
 
+def _check_featurizer(featurizer: str):
+    if featurizer not in ("host", "device"):
+        raise ValueError(
+            f"featurizer must be 'host' or 'device', got {featurizer!r}"
+        )
+
+
 def load_any_checkpoint(path: str):
     """Load either a reference torch .ckpt or our .npz checkpoint.
     Returns (params, cfg, extras)."""
@@ -100,9 +107,13 @@ class MelHuBERTExtractor:
         dtype=jnp.float32,
         pad_multiple: int = 128,
         matmul_precision: str = "highest",
+        fbank_precision: str = "fast",
     ):
         self.fp = fp
         self.pad_multiple = pad_multiple
+        # host featurizer numerics: "fast" = f32 fbank (~1.4x, ~2e-6 rel
+        # err), "high" = the f64 oracle (what parity_check.py pins)
+        self.fbank_precision = fbank_precision
         self.dtype = dtype
         self.matmul_precision = matmul_precision
         params, cfg, extras = load_any_checkpoint(ckpt)
@@ -139,7 +150,8 @@ class MelHuBERTExtractor:
         )
 
     def featurize(self, wavs: Sequence[np.ndarray]):
-        mels = [wav_to_mel(w, self.mean, self.std, self.fp) for w in wavs]
+        mels = [wav_to_mel(w, self.mean, self.std, self.fp,
+                           precision=self.fbank_precision) for w in wavs]
         lengths = [m.shape[0] for m in mels]
         t = max(lengths)
         t_pad = -(-t // self.pad_multiple) * self.pad_multiple
@@ -185,7 +197,11 @@ class MelHuBERTExtractor:
             t_pad = -(-t_out // self.pad_multiple) * self.pad_multiple
             max_frames, stack = t_pad, False
             lengths = frames10
-        max_samples = (max_frames - 1) * 160 + 400
+        # snip-edges leftovers: the longest wav may carry up to 159 samples
+        # past its last frame's reach (and padded frame counts can land
+        # exactly on the pad boundary), so size the buffer to whichever is
+        # larger — kaldi_fbank ignores samples past its frame window
+        max_samples = max((max_frames - 1) * 160 + 400, max(n_samp))
         batch = np.zeros((len(wavs), max_samples), np.float32)
         for i, w in enumerate(wavs):
             batch[i, : n_samp[i]] = np.asarray(w, np.float32) * (2**15)
@@ -211,6 +227,7 @@ class MelHuBERTExtractor:
 
     def forward(self, wavs: Sequence[np.ndarray],
                 featurizer: str = "host") -> dict:
+        _check_featurizer(featurizer)
         if featurizer == "device":
             feat, pad_mask, lengths = self.featurize_device(wavs)
         else:
@@ -293,6 +310,7 @@ class MelHuBERTExtractor:
         featurizer with packing (lengths come from host-side frame
         arithmetic, so no device sync): the full wav -> packed features ->
         encoder pipeline is then device-resident."""
+        _check_featurizer(featurizer)
         if int(self.cfg.encoder_layers) == 0:
             # no encoder params to pack over; the plain path handles the
             # gelu(pre_feat) fallback (melhubert.py:124-137)
@@ -301,6 +319,12 @@ class MelHuBERTExtractor:
             feat, pad_mask, lengths = self.featurize_device(wavs)
         else:
             feat, pad_mask, lengths = self.featurize(wavs)
+        return self._pack_and_dispatch(feat, pad_mask, lengths, capacity)
+
+    def _pack_and_dispatch(self, feat, pad_mask, lengths,
+                           capacity: Optional[int] = None) -> dict:
+        """Shared tail of :meth:`forward_packed` / :meth:`forward_stream`:
+        plan packing, dispatch the packed encoder, assemble outputs."""
         b, t, _ = feat.shape
         cap = capacity or t
         cap = max(cap, max(lengths))
@@ -344,6 +368,14 @@ class MelHuBERTExtractor:
 
         from .data.bucket_dataset import PrefetchIterator
 
+        _check_featurizer(featurizer)
+        if int(self.cfg.encoder_layers) == 0:
+            # no encoder to pack over: per-batch plain forward (the
+            # gelu(pre_feat) fallback, melhubert.py:124-137), matching
+            # forward_packed's routing
+            for b in batch_iter:
+                yield self.forward(b, featurizer=featurizer)
+            return
         if featurizer == "device":
             # the worker thread does only NumPy assembly; all device calls
             # stay on this thread
@@ -364,30 +396,10 @@ class MelHuBERTExtractor:
                     )
                 else:
                     feat, pad_mask, lengths = item
-                b, t, _ = feat.shape
-                cap = capacity or t
-                cap = max(cap, max(lengths))
-                cap = -(-cap // self.pad_multiple) * self.pad_multiple
-                rows = plan_packing(lengths, cap)
-                gather_idx, seg_ids, unpack_idx = build_pack_arrays(
-                    lengths, rows, cap, t
+                pending.append(
+                    self._pack_and_dispatch(feat, pad_mask, lengths,
+                                            capacity)
                 )
-                from .ops.attention import attention_mesh
-
-                with attention_mesh(None):
-                    out = self._packed_impl(
-                        self.cfg, self.matmul_precision, self.params,
-                        jnp.asarray(feat, self.dtype), jnp.asarray(pad_mask),
-                        jnp.asarray(gather_idx), jnp.asarray(seg_ids),
-                        jnp.asarray(unpack_idx),
-                    )
-                pending.append({
-                    "hidden_states": [out["pre_feat"]]
-                    + list(out["layer_hiddens"]),
-                    "last_hidden_state": out["hidden"],
-                    "lengths": lengths,
-                    "n_packed_rows": len(rows),
-                })
                 if len(pending) > depth:
                     yield pending.popleft()
             while pending:

@@ -435,12 +435,10 @@ def infer_pruned_dims(params: dict, head_dim: int):
     structured pruning, used by every checkpoint consumer (the reference
     rebuilds nn.Linear modules from Pruned_heads metadata instead,
     extract_feature.py:116-137)."""
+    # a fully-distilled 0-layer model has no encoder params at all
+    layers = params.get("encoder", {}).get("layers", [])
     heads = tuple(
-        int(l["q_proj"]["kernel"].shape[1]) // head_dim
-        for l in params["encoder"]["layers"]
+        int(l["q_proj"]["kernel"].shape[1]) // head_dim for l in layers
     )
-    ffns = tuple(
-        int(l["fc1"]["kernel"].shape[1])
-        for l in params["encoder"]["layers"]
-    )
+    ffns = tuple(int(l["fc1"]["kernel"].shape[1]) for l in layers)
     return heads, ffns

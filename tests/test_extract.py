@@ -245,3 +245,70 @@ def test_forward_stream_matches_sequential(tmp_path, featurizer):
             np.asarray(g["last_hidden_state"]),
             np.asarray(w["last_hidden_state"]), atol=1e-5,
         )
+
+
+@pytest.mark.skipif(not EXAMPLES.exists(), reason="example assets missing")
+def test_device_featurizer_pad_boundary_overflow(tmp_path):
+    """A wav whose 10 ms frame count lands exactly on the pad boundary
+    with residual snip-edges samples (n=41300 -> frames10=256=2*128,
+    41300 > (256-1)*160+400) must not overflow the assembly buffer."""
+    from speech_ssl_compression_tpu.extract import MelHuBERTExtractor
+
+    ckpt = _save_tiny(tmp_path, 20)
+    ex = MelHuBERTExtractor(
+        ckpt, fp=20,
+        mean_std_npy_path=str(EXAMPLES / "libri-960-mean-std.npy"),
+    )
+    rng = np.random.default_rng(13)
+    wav = rng.standard_normal(41300).astype(np.float32) * 0.05
+    feat, pad_mask, lengths = ex.featurize_device([wav])
+    assert lengths == [128]
+    host = ex.featurize([wav])[0]
+    np.testing.assert_allclose(
+        np.asarray(feat)[0, :128], host[0, :128], atol=2e-4, rtol=2e-4
+    )
+
+
+def test_featurizer_value_validated(tmp_path):
+    from speech_ssl_compression_tpu.extract import MelHuBERTExtractor
+
+    ckpt = _save_tiny(tmp_path, 20)
+    ex = MelHuBERTExtractor(ckpt, fp=20)
+    wav = np.zeros(4000, np.float32)
+    with pytest.raises(ValueError, match="featurizer"):
+        ex.forward([wav], featurizer="devcie")
+    with pytest.raises(ValueError, match="featurizer"):
+        ex.forward_packed([wav, wav], featurizer="Device")
+    with pytest.raises(ValueError, match="featurizer"):
+        list(ex.forward_stream(iter([[wav]]), featurizer="gpu"))
+
+
+def test_forward_stream_zero_layer_fallback(tmp_path):
+    """A 0-layer (fully distilled) checkpoint streams through the plain
+    gelu(pre_feat) fallback and matches forward()."""
+    from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+    from speech_ssl_compression_tpu.extract import MelHuBERTExtractor
+    from speech_ssl_compression_tpu.models import init_melhubert_params
+    from speech_ssl_compression_tpu.utils.checkpoint import save_checkpoint
+
+    cfg_dict = {
+        "feat_emb_dim": 80, "encoder_layers": 0,
+        "encoder_embed_dim": 64, "encoder_ffn_embed_dim": 128,
+        "encoder_attention_heads": 4, "num_cluster": 32,
+    }
+    cfg = MelHuBERTConfig.from_dict(cfg_dict)
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "zero.npz")
+    save_checkpoint(path, params,
+                    meta={"Upstream_Config": {"melhubert": cfg_dict}})
+    ex = MelHuBERTExtractor(path, fp=20)
+    rng = np.random.default_rng(5)
+    wavs = [rng.standard_normal(8000).astype(np.float32) * 0.05,
+            rng.standard_normal(6000).astype(np.float32) * 0.05]
+    want = ex.forward(wavs)
+    got = list(ex.forward_stream(iter([wavs])))
+    assert len(got) == 1
+    np.testing.assert_allclose(
+        np.asarray(got[0]["last_hidden_state"]),
+        np.asarray(want["last_hidden_state"]), atol=1e-6,
+    )
