@@ -205,6 +205,12 @@ class MelHuBERTExtractor:
         batch = np.zeros((len(wavs), max_samples), np.float32)
         for i, w in enumerate(wavs):
             batch[i, : n_samp[i]] = np.asarray(w, np.float32) * (2**15)
+        # 16-bit-sourced audio (FLAC/WAV) scales back to exact int16:
+        # upload half the bytes, bit-identically (kaldi_fbank casts frames
+        # to f32 on-device). Non-exact (synthetic float) audio stays f32.
+        if (np.abs(batch).max(initial=0.0) <= 32767.0
+                and np.array_equal(batch, np.round(batch))):
+            batch = batch.astype(np.int16)
         return batch, n_samp, max_frames, stack, lengths, t_pad
 
     def _featurize_batch_device(self, batch, n_samp, max_frames, stack,

@@ -223,7 +223,7 @@ def stack_frame_pairs(feats: jax.Array, n_valid: jax.Array):
     jax.jit, static_argnames=("max_frames", "stack", "num_mel_bins")
 )
 def featurize_batch(
-    waveforms: jax.Array,    # (B, max_samples) f32, already x 2**15 scaled
+    waveforms: jax.Array,    # (B, max_samples) f32 or int16, x 2**15 scaled
     num_samples: jax.Array,  # (B,) int32 true sample counts
     mean: jax.Array,         # (num_mel_bins,)
     std: jax.Array,          # (num_mel_bins,)

@@ -312,3 +312,33 @@ def test_forward_stream_zero_layer_fallback(tmp_path):
         np.asarray(got[0]["last_hidden_state"]),
         np.asarray(want["last_hidden_state"]), atol=1e-6,
     )
+
+
+@pytest.mark.skipif(not EXAMPLES.exists(), reason="example assets missing")
+def test_device_featurizer_int16_upload(tmp_path):
+    """16-bit-sourced audio auto-uploads as int16 (half the transfer,
+    bit-identical after the on-device f32 cast); synthetic float audio
+    stays f32."""
+    from speech_ssl_compression_tpu.data.audio import read_audio
+    from speech_ssl_compression_tpu.extract import MelHuBERTExtractor
+
+    ckpt = _save_tiny(tmp_path, 20)
+    ex = MelHuBERTExtractor(
+        ckpt, fp=20,
+        mean_std_npy_path=str(EXAMPLES / "libri-960-mean-std.npy"),
+    )
+    flac_wav = read_audio(EXAMPLES / "100-121669-0000.flac")[0][0]
+    batch, *_ = ex._assemble_wave_batch([flac_wav])
+    assert batch.dtype == np.int16
+    rng = np.random.default_rng(3)
+    synth = rng.standard_normal(8000).astype(np.float32) * 0.05
+    batch_f, *_ = ex._assemble_wave_batch([synth])
+    assert batch_f.dtype == np.float32
+
+    # int16 path matches the host featurizer like the f32 path does
+    feat, pad_mask, lengths = ex.featurize_device([flac_wav])
+    host = ex.featurize([flac_wav])[0]
+    n = lengths[0]
+    np.testing.assert_allclose(
+        np.asarray(feat)[0, :n], host[0, :n], atol=2e-4, rtol=2e-4
+    )
