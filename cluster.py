@@ -1,0 +1,114 @@
+"""Train k-means cluster labels for HuBERT-style pre-training, on TPU.
+
+The reference consumes precomputed cluster labels (its preprocess reads
+`stage2-cluster-*` dirs; datasets/hubert_dataset.py reads .km files) but
+ships no trainer. This CLI closes the loop: mini-batch k-means with MXU
+assignment (ops/kmeans.py) over per-utterance .npy feature files, then a
+second pass writes fairseq-format labels:
+
+  <out>/centers.npy            (K, D) float32
+  <out>/labels.km              one line per utterance: space-separated ids
+  <out>/labels.len             frame count per utterance (dump format)
+
+Usage:
+  python cluster.py -f features.csv -k 500 -o outdir [--epochs 2]
+  # features.csv: header `file_path[,length]`, one .npy (T, D) per row
+  python cluster.py -f 'dir/*.npy' -k 100 -o outdir
+"""
+
+import argparse
+import glob
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+
+def _feature_paths(spec: str):
+    if spec.endswith(".csv"):
+        import csv
+
+        with open(spec) as f:
+            rows = list(csv.DictReader(f))
+        return [r["file_path"] for r in rows]
+    paths = sorted(glob.glob(spec))
+    if not paths:
+        raise FileNotFoundError(f"no feature files match {spec!r}")
+    return paths
+
+
+def _chunks(paths, rows_per_chunk):
+    """Concatenate per-utterance features into ~fixed-row training chunks."""
+    buf = []
+    n = 0
+    for p in paths:
+        x = np.load(p, mmap_mode="r")
+        x = np.asarray(x, np.float32)
+        buf.append(x)
+        n += x.shape[0]
+        if n >= rows_per_chunk:
+            yield np.concatenate(buf, axis=0)
+            buf, n = [], 0
+    if buf:
+        yield np.concatenate(buf, axis=0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-f", "--features", required=True,
+                    help=".csv with file_path column, or a .npy glob")
+    ap.add_argument("-k", "--clusters", type=int, required=True)
+    ap.add_argument("-o", "--out", required=True)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--chunk-rows", type=int, default=65536)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--backend", default=None,
+                    help="'cpu' forces the CPU backend")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_sslc_cache")
+
+    from speech_ssl_compression_tpu.ops.kmeans import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    paths = _feature_paths(args.features)
+    print(f"[cluster] {len(paths)} feature files, k={args.clusters}",
+          flush=True)
+
+    centers, inertia = kmeans_fit(
+        args.seed,
+        list(_chunks(paths, args.chunk_rows)),
+        args.clusters,
+        epochs=args.epochs,
+        verbose=True,
+    )
+    print(f"[cluster] final inertia/row {inertia:.4f}", flush=True)
+
+    out = pathlib.Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    np.save(out / "centers.npy", centers)
+
+    import jax.numpy as jnp
+
+    c = jnp.asarray(centers)
+    with open(out / "labels.km", "w") as fkm, \
+            open(out / "labels.len", "w") as flen:
+        for p in paths:
+            x = np.asarray(np.load(p), np.float32)
+            ids = np.asarray(kmeans_assign(jnp.asarray(x), c))
+            fkm.write(" ".join(str(int(i)) for i in ids) + "\n")
+            flen.write(f"{len(ids)}\n")
+    print(f"[cluster] wrote {out}/centers.npy, labels.km, labels.len",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

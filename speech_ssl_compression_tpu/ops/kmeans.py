@@ -1,0 +1,143 @@
+"""TPU-native mini-batch k-means for HuBERT label generation.
+
+The reference consumes precomputed cluster labels (preprocess/
+tidy_libri960_kaldi_data.py:31-53 reads `stage2-cluster-*` scp/ark dirs;
+datasets/hubert_dataset.py reads .km files) but ships no trainer — users
+must bring labels from an external pipeline. This module closes the loop
+on-chip: assignment is one (B, K) distance matmul on the MXU, updates are
+segment-sums, and the whole step is a single jit. Mini-batch EMA updates
+(Sculley 2010) with dead-center reseeding keep memory flat for
+corpus-scale feature sets.
+
+Layout: features (B, D) rows on the batch dim, centers (K, D) — K=100/500
+and D=39 (MFCC) or 768 (hidden states) both tile fine; distances use
+||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 and drop the x-norm (argmin-
+invariant), so the hot op is x @ centers.T.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=())
+def kmeans_assign(x: jax.Array, centers: jax.Array) -> jax.Array:
+    """(B, D), (K, D) -> (B,) int32 nearest-center ids."""
+    score = 2.0 * (x @ centers.T) - jnp.sum(
+        centers.astype(jnp.float32) ** 2, axis=-1
+    )[None, :]
+    return jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+
+@jax.jit
+def _minibatch_step(centers, counts, x, valid):
+    """One Sculley mini-batch update. x (B, D) f32, valid (B,) bool.
+
+    Per-center learning rate 1/counts (counts accumulate batch
+    multiplicities), matching sklearn's MiniBatchKMeans update rule.
+    Returns (centers, counts, assignment, batch_inertia).
+    """
+    k = centers.shape[0]
+    assign = kmeans_assign(x, centers)
+    one_hot = (
+        jax.nn.one_hot(assign, k, dtype=jnp.float32)
+        * valid[:, None].astype(jnp.float32)
+    )  # (B, K)
+    batch_counts = jnp.sum(one_hot, axis=0)              # (K,)
+    batch_sums = one_hot.T @ x                           # (K, D)
+    new_counts = counts + batch_counts
+    # centers <- centers + (mean_batch - centers) * batch_count/new_count
+    safe = jnp.maximum(new_counts, 1.0)
+    centers = centers + (
+        batch_sums - batch_counts[:, None] * centers
+    ) / safe[:, None]
+    diff = x - centers[assign]
+    inertia = jnp.sum(
+        jnp.sum(diff * diff, axis=-1)
+        * valid.astype(jnp.float32)
+    )
+    return centers, new_counts, assign, inertia
+
+
+def kmeans_fit(
+    rng,
+    batches,                 # iterable of np.ndarray (B, D) feature chunks
+    k: int,
+    *,
+    epochs: int = 1,
+    reseed_every: int = 50,
+    verbose: bool = False,
+):
+    """Mini-batch k-means over an iterable of feature chunks.
+
+    ``batches`` is re-iterated ``epochs`` times (pass a list, or a factory
+    via itertools). Init: k rows sampled from the first batch (k-means++
+    style D^2 seeding within that batch). Dead centers (zero count after
+    ``reseed_every`` steps) are reseeded to the farthest points of the
+    current batch. Returns (centers (K, D) float32, final mean inertia).
+    """
+    rng = np.random.default_rng(rng)
+    centers = None
+    counts = None
+    step = 0
+    last_inertia = []
+    for epoch in range(epochs):
+        for chunk in batches:
+            x = np.asarray(chunk, np.float32)
+            if x.ndim != 2:
+                raise ValueError(f"feature chunk must be (B, D), got {x.shape}")
+            if centers is None:
+                centers = _dsq_seed(rng, x, k)
+                counts = jnp.zeros((k,), jnp.float32)
+            b = x.shape[0]
+            valid = jnp.ones((b,), bool)
+            centers, counts, assign, inertia = _minibatch_step(
+                centers, counts, jnp.asarray(x), valid
+            )
+            step += 1
+            last_inertia.append(float(inertia) / max(b, 1))
+            if len(last_inertia) > 20:
+                last_inertia.pop(0)
+            if reseed_every and step % reseed_every == 0:
+                centers, counts = _reseed_dead(
+                    rng, centers, counts, x
+                )
+            if verbose and step % 100 == 0:
+                print(f"[kmeans] step {step}: inertia/row "
+                      f"{np.mean(last_inertia):.4f}", flush=True)
+    if centers is None:
+        raise ValueError("kmeans_fit received no batches")
+    return np.asarray(centers), float(np.mean(last_inertia))
+
+
+def _dsq_seed(rng, x, k):
+    """k-means++ (D^2) seeding from one chunk."""
+    n = x.shape[0]
+    if n < k:
+        raise ValueError(f"first chunk has {n} rows < k={k}")
+    idx = [int(rng.integers(n))]
+    d2 = np.sum((x - x[idx[0]]) ** 2, axis=-1)
+    for _ in range(k - 1):
+        p = d2 / max(d2.sum(), 1e-12)
+        idx.append(int(rng.choice(n, p=p)))
+        d2 = np.minimum(d2, np.sum((x - x[idx[-1]]) ** 2, axis=-1))
+    return jnp.asarray(x[idx], jnp.float32)
+
+
+def _reseed_dead(rng, centers, counts, x):
+    """Replace zero-count centers with the current chunk's farthest rows."""
+    counts_np = np.asarray(counts)
+    dead = np.flatnonzero(counts_np == 0)
+    if dead.size == 0:
+        return centers, counts
+    assign = np.asarray(kmeans_assign(jnp.asarray(x), centers))
+    d2 = np.sum((x - np.asarray(centers)[assign]) ** 2, axis=-1)
+    far = np.argsort(-d2)[: dead.size]
+    centers_np = np.asarray(centers)
+    centers_np[dead] = x[far[: dead.size]]
+    counts_np[dead] = 1.0
+    return jnp.asarray(centers_np), jnp.asarray(counts_np)

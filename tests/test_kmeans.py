@@ -1,0 +1,95 @@
+"""TPU-native k-means (ops/kmeans.py) and the cluster.py label CLI."""
+
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from speech_ssl_compression_tpu.ops.kmeans import (
+    kmeans_assign,
+    kmeans_fit,
+)
+
+
+def _blobs(rng, n_per, centers, scale=0.05):
+    xs = [c + scale * rng.standard_normal((n_per, len(c)))
+          for c in centers]
+    x = np.concatenate(xs).astype(np.float32)
+    rng.shuffle(x)
+    return x
+
+
+def test_kmeans_recovers_blobs():
+    rng = np.random.default_rng(0)
+    true = np.asarray([[0, 0, 0, 0], [5, 5, 0, 0], [0, 5, 5, 0],
+                       [5, 0, 0, 5]], np.float32)
+    x = _blobs(rng, 400, true)
+    chunks = [x[i:i + 256] for i in range(0, len(x), 256)]
+    centers, inertia = kmeans_fit(0, chunks, 4, epochs=5)
+    # each true center has a learned center within the blob scale
+    d = np.linalg.norm(true[:, None, :] - centers[None, :, :], axis=-1)
+    assert (d.min(axis=1) < 0.2).all(), d.min(axis=1)
+    assert inertia < 0.1
+
+    ids = np.asarray(kmeans_assign(jnp.asarray(x), jnp.asarray(centers)))
+    # points from one blob agree on a single label
+    first_blob = _blobs(np.random.default_rng(1), 50, true[:1])
+    fids = np.asarray(
+        kmeans_assign(jnp.asarray(first_blob), jnp.asarray(centers))
+    )
+    assert len(set(fids.tolist())) == 1
+    assert ids.dtype == np.int32
+
+
+def test_kmeans_reseeds_dead_centers():
+    rng = np.random.default_rng(2)
+    # k=8 but only 2 real modes in tiny chunks: without reseeding several
+    # centers would stay at their (possibly unlucky) init forever
+    true = np.asarray([[0.0, 0.0], [8.0, 8.0]], np.float32)
+    x = _blobs(rng, 600, true)
+    chunks = [x[i:i + 128] for i in range(0, len(x), 128)]
+    centers, _ = kmeans_fit(3, chunks, 8, epochs=3, reseed_every=2)
+    ids = np.asarray(kmeans_assign(jnp.asarray(x), jnp.asarray(centers)))
+    # every point is well explained
+    d = np.linalg.norm(x - centers[ids], axis=-1)
+    assert float(d.mean()) < 0.25
+
+
+def test_cluster_cli_roundtrip(tmp_path):
+    """cluster.py writes centers + fairseq-format .km/.len labels that the
+    fairseq-dump reader consumes."""
+    rng = np.random.default_rng(4)
+    true = np.asarray([[0, 0], [6, 6], [0, 6]], np.float32)
+    paths = []
+    lens = []
+    for i in range(6):
+        t = int(rng.integers(40, 80))
+        lab = rng.integers(0, 3, t)
+        x = true[lab] + 0.05 * rng.standard_normal((t, 2))
+        p = tmp_path / f"u{i}.npy"
+        np.save(p, x.astype(np.float32))
+        paths.append(str(p))
+        lens.append(t)
+    csv = tmp_path / "feats.csv"
+    csv.write_text("file_path\n" + "\n".join(paths) + "\n")
+
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "cluster.py", "-f", str(csv), "-k", "3",
+         "-o", str(out), "--epochs", "6", "--chunk-rows", "128",
+         "--backend", "cpu"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    centers = np.load(out / "centers.npy")
+    assert centers.shape == (3, 2)
+    km = (out / "labels.km").read_text().splitlines()
+    ln = [int(v) for v in (out / "labels.len").read_text().split()]
+    assert ln == lens
+    assert [len(line.split()) for line in km] == lens
+    # labels are consistent: same-blob frames share an id within an utt
+    x0 = np.load(paths[0])
+    ids0 = np.asarray([int(v) for v in km[0].split()])
+    d = np.linalg.norm(x0 - centers[ids0], axis=-1)
+    assert float(d.mean()) < 0.25
