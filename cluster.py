@@ -14,6 +14,10 @@ Usage:
   python cluster.py -f features.csv -k 500 -o outdir [--epochs 2]
   # features.csv: header `file_path[,length]`, one .npy (T, D) per row
   python cluster.py -f 'dir/*.npy' -k 100 -o outdir
+  # straight from audio (iteration-1 HuBERT labels on MFCC-39):
+  python cluster.py -f manifest.tsv --audio mfcc -k 100 -o outdir
+  # manifest.tsv: fairseq style (first line = root dir; then
+  # relpath<TAB>nsamples), or a glob of audio files
 """
 
 import argparse
@@ -33,19 +37,40 @@ def _feature_paths(spec: str):
         with open(spec) as f:
             rows = list(csv.DictReader(f))
         return [r["file_path"] for r in rows]
+    if spec.endswith(".tsv"):
+        lines = pathlib.Path(spec).read_text().splitlines()
+        root = pathlib.Path(lines[0].strip())
+        return [str(root / ln.split("\t")[0]) for ln in lines[1:] if ln]
     paths = sorted(glob.glob(spec))
     if not paths:
         raise FileNotFoundError(f"no feature files match {spec!r}")
     return paths
 
 
-def _chunks(paths, rows_per_chunk):
+def _make_loader(audio: str):
+    """Returns load(path) -> (T, D) float32 features."""
+    if audio == "none":
+        return lambda p: np.asarray(np.load(p), np.float32)
+    if audio == "mfcc":
+        from speech_ssl_compression_tpu.data.audio import read_audio
+        from speech_ssl_compression_tpu.ops.fbank import mfcc39_np
+
+        def load(p):
+            wav, sr = read_audio(p)
+            assert sr == 16000, f"{p}: expected 16 kHz, got {sr}"
+            return mfcc39_np(wav[0].astype(np.float64) * (2 ** 15),
+                             dtype=np.float32)
+
+        return load
+    raise ValueError(f"unknown --audio mode {audio!r}")
+
+
+def _chunks(paths, rows_per_chunk, load):
     """Concatenate per-utterance features into ~fixed-row training chunks."""
     buf = []
     n = 0
     for p in paths:
-        x = np.load(p, mmap_mode="r")
-        x = np.asarray(x, np.float32)
+        x = load(p)
         buf.append(x)
         n += x.shape[0]
         if n >= rows_per_chunk:
@@ -63,6 +88,10 @@ def main():
     ap.add_argument("-o", "--out", required=True)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--chunk-rows", type=int, default=65536)
+    ap.add_argument("--audio", default="none", choices=["none", "mfcc"],
+                    help="treat -f entries as AUDIO files and featurize "
+                         "on the fly (mfcc = 39-dim Kaldi-style MFCC, the "
+                         "conventional iteration-1 HuBERT label features)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default=None,
                     help="'cpu' forces the CPU backend")
@@ -80,12 +109,13 @@ def main():
     )
 
     paths = _feature_paths(args.features)
-    print(f"[cluster] {len(paths)} feature files, k={args.clusters}",
-          flush=True)
+    load = _make_loader(args.audio)
+    print(f"[cluster] {len(paths)} {'audio' if args.audio != 'none' else 'feature'} "
+          f"files, k={args.clusters}", flush=True)
 
     centers, inertia = kmeans_fit(
         args.seed,
-        list(_chunks(paths, args.chunk_rows)),
+        list(_chunks(paths, args.chunk_rows, load)),
         args.clusters,
         epochs=args.epochs,
         verbose=True,
@@ -102,7 +132,7 @@ def main():
     with open(out / "labels.km", "w") as fkm, \
             open(out / "labels.len", "w") as flen:
         for p in paths:
-            x = np.asarray(np.load(p), np.float32)
+            x = load(p)
             ids = np.asarray(kmeans_assign(jnp.asarray(x), c))
             fkm.write(" ".join(str(int(i)) for i in ids) + "\n")
             flen.write(f"{len(ids)}\n")

@@ -62,6 +62,14 @@ def get_args():
                              "oracle used for golden parity")
     parser.add_argument("--wav", nargs="*", default=None,
                         help="optional custom audio paths")
+    parser.add_argument("--dump-dir", default=None,
+                        help="write per-utterance features (.npy) + a "
+                             "features.csv manifest here — feeds "
+                             "cluster.py for iteration-2 HuBERT labels")
+    parser.add_argument("--dump-layer", type=int, default=-1,
+                        help="hidden_states index to dump (0 = pre-encoder "
+                             "features, 1..L = transformer layers, "
+                             "-1 = last layer)")
     return parser.parse_args()
 
 
@@ -109,6 +117,24 @@ def main():
     print(f"[Extractor] - Feature with shape of {tuple(last.shape)} is extracted")
     print(f"[Extractor] - {n_frames} frames in {dt:.3f}s "
           f"({n_frames/dt:.0f} frames/s incl. compile)")
+
+    if args.dump_dir:
+        import numpy as np
+        from pathlib import Path
+
+        dump = Path(args.dump_dir)
+        dump.mkdir(parents=True, exist_ok=True)
+        layer = np.asarray(out["hidden_states"][args.dump_layer])
+        rows = []
+        for i, (p, n) in enumerate(zip(wav_path, out["lengths"])):
+            fp_ = dump / (Path(p).stem + ".npy")
+            np.save(fp_, layer[i, :n].astype(np.float32))
+            rows.append(f"{fp_},{n}")
+        (dump / "features.csv").write_text(
+            "file_path,length\n" + "\n".join(rows) + "\n"
+        )
+        print(f"[Extractor] - Dumped layer {args.dump_layer} features for "
+              f"{len(rows)} utterances to {dump} (features.csv manifest)")
 
 
 if __name__ == "__main__":

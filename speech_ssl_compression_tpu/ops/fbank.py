@@ -251,3 +251,57 @@ def featurize_batch(
     if stack:
         feats, n_valid = jax.vmap(stack_frame_pairs)(feats, n_valid)
     return feats, n_valid
+
+
+def _dct_matrix(n_ceps: int, n_mels: int) -> np.ndarray:
+    """Orthonormal DCT-II rows (Kaldi/HTK convention), (n_ceps, n_mels)."""
+    j = np.arange(n_mels, dtype=np.float64)
+    m = np.cos(np.pi / n_mels * (j + 0.5)[None, :]
+               * np.arange(n_ceps, dtype=np.float64)[:, None])
+    m *= np.sqrt(2.0 / n_mels)
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+def _deltas(x: np.ndarray, window: int = 2) -> np.ndarray:
+    """Regression deltas over +-window frames with edge replication
+    (standard ASR delta filter; torchaudio.functional.compute_deltas)."""
+    denom = 2.0 * sum(i * i for i in range(1, window + 1))
+    pad = np.concatenate(
+        [np.repeat(x[:1], window, axis=0), x,
+         np.repeat(x[-1:], window, axis=0)], axis=0
+    )
+    out = np.zeros_like(x)
+    for i in range(1, window + 1):
+        out += i * (pad[window + i: window + i + len(x)]
+                    - pad[window - i: window - i + len(x)])
+    return out / denom
+
+
+def mfcc39_np(
+    waveform: np.ndarray,
+    num_ceps: int = 13,
+    num_mel_bins: int = 23,
+    cepstral_lifter: float = 22.0,
+    dtype=np.float32,
+) -> np.ndarray:
+    """39-dim MFCC (13 cepstra + deltas + delta-deltas) for first-iteration
+    HuBERT cluster labels (the conventional fairseq recipe clusters
+    MFCC-39; the reference consumes such labels but ships no featurizer).
+    Kaldi-style: 23-bin log-Mel fbank (this module's math), orthonormal
+    DCT-II, lifter 22, regression deltas over +-2 frames. No external
+    oracle exists in this environment — self-consistent, unit-tested
+    (DCT orthonormality, delta filter identities).
+    """
+    logmel = kaldi_fbank_np(waveform, num_mel_bins=num_mel_bins,
+                            dtype=dtype)
+    ceps = logmel @ _dct_matrix(num_ceps, num_mel_bins).T.astype(dtype)
+    if cepstral_lifter > 0:
+        q = np.arange(num_ceps, dtype=np.float64)
+        lift = 1.0 + 0.5 * cepstral_lifter * np.sin(
+            np.pi * q / cepstral_lifter
+        )
+        ceps = ceps * lift.astype(dtype)[None, :]
+    d1 = _deltas(ceps)
+    d2 = _deltas(d1)
+    return np.concatenate([ceps, d1, d2], axis=1).astype(dtype)

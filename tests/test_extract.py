@@ -342,3 +342,39 @@ def test_device_featurizer_int16_upload(tmp_path):
     np.testing.assert_allclose(
         np.asarray(feat)[0, :n], host[0, :n], atol=2e-4, rtol=2e-4
     )
+
+
+@pytest.mark.skipif(not EXAMPLES.exists(), reason="example assets missing")
+def test_cli_dump_features_to_cluster(tmp_path):
+    """extract_feature.py --dump-dir -> cluster.py: the iteration-2 HuBERT
+    label loop (hidden states -> k-means labels)."""
+    import subprocess
+    import sys
+
+    ckpt = _save_tiny(tmp_path, 20)
+    dump = tmp_path / "feats"
+    r = subprocess.run(
+        [sys.executable, "extract_feature.py", "-m", "melhubert",
+         "-c", ckpt, "-f", "20", "-d", "960", "--backend", "cpu",
+         "--matmul-precision", "default",
+         "--dump-dir", str(dump), "--dump-layer", "-1"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    feats = sorted(dump.glob("*.npy"))
+    assert len(feats) == 2
+    assert (dump / "features.csv").exists()
+    x = np.load(feats[0])
+    assert x.ndim == 2 and x.shape[1] == 64  # tiny ckpt embed dim
+
+    out = tmp_path / "labels"
+    r2 = subprocess.run(
+        [sys.executable, "cluster.py", "-f", str(dump / "features.csv"),
+         "-k", "4", "-o", str(out), "--epochs", "4", "--backend", "cpu"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr
+    km = (out / "labels.km").read_text().splitlines()
+    assert len(km) == 2
+    lens = [int(v) for v in (out / "labels.len").read_text().split()]
+    assert [len(line.split()) for line in km] == lens

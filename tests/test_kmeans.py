@@ -93,3 +93,52 @@ def test_cluster_cli_roundtrip(tmp_path):
     ids0 = np.asarray([int(v) for v in km[0].split()])
     d = np.linalg.norm(x0 - centers[ids0], axis=-1)
     assert float(d.mean()) < 0.25
+
+
+def test_mfcc39():
+    """MFCC-39 shape/determinism + construction identities (DCT
+    orthonormality and the delta regression filter are unit-checked in
+    their own right; no external oracle exists in this environment)."""
+    from speech_ssl_compression_tpu.ops.fbank import (
+        _dct_matrix,
+        _deltas,
+        mfcc39_np,
+    )
+
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal(16000).astype(np.float64) * 2**13
+    m = mfcc39_np(wav)
+    assert m.shape == (98, 39) and m.dtype == np.float32
+    assert np.isfinite(m).all()
+    np.testing.assert_allclose(m, mfcc39_np(wav), atol=0)
+
+    d = _dct_matrix(23, 23)
+    np.testing.assert_allclose(d @ d.T, np.eye(23), atol=1e-12)
+    ramp = np.outer(np.arange(50, dtype=np.float64), np.ones(3))
+    np.testing.assert_allclose(_deltas(ramp)[5:-5], 1.0, atol=1e-12)
+
+
+def test_cluster_cli_from_audio(tmp_path):
+    """--audio mfcc trains labels straight from FLAC files via a fairseq
+    manifest (the full wav -> labels -> train.py hubert loop)."""
+    import pytest
+    EXAMPLES = __import__("pathlib").Path("/root/reference/example")
+    if not EXAMPLES.exists():
+        pytest.skip("example assets missing")
+    tsv = tmp_path / "manifest.tsv"
+    tsv.write_text(
+        f"{EXAMPLES}\n100-121669-0000.flac\t0\n1001-134707-0000.flac\t0\n"
+    )
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "cluster.py", "-f", str(tsv), "--audio", "mfcc",
+         "-k", "8", "-o", str(out), "--epochs", "4", "--backend", "cpu"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    km = (out / "labels.km").read_text().splitlines()
+    ln = [int(v) for v in (out / "labels.len").read_text().split()]
+    assert len(km) == 2 and all(n > 50 for n in ln)
+    assert [len(line.split()) for line in km] == ln
+    ids = {int(v) for line in km for v in line.split()}
+    assert ids <= set(range(8)) and len(ids) > 1
