@@ -65,19 +65,34 @@ def _make_loader(audio: str):
     raise ValueError(f"unknown --audio mode {audio!r}")
 
 
-def _chunks(paths, rows_per_chunk, load):
-    """Concatenate per-utterance features into ~fixed-row training chunks."""
-    buf = []
-    n = 0
-    for p in paths:
-        x = load(p)
-        buf.append(x)
-        n += x.shape[0]
-        if n >= rows_per_chunk:
-            yield np.concatenate(buf, axis=0)
-            buf, n = [], 0
-    if buf:
-        yield np.concatenate(buf, axis=0)
+class _Chunks:
+    """Re-iterable, STATIC-SHAPE training chunks: every chunk is exactly
+    (rows_per_chunk, D) — carry-over rows flow into the next chunk and the
+    final partial chunk is zero-padded with its valid count — so the jitted
+    k-means step compiles once, and features stream from disk per epoch
+    instead of being materialized corpus-wide."""
+
+    def __init__(self, paths, rows_per_chunk, load):
+        self.paths = paths
+        self.rows = rows_per_chunk
+        self.load = load
+
+    def __iter__(self):
+        buf = []
+        n = 0
+        for p in self.paths:
+            x = self.load(p)
+            buf.append(x)
+            n += x.shape[0]
+            while n >= self.rows:
+                flat = np.concatenate(buf, axis=0)
+                yield flat[: self.rows], self.rows
+                rest = flat[self.rows:]
+                buf, n = ([rest] if len(rest) else []), len(rest)
+        if n:
+            flat = np.concatenate(buf, axis=0)
+            pad = np.zeros((self.rows - n, flat.shape[1]), np.float32)
+            yield np.concatenate([flat, pad], axis=0), n
 
 
 def main():
@@ -101,7 +116,11 @@ def main():
 
     if args.backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_sslc_cache")
+    from speech_ssl_compression_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     from speech_ssl_compression_tpu.ops.kmeans import (
         kmeans_assign,
@@ -115,7 +134,7 @@ def main():
 
     centers, inertia = kmeans_fit(
         args.seed,
-        list(_chunks(paths, args.chunk_rows, load)),
+        _Chunks(paths, args.chunk_rows, load),
         args.clusters,
         epochs=args.epochs,
         verbose=True,
@@ -129,13 +148,19 @@ def main():
     import jax.numpy as jnp
 
     c = jnp.asarray(centers)
+    bucket = 1024  # pad T to a multiple: a handful of compiles, not one
+    # per distinct utterance length
     with open(out / "labels.km", "w") as fkm, \
             open(out / "labels.len", "w") as flen:
         for p in paths:
             x = load(p)
-            ids = np.asarray(kmeans_assign(jnp.asarray(x), c))
+            t = x.shape[0]
+            t_pad = max(bucket, -(-t // bucket) * bucket)
+            if t_pad != t:
+                x = np.pad(x, ((0, t_pad - t), (0, 0)))
+            ids = np.asarray(kmeans_assign(jnp.asarray(x), c))[:t]
             fkm.write(" ".join(str(int(i)) for i in ids) + "\n")
-            flen.write(f"{len(ids)}\n")
+            flen.write(f"{t}\n")
     print(f"[cluster] wrote {out}/centers.npy, labels.km, labels.len",
           flush=True)
 

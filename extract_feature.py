@@ -127,7 +127,9 @@ def main():
         layer = np.asarray(out["hidden_states"][args.dump_layer])
         rows = []
         for i, (p, n) in enumerate(zip(wav_path, out["lengths"])):
-            fp_ = dump / (Path(p).stem + ".npy")
+            # index prefix: same-basename wavs in different dirs must not
+            # clobber each other's dumps
+            fp_ = dump / f"{i:06d}_{Path(p).stem}.npy"
             np.save(fp_, layer[i, :n].astype(np.float32))
             rows.append(f"{fp_},{n}")
         (dump / "features.csv").write_text(

@@ -47,6 +47,13 @@ def _minibatch_step(centers, counts, x, valid):
         jax.nn.one_hot(assign, k, dtype=jnp.float32)
         * valid[:, None].astype(jnp.float32)
     )  # (B, K)
+    # inertia of THIS assignment against the centers that produced it
+    # (sklearn's definition) — before the update below moves them
+    diff = x - centers[assign]
+    inertia = jnp.sum(
+        jnp.sum(diff * diff, axis=-1)
+        * valid.astype(jnp.float32)
+    )
     batch_counts = jnp.sum(one_hot, axis=0)              # (K,)
     batch_sums = one_hot.T @ x                           # (K, D)
     new_counts = counts + batch_counts
@@ -55,11 +62,6 @@ def _minibatch_step(centers, counts, x, valid):
     centers = centers + (
         batch_sums - batch_counts[:, None] * centers
     ) / safe[:, None]
-    diff = x - centers[assign]
-    inertia = jnp.sum(
-        jnp.sum(diff * diff, axis=-1)
-        * valid.astype(jnp.float32)
-    )
     return centers, new_counts, assign, inertia
 
 
@@ -74,11 +76,15 @@ def kmeans_fit(
 ):
     """Mini-batch k-means over an iterable of feature chunks.
 
-    ``batches`` is re-iterated ``epochs`` times (pass a list, or a factory
-    via itertools). Init: k rows sampled from the first batch (k-means++
-    style D^2 seeding within that batch). Dead centers (zero count after
-    ``reseed_every`` steps) are reseeded to the farthest points of the
-    current batch. Returns (centers (K, D) float32, final mean inertia).
+    ``batches`` is re-iterated ``epochs`` times — pass a list or a
+    RE-ITERABLE (an object whose __iter__ restarts); a one-shot generator
+    raises on the second epoch instead of silently under-training. Chunks
+    may be (B, D) arrays or (x (B, D), n_valid int) pairs — padded rows
+    past n_valid are masked out (keeps chunk shapes static, one compile).
+    Init: k rows sampled from the first chunk (k-means++ D^2 seeding
+    within it). Dead centers (zero count after ``reseed_every`` steps)
+    are reseeded to the farthest points of the current chunk.
+    Returns (centers (K, D) float32, final mean inertia/row).
     """
     rng = np.random.default_rng(rng)
     centers = None
@@ -86,31 +92,43 @@ def kmeans_fit(
     step = 0
     last_inertia = []
     for epoch in range(epochs):
+        epoch_chunks = 0
         for chunk in batches:
-            x = np.asarray(chunk, np.float32)
+            if isinstance(chunk, tuple):
+                x, n_valid = chunk
+            else:
+                x, n_valid = chunk, None
+            x = np.asarray(x, np.float32)
             if x.ndim != 2:
                 raise ValueError(f"feature chunk must be (B, D), got {x.shape}")
-            if centers is None:
-                centers = _dsq_seed(rng, x, k)
-                counts = jnp.zeros((k,), jnp.float32)
             b = x.shape[0]
-            valid = jnp.ones((b,), bool)
+            if n_valid is None:
+                n_valid = b
+            if centers is None:
+                centers = _dsq_seed(rng, x[:n_valid], k)
+                counts = jnp.zeros((k,), jnp.float32)
+            valid = jnp.arange(b) < n_valid
             centers, counts, assign, inertia = _minibatch_step(
                 centers, counts, jnp.asarray(x), valid
             )
             step += 1
-            last_inertia.append(float(inertia) / max(b, 1))
+            epoch_chunks += 1
+            last_inertia.append(float(inertia) / max(int(n_valid), 1))
             if len(last_inertia) > 20:
                 last_inertia.pop(0)
             if reseed_every and step % reseed_every == 0:
                 centers, counts = _reseed_dead(
-                    rng, centers, counts, x
+                    rng, centers, counts, x[:n_valid]
                 )
             if verbose and step % 100 == 0:
                 print(f"[kmeans] step {step}: inertia/row "
                       f"{np.mean(last_inertia):.4f}", flush=True)
-    if centers is None:
-        raise ValueError("kmeans_fit received no batches")
+        if epoch_chunks == 0:
+            raise ValueError(
+                "kmeans_fit: no chunks in epoch "
+                f"{epoch} — `batches` must be re-iterable (a one-shot "
+                "generator exhausts after the first epoch)"
+            )
     return np.asarray(centers), float(np.mean(last_inertia))
 
 
@@ -129,15 +147,20 @@ def _dsq_seed(rng, x, k):
 
 
 def _reseed_dead(rng, centers, counts, x):
-    """Replace zero-count centers with the current chunk's farthest rows."""
-    counts_np = np.asarray(counts)
+    """Replace zero-count centers with the current chunk's farthest rows.
+
+    np.array (forced copies): np.asarray of a jax.Array returns the
+    READ-ONLY cached buffer — writing into it raises ValueError.
+    """
+    counts_np = np.array(counts)
     dead = np.flatnonzero(counts_np == 0)
     if dead.size == 0:
         return centers, counts
     assign = np.asarray(kmeans_assign(jnp.asarray(x), centers))
     d2 = np.sum((x - np.asarray(centers)[assign]) ** 2, axis=-1)
-    far = np.argsort(-d2)[: dead.size]
-    centers_np = np.asarray(centers)
-    centers_np[dead] = x[far[: dead.size]]
-    counts_np[dead] = 1.0
+    n_take = min(dead.size, x.shape[0])
+    far = np.argsort(-d2)[:n_take]
+    centers_np = np.array(centers)
+    centers_np[dead[:n_take]] = x[far]
+    counts_np[dead[:n_take]] = 1.0
     return jnp.asarray(centers_np), jnp.asarray(counts_np)

@@ -142,3 +142,41 @@ def test_cluster_cli_from_audio(tmp_path):
     assert [len(line.split()) for line in km] == ln
     ids = {int(v) for line in km for v in line.split()}
     assert ids <= set(range(8)) and len(ids) > 1
+
+
+def test_kmeans_dead_center_reseed_executes():
+    """A k larger than the number of distinct rows in the seed chunk
+    guarantees zero-count centers at the reseed checkpoint; the reseed
+    path must actually execute (np.asarray of a jax.Array is read-only —
+    an earlier build crashed with 'assignment destination is read-only')."""
+    rng = np.random.default_rng(7)
+    # one tight blob: most of k=16 centers stay unassigned
+    x = (0.01 * rng.standard_normal((64, 4))).astype(np.float32)
+    chunks = [(x, 64)] * 6
+    centers, _ = kmeans_fit(0, chunks, 16, epochs=1, reseed_every=1)
+    assert np.isfinite(centers).all()
+
+
+def test_kmeans_rejects_one_shot_generator():
+    import pytest
+
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((256, 4)).astype(np.float32)
+    gen = (x[i:i + 64] for i in range(0, 256, 64))
+    with pytest.raises(ValueError, match="re-iterable"):
+        kmeans_fit(0, gen, 4, epochs=2)
+
+
+def test_kmeans_padded_chunks_match_unpadded():
+    """(x, n_valid) padded chunks give the same centers as exact chunks."""
+    rng = np.random.default_rng(9)
+    true = np.asarray([[0, 0], [4, 4]], np.float32)
+    x = np.concatenate([
+        true[rng.integers(0, 2, 500)]
+        + 0.05 * rng.standard_normal((500, 2))
+    ]).astype(np.float32)
+    exact = [x[i:i + 100] for i in range(0, 500, 100)]
+    padded = [(np.pad(c, ((0, 28), (0, 0))), 100) for c in exact]
+    c1, _ = kmeans_fit(1, exact, 2, epochs=3)
+    c2, _ = kmeans_fit(1, padded, 2, epochs=3)
+    np.testing.assert_allclose(c1, c2, atol=1e-5)
