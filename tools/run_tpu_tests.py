@@ -204,6 +204,45 @@ def main():
     check("fused clip+Adam vs optax chain", diff < 1e-5,
           f"max|dp|={diff:.2e}, gnorm {float(gn1):.4f}/{float(gn2):.4f}")
 
+    # ---- on-device featurizer vs the host f64 oracle ------------------
+    from speech_ssl_compression_tpu.extract import wav_to_mel
+    from speech_ssl_compression_tpu.ops.fbank import (
+        featurize_batch,
+        num_frames,
+    )
+
+    wav = (rng.standard_normal(20000) * 0.05).astype(np.float32)
+    mean = rng.standard_normal(40).astype(np.float32)
+    std = (1.0 + rng.random(40)).astype(np.float32)
+    host = wav_to_mel(wav, mean, std, fp=20, precision="high")
+    f10 = num_frames(len(wav))
+    t_pad = -(-(-(-f10 // 2)) // 128) * 128
+    max_frames = 2 * t_pad
+    max_samples = max((max_frames - 1) * 160 + 400, len(wav))
+    batch = np.zeros((1, max_samples), np.float32)
+    batch[0, : len(wav)] = wav * (2**15)
+    feat, n_valid = featurize_batch(
+        jnp.asarray(batch), jnp.asarray([len(wav)], jnp.int32),
+        jnp.asarray(mean), jnp.asarray(std), max_frames, stack=True,
+    )
+    fd = float(np.max(np.abs(np.asarray(feat)[0, : host.shape[0]] - host)))
+    check("device featurizer vs host f64 oracle",
+          int(n_valid[0]) == host.shape[0] and fd < 5e-3,
+          f"max|diff|={fd:.2e} over {host.shape[0]} frames")
+
+    # ---- k-means MXU assignment sanity ---------------------------------
+    from speech_ssl_compression_tpu.ops.kmeans import kmeans_assign
+
+    cent = np.asarray([[0.0] * 8, [4.0] * 8], np.float32)
+    pts = np.concatenate([
+        0.1 * rng.standard_normal((64, 8)),
+        4.0 + 0.1 * rng.standard_normal((64, 8)),
+    ]).astype(np.float32)
+    ids = np.asarray(kmeans_assign(jnp.asarray(pts), jnp.asarray(cent)))
+    check("kmeans MXU assignment",
+          (ids[:64] == 0).all() and (ids[64:] == 1).all(),
+          f"ids head {ids[:3]} tail {ids[-3:]}")
+
     print(f"\n{'ALL PASS' if not FAILED else 'FAILURES: ' + str(FAILED)}")
     sys.exit(1 if FAILED else 0)
 
