@@ -76,6 +76,36 @@ def init_pos_conv(rng, embed_dim, kernel_size, groups, dtype=jnp.float32):
     }
 
 
+def pos_conv_kernel_size(conv_pos: int, depth: int) -> int:
+    """Per-layer kernel size of the deep positional-conv stack
+    (reference module.py:148-149): k = max(3, conv_pos // depth)."""
+    return max(3, conv_pos // depth)
+
+
+def init_pos_conv_deep(rng, embed_dim, conv_pos, groups, depth,
+                       dtype=jnp.float32):
+    """Stacked positional conv (reference module.py:147-173, pos_conv_depth>1):
+    ``depth`` x [Conv1d(D, D, k, groups) + SamePad + non-affine LayerNorm +
+    GELU] with k = max(3, conv_pos // depth). No weight-norm here; the convs
+    keep torch's default Conv1d init (kaiming-uniform, bound 1/sqrt(fan_in))
+    because init_bert_params only re-inits Linear/MultiheadAttention
+    (reference fairseq_code/init_bert_params.py)."""
+    k = pos_conv_kernel_size(conv_pos, depth)
+    fan_in = (embed_dim // groups) * k
+    bound = 1.0 / np.sqrt(fan_in)
+    layers = []
+    for key in jax.random.split(rng, depth):
+        wr, br = jax.random.split(key)
+        layers.append({
+            # torch Conv1d layout (out_ch, in_ch/groups, K), like weight_v
+            "weight": jax.random.uniform(
+                wr, (embed_dim, embed_dim // groups, k), dtype, -bound, bound
+            ),
+            "bias": jax.random.uniform(br, (embed_dim,), dtype, -bound, bound),
+        })
+    return {"layers": layers}
+
+
 def init_encoder_layer(rng, embed_dim, ffn_dim, num_heads, head_dim,
                        dtype=jnp.float32):
     ks = jax.random.split(rng, 6)
@@ -108,11 +138,24 @@ def init_encoder(rng, cfg, dtype=jnp.float32):
         )
         for i in range(n)
     ]
-    return {
-        "pos_conv": init_pos_conv(
+    if getattr(cfg, "pos_emb_type", "conv") != "conv":
+        # reference module.py:191 raises the same way
+        raise NotImplementedError(
+            f"unsupported pos_emb_type {cfg.pos_emb_type!r} (only 'conv')"
+        )
+    depth = getattr(cfg, "pos_conv_depth", 1)
+    if depth > 1:
+        pos_conv = init_pos_conv_deep(
+            keys[n], cfg.encoder_embed_dim, cfg.conv_pos,
+            cfg.conv_pos_groups, depth, dtype,
+        )
+    else:
+        pos_conv = init_pos_conv(
             keys[n], cfg.encoder_embed_dim, cfg.conv_pos, cfg.conv_pos_groups,
             dtype,
-        ),
+        )
+    return {
+        "pos_conv": pos_conv,
         "layer_norm": init_layer_norm(cfg.encoder_embed_dim, dtype),
         "layers": layers,
     }
@@ -226,6 +269,27 @@ def encoder_layer_forward(
     return x, context
 
 
+def pos_conv_embed_deep(x, p, groups: int, kernel_size: int):
+    """Stacked positional conv forward (reference module.py:147-173):
+    each layer is Conv1d(groups) + SamePad crop + non-affine LayerNorm over
+    the feature dim + GELU. x: (B, T, D)."""
+    gelu = get_activation_fn("gelu")
+    for lp in p["layers"]:
+        w = lp["weight"]  # (D, D//g, K) torch layout
+        out = grouped_conv1d(
+            x.astype(w.dtype), w.transpose(2, 1, 0), groups,
+            (kernel_size // 2, kernel_size // 2),
+        )
+        out = out.astype(x.dtype) + lp["bias"][None, None, :]
+        if kernel_size % 2 == 0:
+            out = out[:, :-1, :]  # SamePad
+        mean = jnp.mean(out, axis=-1, keepdims=True)
+        var = jnp.var(out, axis=-1, keepdims=True)
+        out = (out - mean) * jax.lax.rsqrt(var + LN_EPS)
+        x = gelu(out)
+    return x
+
+
 def encoder_prologue(
     x: jax.Array,  # (B, T, D)
     params: dict,
@@ -242,8 +306,15 @@ def encoder_prologue(
     if padding_mask is not None:
         x = jnp.where(padding_mask[:, :, None], 0.0, x)
 
-    x = x + pos_conv_embed(x, params["pos_conv"], cfg.conv_pos_groups,
-                           cfg.conv_pos)
+    depth = getattr(cfg, "pos_conv_depth", 1)
+    if depth > 1:
+        x = x + pos_conv_embed_deep(
+            x, params["pos_conv"], cfg.conv_pos_groups,
+            pos_conv_kernel_size(cfg.conv_pos, depth),
+        )
+    else:
+        x = x + pos_conv_embed(x, params["pos_conv"], cfg.conv_pos_groups,
+                               cfg.conv_pos)
     if not cfg.layer_norm_first:
         x = layer_norm(x, params["layer_norm"])
     if rng is not None:

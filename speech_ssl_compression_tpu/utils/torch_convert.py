@@ -82,12 +82,37 @@ def _encoder_from_sd(sd: dict) -> Tuple[dict, dict, bool, list, list]:
             if m
         }
     )
-    enc = {
-        "pos_conv": {
+    if "encoder.pos_conv.0.0.weight" in sd:
+        # pos_conv_depth > 1: Sequential of [Conv1d, SamePad, LayerNorm
+        # (non-affine), GELU] blocks — keys encoder.pos_conv.{i}.0.*
+        # (reference module.py:147-173)
+        depth_ids = sorted(
+            int(m.group(1))
+            for k in sd
+            for m in [re.match(r"encoder\.pos_conv\.(\d+)\.0\.weight$", k)]
+            if m
+        )
+        pos_conv = {
+            "layers": [
+                {
+                    "weight": _to_np(
+                        sd[f"encoder.pos_conv.{i}.0.weight"]
+                    ).astype(np.float32),
+                    "bias": _to_np(
+                        sd[f"encoder.pos_conv.{i}.0.bias"]
+                    ).astype(np.float32),
+                }
+                for i in depth_ids
+            ]
+        }
+    else:
+        pos_conv = {
             "weight_g": _to_np(sd["encoder.pos_conv.0.weight_g"]).astype(np.float32),
             "weight_v": _to_np(sd["encoder.pos_conv.0.weight_v"]).astype(np.float32),
             "bias": _to_np(sd["encoder.pos_conv.0.bias"]).astype(np.float32),
-        },
+        }
+    enc = {
+        "pos_conv": pos_conv,
         "layer_norm": _layer_norm(sd, "encoder.layer_norm"),
         "layers": [],
     }
@@ -411,9 +436,14 @@ def params_to_state_dict(params: dict, masks: Optional[dict] = None) -> dict:
     put_linear("final_proj", params["final_proj"])
 
     enc = params["encoder"]
-    sd["encoder.pos_conv.0.weight_g"] = np.asarray(enc["pos_conv"]["weight_g"])
-    sd["encoder.pos_conv.0.weight_v"] = np.asarray(enc["pos_conv"]["weight_v"])
-    sd["encoder.pos_conv.0.bias"] = np.asarray(enc["pos_conv"]["bias"])
+    if "layers" in enc["pos_conv"]:  # pos_conv_depth > 1 (module.py:147-173)
+        for i, lp in enumerate(enc["pos_conv"]["layers"]):
+            sd[f"encoder.pos_conv.{i}.0.weight"] = np.asarray(lp["weight"])
+            sd[f"encoder.pos_conv.{i}.0.bias"] = np.asarray(lp["bias"])
+    else:
+        sd["encoder.pos_conv.0.weight_g"] = np.asarray(enc["pos_conv"]["weight_g"])
+        sd["encoder.pos_conv.0.weight_v"] = np.asarray(enc["pos_conv"]["weight_v"])
+        sd["encoder.pos_conv.0.bias"] = np.asarray(enc["pos_conv"]["bias"])
     put_ln("encoder.layer_norm", enc["layer_norm"])
 
     for i, lp in enumerate(enc["layers"]):

@@ -116,6 +116,71 @@ def test_layerdrop_skips_layers_stochastically():
     ).max() > 1e-3
 
 
+def test_pos_conv_depth_matches_torch():
+    """pos_conv_depth>1: stacked [Conv1d + SamePad + non-affine LayerNorm +
+    GELU] blocks, parity vs a torch replica of reference module.py:147-173."""
+    import torch
+
+    from speech_ssl_compression_tpu.models.encoder import (
+        init_pos_conv_deep,
+        pos_conv_embed_deep,
+        pos_conv_kernel_size,
+    )
+
+    D, g, depth, conv_pos = 32, 4, 3, 24
+    k = pos_conv_kernel_size(conv_pos, depth)
+    assert k == 8  # max(3, 24 // 3); even -> exercises the SamePad crop
+    p = init_pos_conv_deep(jax.random.PRNGKey(0), D, conv_pos, g, depth)
+    x = np.random.default_rng(1).standard_normal((2, 12, D)).astype(np.float32)
+    out = np.asarray(pos_conv_embed_deep(jnp.asarray(x), p, g, k))
+
+    xt = torch.from_numpy(x).transpose(1, 2)  # (B, D, T)
+    with torch.no_grad():
+        for lp in p["layers"]:
+            conv = torch.nn.Conv1d(D, D, k, padding=k // 2, groups=g)
+            conv.weight.copy_(torch.from_numpy(np.asarray(lp["weight"])))
+            conv.bias.copy_(torch.from_numpy(np.asarray(lp["bias"])))
+            xt = conv(xt)
+            if k % 2 == 0:
+                xt = xt[:, :, :-1]  # SamePad
+            h = torch.nn.functional.layer_norm(xt.transpose(1, 2), (D,))
+            xt = torch.nn.functional.gelu(h).transpose(1, 2)
+    ref = xt.transpose(1, 2).numpy()
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_pos_conv_depth_model_dispatch_and_roundtrip():
+    """Model-level dispatch of pos_conv_depth>1 + torch-naming round trip
+    (encoder.pos_conv.{i}.0.weight, reference nn.Sequential nesting)."""
+    from speech_ssl_compression_tpu.utils.torch_convert import (
+        _encoder_from_sd,
+        params_to_state_dict,
+    )
+
+    cfg, params, out = _run({"pos_conv_depth": 3, "conv_pos": 24})
+    layers = params["encoder"]["pos_conv"]["layers"]
+    assert len(layers) == 3 and layers[0]["weight"].shape == (32, 16, 8)
+    assert np.isfinite(np.asarray(out["hidden"])).all()
+    _, _, shallow = _run({})
+    assert np.abs(
+        np.asarray(out["hidden"]) - np.asarray(shallow["hidden"])
+    ).max() > 1e-3
+
+    sd = params_to_state_dict(params)
+    assert "encoder.pos_conv.2.0.weight" in sd
+    enc, _, _, _, _ = _encoder_from_sd(sd)
+    for i, lp in enumerate(enc["pos_conv"]["layers"]):
+        np.testing.assert_array_equal(lp["weight"],
+                                      np.asarray(layers[i]["weight"]))
+
+
+def test_pos_emb_type_non_conv_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        _run({"pos_emb_type": "sinusoidal"})
+
+
 def test_gelu_tanh_poly_matches_exact_erf():
     """'gelu' evaluates erf via a minimax tanh-polynomial
     (ops/activations.py: XLA's software erf was 23% of the f32
