@@ -143,6 +143,12 @@ def init_encoder(rng, cfg, dtype=jnp.float32):
         raise NotImplementedError(
             f"unsupported pos_emb_type {cfg.pos_emb_type!r} (only 'conv')"
         )
+    if getattr(cfg, "layer_type", "transformer") != "transformer":
+        # the reference stores the field but only ships transformer layers;
+        # accepting-and-ignoring a conformer config would silently corrupt it
+        raise NotImplementedError(
+            f"unsupported layer_type {cfg.layer_type!r} (only 'transformer')"
+        )
     depth = getattr(cfg, "pos_conv_depth", 1)
     if depth > 1:
         pos_conv = init_pos_conv_deep(

@@ -173,6 +173,7 @@ def hubert_forward(
         rng=enc_rng,
         deterministic=deterministic,
         attn_impl=attn_impl,
+        remat=cfg.checkpoint_activations,
     )
 
     return {

@@ -31,7 +31,12 @@ from .encoder import (
     init_encoder,
     layer_norm,
 )
-from .gumbel_vq import anneal_temp, gumbel_vq_forward, init_gumbel_vq
+from .gumbel_vq import (
+    anneal_temp,
+    gumbel_vq_forward,
+    init_gumbel_vq,
+    sample_from_codebook,
+)
 
 
 def init_wav2vec2_params(rng, cfg: Wav2Vec2Config, dtype=jnp.float32) -> dict:
@@ -61,6 +66,8 @@ def init_wav2vec2_params(rng, cfg: Wav2Vec2Config, dtype=jnp.float32) -> dict:
         vq_dim = cfg.latent_dim if cfg.latent_dim > 0 else final_dim
         params["quantizer"] = init_gumbel_vq(
             ks[5], embed, cfg.latent_vars, cfg.latent_groups, vq_dim,
+            weight_proj_depth=cfg.quantizer_depth,
+            weight_proj_factor=cfg.quantizer_factor,
             dtype=dtype,
         )
         params["project_q"] = _torch_linear_uniform(
@@ -107,6 +114,33 @@ def sample_negative_indices(rng, mask: jax.Array, num_negatives: int):
         order, draws.reshape(b, t * num_negatives), axis=-1
     ).reshape(b, t, num_negatives)
     return neg_time
+
+
+def sample_cross_negative_indices(rng, mask: jax.Array, num_negatives: int):
+    """Cross-utterance negatives (reference model.py:641-654): for every
+    frame, ``num_negatives`` draws from the pooled masked frames of ALL
+    rows. Returns (B, T, N) FLAT indices into the (B*T) flattened batch.
+
+    Reference-parity quirk preserved: fairseq's avoid-self shift compares
+    the flat draw against the frame's LOCAL time rank (``tszs`` is the same
+    arange for every row, :645-647), so for rows b>0 the shift skips row
+    0's same-rank frame, not the frame itself. The draw range is
+    (pool_size - 1) like the reference's ``cross_high - 1``."""
+    b, t = mask.shape
+    flat = mask.reshape(-1)
+    total = jnp.sum(flat)
+    ordinal = jnp.cumsum(mask, axis=-1) - 1  # local rank within own row
+
+    high = jnp.maximum(total - 1, 1)
+    draws = jax.random.randint(
+        rng, (b, t, num_negatives), 0, jnp.iinfo(jnp.int32).max
+    ) % high
+    draws = draws + (draws >= ordinal[:, :, None])
+    draws = jnp.clip(draws, 0, jnp.maximum(total - 1, 0))
+    # compact masked flat positions to the front (stable) and map ordinals
+    # back to flat time indices
+    order = jnp.argsort(~flat, stable=True)  # (B*T,): masked first
+    return order[draws]
 
 
 def sample_negative_counts(rng, mask: jax.Array, num_negatives: int):
@@ -238,6 +272,7 @@ def wav2vec2_forward(
         rng=enc_rng,
         deterministic=deterministic,
         attn_impl=attn_impl,
+        remat=cfg.checkpoint_activations,
     )
 
     out = {
@@ -280,10 +315,20 @@ def wav2vec2_forward(
     x_proj = hidden @ fp["kernel"] + fp["bias"]
 
     nrng = neg_rng if neg_rng is not None else jax.random.PRNGKey(0)
-    neg_mask = mask_indices & frame_valid
+    # negatives_from_everywhere (reference model.py:817,861): candidates are
+    # ALL valid frames, not just the masked ones. We always quantize the
+    # full-length features (the reference's own XLA path), so the pool
+    # switch is the entire change.
+    if cfg.negatives_from_everywhere:
+        neg_mask = frame_valid
+    else:
+        neg_mask = mask_indices & frame_valid
+    n_cross = cfg.cross_sample_negatives
+    n_codebook = cfg.codebook_negatives if cfg.quantize_targets else 0
     impl = getattr(cfg, "contrastive_impl", "auto")
 
     if (cfg.quantize_targets and q.get("targets") is not None
+            and n_cross == 0 and n_codebook == 0
             and impl in ("auto", "dense")):
         # fully dense formulation (fastest, measured — BASELINE.md round-3
         # VQ study): negative multiplicity counts + (B, T, T) cosines; no
@@ -295,6 +340,42 @@ def wav2vec2_forward(
         out["pos_logit"] = pos_logit
         out["neg_lse"] = neg_lse
         out["best_neg"] = best_neg
+        return out
+
+    if n_cross > 0 or n_codebook > 0:
+        # generalized gathered path: same-row + cross-row (+ codebook)
+        # negatives concatenated along N (reference model.py:641-668,
+        # 849-856). Exotic configs only — the dense fast path above covers
+        # the shipped ones. (The plain path below keeps consuming nrng
+        # unsplit so its draw stream — and the dense/index parity tests —
+        # are unchanged.)
+        same_rng, cross_rng, cb_rng = jax.random.split(nrng, 3)
+        neg_idx = sample_negative_indices(
+            same_rng, neg_mask, cfg.num_negatives
+        )
+        negs = jnp.take_along_axis(
+            y[:, :, None, :], neg_idx[..., None], axis=1
+        )  # (B, T, N, D)
+        parts = [negs]
+        if n_cross > 0:
+            flat_idx = sample_cross_negative_indices(
+                cross_rng, neg_mask, n_cross
+            )  # (B, T, Nc) into (B*T)
+            y_flat = y.reshape(-1, y.shape[-1])
+            parts.append(y_flat[flat_idx])  # (B, T, Nc, D)
+        if n_codebook > 0:
+            # raw codewords, then project_q (reference model.py:849-856)
+            cb = sample_from_codebook(
+                params["quantizer"], cb_rng, b * t_frames, n_codebook,
+                num_vars=cfg.latent_vars, groups=cfg.latent_groups,
+            ).reshape(b, t_frames, n_codebook, -1)
+            parts.append(cb @ pq["kernel"] + pq["bias"])
+        negs = jnp.concatenate(parts, axis=2)
+        pos_logit, neg_logit = contrastive_logits(
+            x_proj, y, negs, cfg.logit_temp
+        )
+        out["pos_logit"] = pos_logit
+        out["neg_logit"] = neg_logit
         return out
 
     neg_idx = sample_negative_indices(

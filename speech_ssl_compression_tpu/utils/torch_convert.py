@@ -292,9 +292,30 @@ def wave_state_dict_to_params(
         ).astype(np.float32)
     else:
         if "quantizer.vars" in sd:
+            if "quantizer.weight_proj.weight" in sd:
+                wp = _linear(sd, "quantizer.weight_proj")
+            else:
+                # quantizer_depth > 1 (gumbel_vector_quantizer.py:64-76):
+                # Sequential([Linear, GELU] x (d-1), Linear) — keys
+                # weight_proj.{i}.0.* for the blocks, weight_proj.{d-1}.*
+                # for the final logits Linear
+                ids = sorted(
+                    int(m.group(1))
+                    for k in sd
+                    for m in [re.match(
+                        r"quantizer\.weight_proj\.(\d+)\.0\.weight$", k)]
+                    if m
+                )
+                layers = [
+                    _linear(sd, f"quantizer.weight_proj.{i}.0") for i in ids
+                ]
+                layers.append(
+                    _linear(sd, f"quantizer.weight_proj.{len(ids)}")
+                )
+                wp = {"layers": layers}
             params["quantizer"] = {
                 "vars": _to_np(sd["quantizer.vars"]).astype(np.float32),
-                "weight_proj": _linear(sd, "quantizer.weight_proj"),
+                "weight_proj": wp,
             }
         params["project_q"] = _linear(sd, "project_q")
 
@@ -391,7 +412,14 @@ def wave_params_to_state_dict(
     else:
         if "quantizer" in params:
             sd["quantizer.vars"] = np.asarray(params["quantizer"]["vars"])
-            put_linear("quantizer.weight_proj", params["quantizer"]["weight_proj"])
+            wp = params["quantizer"]["weight_proj"]
+            if "layers" in wp:  # quantizer_depth > 1
+                *blocks, final = wp["layers"]
+                for i, lp in enumerate(blocks):
+                    put_linear(f"quantizer.weight_proj.{i}.0", lp)
+                put_linear(f"quantizer.weight_proj.{len(blocks)}", final)
+            else:
+                put_linear("quantizer.weight_proj", wp)
         put_linear("project_q", params["project_q"])
 
     # the shared encoder section (reuses the melhubert writer's naming)

@@ -680,3 +680,237 @@ def test_hubert_features_only_runs_encoder():
     np.testing.assert_allclose(
         np.asarray(fo["x"]), np.asarray(full["x"]), atol=1e-6
     )
+
+
+def test_cross_sample_negatives():
+    """cross_sample_negatives (reference model.py:641-668): extra negatives
+    drawn from the pooled masked frames of ALL rows."""
+    from speech_ssl_compression_tpu.models import (
+        init_wav2vec2_params,
+        wav2vec2_forward,
+        wav2vec2_pretrain_loss,
+    )
+    from speech_ssl_compression_tpu.models.wav2vec2 import (
+        sample_cross_negative_indices,
+    )
+
+    mask = jnp.asarray(
+        np.array([[0, 1, 1, 0, 1, 0, 0, 1],
+                  [1, 1, 0, 0, 0, 0, 0, 0]], bool)
+    )
+    flat_pool = {1, 2, 4, 7, 8, 9}  # row-0 masked + row-1 masked (flat)
+    idx = np.asarray(sample_cross_negative_indices(
+        jax.random.PRNGKey(0), mask, 32
+    ))
+    assert idx.shape == (2, 8, 32)
+    assert set(idx.ravel().tolist()) <= flat_pool
+    # row-1 frames can draw row-0 negatives (the "cross" in the name)
+    assert (idx[1] < 8).any()
+
+    cfg = Wav2Vec2Config.from_dict(
+        {**_w2v2_cfg().to_dict(), "cross_sample_negatives": 5}
+    )
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    source = jnp.asarray(rng.standard_normal((2, 2000)), jnp.float32)
+    lengths = jnp.asarray([2000, 1400], jnp.int32)
+    out = wav2vec2_forward(
+        params, cfg, source, lengths, mask=True,
+        rng=jax.random.PRNGKey(3), deterministic=False, gumbel_temp=2.0,
+        attn_impl="dense",
+    )
+    # N = num_negatives + cross_sample_negatives
+    assert out["neg_logit"].shape[-1] == 15
+    loss, sample_size, _ = wav2vec2_pretrain_loss(out, cfg)
+    assert np.isfinite(float(loss)) and int(sample_size) > 0
+
+
+def test_negatives_from_everywhere():
+    """negatives_from_everywhere (reference model.py:817,861): the candidate
+    pool is every valid frame, masked or not."""
+    from speech_ssl_compression_tpu.models import (
+        init_wav2vec2_params,
+        wav2vec2_forward,
+        wav2vec2_pretrain_loss,
+    )
+
+    cfg = Wav2Vec2Config.from_dict(
+        {**_w2v2_cfg().to_dict(), "negatives_from_everywhere": True,
+         "mask_prob": 0.2}
+    )
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    source = jnp.asarray(rng.standard_normal((2, 2000)), jnp.float32)
+    lengths = jnp.asarray([2000, 2000], jnp.int32)
+    out = wav2vec2_forward(
+        params, cfg, source, lengths, mask=True,
+        rng=jax.random.PRNGKey(3), deterministic=False, gumbel_temp=2.0,
+        attn_impl="dense",
+    )
+    loss, sample_size, _ = wav2vec2_pretrain_loss(out, cfg)
+    assert np.isfinite(float(loss)) and int(sample_size) > 0
+
+    # pool switch changes the drawn negatives => different loss than default
+    cfg0 = Wav2Vec2Config.from_dict(
+        {**_w2v2_cfg().to_dict(), "mask_prob": 0.2}
+    )
+    out0 = wav2vec2_forward(
+        params, cfg0, source, lengths, mask=True,
+        rng=jax.random.PRNGKey(3), deterministic=False, gumbel_temp=2.0,
+        attn_impl="dense",
+    )
+    loss0, _, _ = wav2vec2_pretrain_loss(out0, cfg0)
+    assert abs(float(loss) - float(loss0)) > 1e-6
+
+
+def test_codebook_negatives():
+    """codebook_negatives (reference model.py:849-856): extra negatives are
+    random codewords from the quantizer codebook, project_q-projected."""
+    from speech_ssl_compression_tpu.models import (
+        init_wav2vec2_params,
+        wav2vec2_forward,
+        wav2vec2_pretrain_loss,
+    )
+    from speech_ssl_compression_tpu.models.gumbel_vq import (
+        init_gumbel_vq,
+        sample_from_codebook,
+    )
+    import pytest
+
+    p = init_gumbel_vq(jax.random.PRNGKey(0), 8, 6, 2, 12)
+    z = np.asarray(sample_from_codebook(
+        p, jax.random.PRNGKey(1), 3, 5, num_vars=6, groups=2
+    ))
+    assert z.shape == (3, 5, 12)
+    # every sampled half must be an actual codebook row of its group
+    cb = np.asarray(p["vars"]).reshape(2, 6, 6)
+    for g in range(2):
+        half = z[..., g * 6:(g + 1) * 6].reshape(-1, 6)
+        d = np.abs(half[:, None, :] - cb[g][None]).max(-1).min(-1)
+        assert d.max() < 1e-6
+    with pytest.raises(ValueError):
+        sample_from_codebook(p, jax.random.PRNGKey(1), 1, 36,
+                             num_vars=6, groups=2)
+
+    cfg = Wav2Vec2Config.from_dict(
+        {**_w2v2_cfg().to_dict(), "codebook_negatives": 4}
+    )
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    source = jnp.asarray(rng.standard_normal((2, 2000)), jnp.float32)
+    lengths = jnp.asarray([2000, 1400], jnp.int32)
+    out = wav2vec2_forward(
+        params, cfg, source, lengths, mask=True,
+        rng=jax.random.PRNGKey(3), deterministic=False, gumbel_temp=2.0,
+        attn_impl="dense",
+    )
+    assert out["neg_logit"].shape[-1] == 14  # 10 sampled + 4 codebook
+    loss, sample_size, _ = wav2vec2_pretrain_loss(out, cfg)
+    assert np.isfinite(float(loss)) and int(sample_size) > 0
+
+
+def test_quantizer_depth_matches_torch():
+    """quantizer_depth>1 MLP weight projection: parity vs a torch replica of
+    reference gumbel_vector_quantizer.py:64-76."""
+    import torch
+
+    from speech_ssl_compression_tpu.models.gumbel_vq import (
+        _weight_proj,
+        init_gumbel_vq,
+    )
+
+    dim, num_vars, groups, vq_dim = 16, 8, 2, 12
+    p = init_gumbel_vq(jax.random.PRNGKey(0), dim, num_vars, groups, vq_dim,
+                       weight_proj_depth=3, weight_proj_factor=2)
+    layers = p["weight_proj"]["layers"]
+    assert len(layers) == 3
+    assert layers[0]["kernel"].shape == (16, 32)
+    assert layers[1]["kernel"].shape == (32, 32)
+    assert layers[2]["kernel"].shape == (32, groups * num_vars)
+
+    x = np.random.default_rng(0).standard_normal((5, dim)).astype(np.float32)
+    got = np.asarray(_weight_proj(p["weight_proj"], jnp.asarray(x)))
+
+    with torch.no_grad():
+        h = torch.from_numpy(x)
+        for i, lp in enumerate(layers):
+            lin = torch.nn.Linear(*lp["kernel"].shape)
+            lin.weight.copy_(torch.from_numpy(np.asarray(lp["kernel"]).T))
+            lin.bias.copy_(torch.from_numpy(np.asarray(lp["bias"])))
+            h = lin(h)
+            if i < len(layers) - 1:
+                h = torch.nn.functional.gelu(h)
+    np.testing.assert_allclose(got, h.numpy(), atol=2e-5)
+
+
+def test_checkpoint_activations_remat_parity():
+    """checkpoint_activations re-materializes the encoder layers under grad
+    without changing values (jax.checkpoint; the reference stores the flag
+    but its stripped module never consumes it — here it maps to remat)."""
+    from speech_ssl_compression_tpu.models import (
+        init_wav2vec2_params,
+        wav2vec2_forward,
+        wav2vec2_pretrain_loss,
+    )
+
+    base = _w2v2_cfg().to_dict()
+    cfg0 = Wav2Vec2Config.from_dict(base)
+    cfg1 = Wav2Vec2Config.from_dict(
+        {**base, "checkpoint_activations": True}
+    )
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg0)
+    rng = np.random.default_rng(1)
+    source = jnp.asarray(rng.standard_normal((2, 2000)), jnp.float32)
+    lengths = jnp.asarray([2000, 1400], jnp.int32)
+
+    def loss_fn(p, cfg):
+        out = wav2vec2_forward(
+            p, cfg, source, lengths, mask=True,
+            rng=jax.random.PRNGKey(3), deterministic=False, gumbel_temp=2.0,
+            attn_impl="dense",
+        )
+        return wav2vec2_pretrain_loss(out, cfg)[0]
+
+    l0, g0 = jax.value_and_grad(loss_fn)(params, cfg0)
+    l1, g1 = jax.value_and_grad(loss_fn)(params, cfg1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    d = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1
+    )
+    assert max(jax.tree.leaves(d)) < 1e-5
+
+
+def test_layer_type_non_transformer_raises():
+    import pytest
+
+    from speech_ssl_compression_tpu.models import init_wav2vec2_params
+
+    cfg = Wav2Vec2Config.from_dict(
+        {**_w2v2_cfg().to_dict(), "layer_type": "conformer"}
+    )
+    with pytest.raises(NotImplementedError):
+        init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+
+
+def test_deep_quantizer_state_dict_roundtrip():
+    from speech_ssl_compression_tpu.models import init_wav2vec2_params
+    from speech_ssl_compression_tpu.utils.torch_convert import (
+        wave_params_to_state_dict,
+        wave_state_dict_to_params,
+    )
+
+    cfg = Wav2Vec2Config.from_dict(
+        {**_w2v2_cfg().to_dict(), "quantizer_depth": 2,
+         "quantizer_factor": 2}
+    )
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+    sd = wave_params_to_state_dict(params, "wav2vec2")
+    assert "quantizer.weight_proj.0.0.weight" in sd
+    assert "quantizer.weight_proj.1.weight" in sd
+    back, _, _ = wave_state_dict_to_params(sd, "wav2vec2")
+    got = back["quantizer"]["weight_proj"]["layers"]
+    want = params["quantizer"]["weight_proj"]["layers"]
+    assert len(got) == len(want) == 2
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a["kernel"], np.asarray(b["kernel"]),
+                                   atol=1e-7)
