@@ -46,6 +46,7 @@ from ..parallel import batch_sharding, make_mesh, shard_params
 from ..utils.checkpoint import save_checkpoint, load_checkpoint, restore_opt_state
 from ..utils.tb import TBLogger
 from .steps import (
+    build_lr_schedule,
     make_apply_step,
     make_distill_grad_step,
     make_melhubert_grad_step,
@@ -177,6 +178,9 @@ class Runner:
             weight_decay=float(opt_cfg.get("weight_decay", 0.0)),
             gradient_clipping=float(
                 runner_config["runner"].get("gradient_clipping", 10.0)
+            ),
+            lr_schedule=build_lr_schedule(
+                runner_config, float(opt_cfg.get("lr", 1e-4))
             ),
         )
         self.opt_state = self.optimizer.init(self.params)
@@ -655,6 +659,11 @@ class Runner:
                     self._log_scalar(
                         f"{prefix}gradient norm", float(grad_norm), global_step
                     )
+                    sched = (getattr(self.optimizer, "hyper", None) or {}).get(
+                        "schedule")
+                    if sched is not None:
+                        self._log_scalar(f"{prefix}lr",
+                                         float(sched(global_step)), global_step)
                     steps_per_sec = global_step / (time.time() - t_start)
                     print(
                         f"[Runner] step {global_step}/{pbar['total']} "

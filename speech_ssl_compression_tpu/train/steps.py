@@ -28,10 +28,75 @@ from ..models.melhubert import melhubert_forward, melhubert_pretrain_loss
 from ..compress.distillation import distill_forward
 
 
+def polynomial_decay_schedule(base_lr, warmup_updates=0,
+                              total_num_update=None,
+                              end_learning_rate=0.0, power=1.0):
+    """fairseq-style warmup + polynomial decay, exactly the reference's
+    ``step_update`` formula (runner.py:184-197; its call site is commented
+    out upstream but the wav2vec2 runner YAML ships the ``lr_scheduler:``
+    section — here the recipe is honored): linear ramp over
+    ``warmup_updates``, then ``(lr - end) * pct_remaining**power + end``,
+    clamping to ``end`` past ``total_num_update``. With
+    ``total_num_update=None`` the post-warmup lr stays at ``base_lr`` (no
+    decay — used when the run length is epoch-derived and unknown at
+    optimizer build time).
+
+    Returns a jax-traceable ``f(num_updates) -> lr`` evaluated on the
+    1-based update counter, so it runs on the traced Adam step count
+    inside the fused apply — one compile for the whole run."""
+    base_lr = float(base_lr)
+    end = float(end_learning_rate)
+    warmup = int(warmup_updates)
+
+    def f(num_updates):
+        nu = jnp.asarray(num_updates, jnp.float32)
+        lr = jnp.asarray(base_lr, jnp.float32)
+        if total_num_update is not None:
+            total = float(total_num_update)
+            pct = 1.0 - (nu - warmup) / max(total - warmup, 1.0)
+            decayed = (base_lr - end) * jnp.maximum(pct, 0.0) ** power + end
+            lr = jnp.where(nu >= total, end, decayed)
+        if warmup > 0:
+            lr = jnp.where(nu <= warmup, base_lr * nu / warmup, lr)
+        return lr
+
+    return f
+
+
+def build_lr_schedule(runner_config: dict, base_lr: float):
+    """Honor the runner-YAML ``lr_scheduler:`` section (the reference's
+    wav2vec2 runner config ships ``warmup_updates``; upstream never calls
+    its own ``step_update`` — the formula at runner.py:184-197 is applied
+    here for real). Returns a schedule for :func:`make_optimizer`'s
+    ``lr_schedule`` or None when the section is absent.
+
+    Keys: warmup_updates (default 0), total_num_update (defaults to
+    ``runner.total_steps`` when positive, else no decay),
+    end_learning_rate (default 0), power (default 1)."""
+    sched = runner_config.get("lr_scheduler")
+    if not sched:
+        return None
+    total = sched.get("total_num_update")
+    if total is None:
+        rt = runner_config.get("runner", {}).get("total_steps", -1)
+        total = int(rt) if rt and int(rt) > 0 else None
+    return polynomial_decay_schedule(
+        base_lr,
+        warmup_updates=int(sched.get("warmup_updates", 0)),
+        total_num_update=total,
+        end_learning_rate=float(sched.get("end_learning_rate", 0.0)),
+        power=float(sched.get("power", 1.0)),
+    )
+
+
 def make_optimizer(lr=1e-4, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0,
-                   gradient_clipping=10.0):
+                   gradient_clipping=10.0, lr_schedule=None):
     """torch.optim.Adam equivalent incl. the runner's clipping
-    (runner.py:154-161,416)."""
+    (runner.py:154-161,416). ``lr_schedule`` — a traceable
+    ``f(num_updates) -> lr`` (see :func:`polynomial_decay_schedule`) —
+    keeps the FUSED apply path: the schedule is evaluated on the Adam step
+    count already carried in the optimizer state, so the state layout and
+    checkpoint format are unchanged."""
     tx = []
     if gradient_clipping and gradient_clipping > 0:
         tx.append(optax.clip_by_global_norm(gradient_clipping))
@@ -39,17 +104,22 @@ def make_optimizer(lr=1e-4, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0,
         # torch.optim.Adam couples L2 into the gradient BEFORE the moment
         # estimates (not AdamW's decoupled decay)
         tx.append(optax.add_decayed_weights(weight_decay))
-    tx.append(optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps))
+    if callable(lr) and lr_schedule is None:
+        # optax schedule passed directly as lr: the fused single-pass apply
+        # assumes hyper scalars, so return a plain GradientTransformation
+        # and let make_apply_step take the generic optax path (ADVICE r2).
+        # NOTE: optax appends a ScaleByScheduleState count leaf in this
+        # case — prefer lr_schedule=, which keeps the fused path and the
+        # [count, mu*, nu*] state layout.
+        tx.append(optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps))
+        return optax.chain(*tx)
+    base_lr = float(lr)
+    tx.append(optax.adam(base_lr, b1=betas[0], b2=betas[1], eps=eps))
     chain = optax.chain(*tx)
-    if callable(lr):
-        # optax schedule: the fused single-pass apply assumes a constant lr,
-        # so return a plain GradientTransformation (no hyper) and let
-        # make_apply_step take the generic optax path (ADVICE r2)
-        return chain
     return _Optimizer(chain.init, chain.update, dict(
-        lr=float(lr), b1=float(betas[0]), b2=float(betas[1]),
+        lr=base_lr, b1=float(betas[0]), b2=float(betas[1]),
         eps=float(eps), weight_decay=float(weight_decay),
-        clip=float(gradient_clipping or 0.0),
+        clip=float(gradient_clipping or 0.0), schedule=lr_schedule,
     ))
 
 
@@ -201,6 +271,7 @@ def _fused_apply(hyper, params, opt_state, grads, sample_size):
     fused and generic paths."""
     lr, b1, b2 = hyper["lr"], hyper["b1"], hyper["b2"]
     eps, wd, clip = hyper["eps"], hyper["weight_decay"], hyper["clip"]
+    schedule = hyper.get("schedule")
 
     state_leaves, state_def = jax.tree.flatten(opt_state)
     p_leaves, p_def = jax.tree.flatten(params)
@@ -233,6 +304,10 @@ def _fused_apply(hyper, params, opt_state, grads, sample_size):
     new_count = jnp.where(ok, count_inc, count)
     c1 = 1.0 - b1 ** count_inc.astype(jnp.float32)
     c2 = 1.0 - b2 ** count_inc.astype(jnp.float32)
+    if schedule is not None:
+        # evaluated on the 1-based update number (the incremented Adam
+        # count), traced — the lr varies per step without recompiling
+        lr = schedule(count_inc)
 
     new_p, new_mu, new_nu = [], [], []
     for p, m, v, g in zip(p_leaves, mu_leaves, nu_leaves, g_leaves):

@@ -57,6 +57,7 @@ from ..utils.checkpoint import (
 )
 from ..utils.tb import TBLogger
 from .steps import (
+    build_lr_schedule,
     accumulate_grads,
     cast_for_compute,
     make_apply_step,
@@ -174,6 +175,9 @@ class WaveRunner:
             weight_decay=float(opt_cfg.get("weight_decay", 0.0)),
             gradient_clipping=float(
                 runner_config["runner"].get("gradient_clipping", 10.0)
+            ),
+            lr_schedule=build_lr_schedule(
+                runner_config, float(opt_cfg.get("lr", 1e-4))
             ),
         )
         self.opt_state = self.optimizer.init(self.params)
@@ -631,6 +635,11 @@ class WaveRunner:
                     self.logger.scalar(
                         f"{prefix}gradient norm", float(gnorm), step
                     )
+                    sched = (getattr(self.optimizer, "hyper", None) or {}).get(
+                        "schedule")
+                    if sched is not None:
+                        self.logger.scalar(f"{prefix}lr",
+                                           float(sched(step)), step)
                     print(
                         f"[WaveRunner] step {step}/{total_steps} "
                         f"loss={norm_loss:.4f} "

@@ -263,3 +263,20 @@ def test_distillation_smoke(tmp_path):
     runner = Runner(args, base_runner_cfg(csv, total_steps=3), up)
     runner.train()
     assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))
+
+
+def test_runner_lr_scheduler_section(tmp_path):
+    """An lr_scheduler: YAML section builds a warmup/poly schedule on the
+    fused optimizer and trains (reference ships the section in its wav2vec2
+    runner config; formula runner.py:184-197)."""
+    csv = make_dataset(tmp_path)
+    args = make_args(tmp_path, "melhubert")
+    rc = base_runner_cfg(csv, total_steps=3)
+    rc["lr_scheduler"] = {"warmup_updates": 2}
+    runner = Runner(args, rc, base_model_cfg())
+    sched = runner.optimizer.hyper["schedule"]
+    assert sched is not None
+    lr = float(rc["optimizer"]["lr"]) if "optimizer" in rc else 1e-4
+    np.testing.assert_allclose(float(sched(1)), lr / 2, rtol=1e-5)
+    runner.train()
+    assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))

@@ -241,3 +241,83 @@ def test_accumulate_grads():
     out = accumulate_grads(jax.tree.map(jnp.array, a), b)
     np.testing.assert_allclose(np.asarray(out["w"]), 4.0)
     np.testing.assert_allclose(np.asarray(out["b"]), 3.0)
+
+
+def test_polynomial_decay_schedule_matches_reference_formula():
+    """Warmup + polynomial decay exactly per reference runner.py:184-197."""
+    from speech_ssl_compression_tpu.train.steps import (
+        polynomial_decay_schedule,
+    )
+
+    base, end, warmup, total, power = 5e-4, 1e-5, 10, 100, 2.0
+    f = polynomial_decay_schedule(base, warmup, total, end, power)
+
+    def ref(num_updates):  # reference step_update replica
+        if warmup > 0 and num_updates <= warmup:
+            return base * num_updates / float(warmup)
+        if num_updates >= total:
+            return end
+        pct = 1 - (num_updates - warmup) / (total - warmup)
+        return (base - end) * pct ** power + end
+
+    for n in [1, 5, 10, 11, 50, 99, 100, 150]:
+        np.testing.assert_allclose(float(f(n)), ref(n), rtol=1e-6), n
+
+    # no-decay variant: constant base lr after warmup
+    g = polynomial_decay_schedule(base, warmup, None)
+    np.testing.assert_allclose(float(g(5)), base * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(g(10 ** 6)), base, rtol=1e-7)
+
+
+def test_fused_apply_schedule_matches_constant_lr_per_step():
+    """The fused path with lr_schedule produces, at every step k, exactly
+    the update a constant-lr fused optimizer at lr=schedule(k) would —
+    same state layout, lr evaluated on the traced count."""
+    from speech_ssl_compression_tpu.train.steps import (
+        polynomial_decay_schedule,
+    )
+
+    sched = polynomial_decay_schedule(1e-2, 3, 10, 1e-4, 1.0)
+    params = {
+        "w": jnp.asarray(np.random.default_rng(0).standard_normal((4, 3)),
+                         jnp.float32),
+    }
+    opt_s = make_optimizer(lr=1e-2, lr_schedule=sched)
+    apply_s = make_apply_step(opt_s)
+    state_s = opt_s.init(params)
+    p_s = params
+
+    p_c = params
+    state_c = None
+    rng = np.random.default_rng(1)
+    for k in range(1, 6):
+        grads = {"w": jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)}
+        # constant-lr twin evaluated at this step's scheduled lr, advanced
+        # from the SAME state
+        opt_c = make_optimizer(lr=float(sched(k)))
+        apply_c = make_apply_step(opt_c)
+        if state_c is None:
+            state_c = opt_c.init(p_c)
+        p_s, state_s, _ = apply_s(p_s, state_s, grads, jnp.asarray(1.0))
+        p_c, state_c, _ = apply_c(p_c, state_c, grads, jnp.asarray(1.0))
+        np.testing.assert_allclose(
+            np.asarray(p_s["w"]), np.asarray(p_c["w"]), atol=1e-7,
+        ), k
+
+
+def test_build_lr_schedule_from_runner_yaml():
+    from speech_ssl_compression_tpu.train.steps import build_lr_schedule
+
+    assert build_lr_schedule({}, 1e-4) is None
+    # wav2vec2 runner YAML shape (reference config_runner.yaml)
+    cfg = {"runner": {"total_steps": 100},
+           "lr_scheduler": {"warmup_updates": 10}}
+    f = build_lr_schedule(cfg, 5e-4)
+    np.testing.assert_allclose(float(f(5)), 2.5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(f(100)), 0.0, atol=1e-9)  # decayed out
+    # explicit total_num_update wins over runner.total_steps
+    cfg2 = {"runner": {"total_steps": -1},
+            "lr_scheduler": {"warmup_updates": 2, "total_num_update": 4,
+                             "end_learning_rate": 1e-5}}
+    f2 = build_lr_schedule(cfg2, 1e-3)
+    np.testing.assert_allclose(float(f2(4)), 1e-5, rtol=1e-6)
