@@ -125,6 +125,17 @@ def init_encoder_layer(rng, embed_dim, ffn_dim, num_heads, head_dim,
 def init_encoder(rng, cfg, dtype=jnp.float32):
     """cfg: any config with encoder_{layers,embed_dim,ffn_embed_dim,
     attention_heads}, head_dim, conv_pos, conv_pos_groups."""
+    if getattr(cfg, "pos_emb_type", "conv") != "conv":
+        # reference module.py:191 raises the same way
+        raise NotImplementedError(
+            f"unsupported pos_emb_type {cfg.pos_emb_type!r} (only 'conv')"
+        )
+    if getattr(cfg, "layer_type", "transformer") != "transformer":
+        # the reference stores the field but only ships transformer layers;
+        # accepting-and-ignoring a conformer config would silently corrupt it
+        raise NotImplementedError(
+            f"unsupported layer_type {cfg.layer_type!r} (only 'transformer')"
+        )
     n = cfg.encoder_layers
     keys = jax.random.split(rng, n + 1)
     layers = [
@@ -138,17 +149,6 @@ def init_encoder(rng, cfg, dtype=jnp.float32):
         )
         for i in range(n)
     ]
-    if getattr(cfg, "pos_emb_type", "conv") != "conv":
-        # reference module.py:191 raises the same way
-        raise NotImplementedError(
-            f"unsupported pos_emb_type {cfg.pos_emb_type!r} (only 'conv')"
-        )
-    if getattr(cfg, "layer_type", "transformer") != "transformer":
-        # the reference stores the field but only ships transformer layers;
-        # accepting-and-ignoring a conformer config would silently corrupt it
-        raise NotImplementedError(
-            f"unsupported layer_type {cfg.layer_type!r} (only 'transformer')"
-        )
     depth = getattr(cfg, "pos_conv_depth", 1)
     if depth > 1:
         pos_conv = init_pos_conv_deep(
@@ -179,24 +179,31 @@ def layer_norm(x, p):
 
 
 
+def _grouped_conv_samepad(x, w_torch, bias, groups: int, kernel_size: int):
+    """Grouped Conv1d (torch (D, D//g, K) weight layout) + SamePad crop
+    (same_pad.py:17-28), shared by the shallow and deep pos-conv paths.
+
+    Uses the custom-vjp feature-last conv: XLA's partitioner doubles
+    grouped-conv dw on multi-axis meshes, and the NHC layout is ~20%
+    faster than NCH and avoids two (B,T,D) transposes (ops/grouped_conv)."""
+    w_hio = w_torch.transpose(2, 1, 0)  # (D, D/g, K) -> (K, D/g, D)
+    out = grouped_conv1d(
+        x.astype(w_torch.dtype), w_hio, groups,
+        (kernel_size // 2, kernel_size // 2),
+    )
+    out = out.astype(x.dtype) + bias[None, None, :]
+    if kernel_size % 2 == 0:
+        out = out[:, :-1, :]  # SamePad: crop the extra frame for even K
+    return out
+
+
 def pos_conv_embed(x, p, groups: int, kernel_size: int):
     """Grouped weight-normed Conv1d + SamePad crop + GELU
-    (reference module.py:175-188, same_pad.py:17-28). x: (B, T, D)."""
+    (reference module.py:175-188). x: (B, T, D)."""
     v = p["weight_v"]
     norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True))
     w = p["weight_g"] * v / jnp.maximum(norm, 1e-12)  # (D, D//g, K)
-
-    # custom-vjp wrapper: XLA's partitioner doubles grouped-conv dw on
-    # multi-axis meshes; feature-last layout is ~20% faster than NCH and
-    # avoids two (B,T,D) transposes (see ops/grouped_conv.py)
-    w_hio = w.transpose(2, 1, 0)  # (D, D/g, K) torch layout -> (K, D/g, D)
-    out = grouped_conv1d(
-        x.astype(w.dtype), w_hio, groups,
-        (kernel_size // 2, kernel_size // 2),
-    )
-    out = out.astype(x.dtype) + p["bias"][None, None, :]
-    if kernel_size % 2 == 0:
-        out = out[:, :-1, :]  # SamePad: crop the extra frame for even K
+    out = _grouped_conv_samepad(x, w, p["bias"], groups, kernel_size)
     return get_activation_fn("gelu")(out)  # tanh-poly erf (ops/activations)
 
 
@@ -281,14 +288,8 @@ def pos_conv_embed_deep(x, p, groups: int, kernel_size: int):
     the feature dim + GELU. x: (B, T, D)."""
     gelu = get_activation_fn("gelu")
     for lp in p["layers"]:
-        w = lp["weight"]  # (D, D//g, K) torch layout
-        out = grouped_conv1d(
-            x.astype(w.dtype), w.transpose(2, 1, 0), groups,
-            (kernel_size // 2, kernel_size // 2),
-        )
-        out = out.astype(x.dtype) + lp["bias"][None, None, :]
-        if kernel_size % 2 == 0:
-            out = out[:, :-1, :]  # SamePad
+        out = _grouped_conv_samepad(x, lp["weight"], lp["bias"], groups,
+                                    kernel_size)
         mean = jnp.mean(out, axis=-1, keepdims=True)
         var = jnp.var(out, axis=-1, keepdims=True)
         out = (out - mean) * jax.lax.rsqrt(var + LN_EPS)

@@ -170,19 +170,7 @@ class Runner:
             self.prune_steps = []
 
         # ------- optimizer ----------------------------------------------
-        opt_cfg = runner_config.get("optimizer", {})
-        self.optimizer = make_optimizer(
-            lr=float(opt_cfg.get("lr", 1e-4)),
-            betas=tuple(opt_cfg.get("betas", (0.9, 0.999))),
-            eps=float(opt_cfg.get("eps", 1e-8)),
-            weight_decay=float(opt_cfg.get("weight_decay", 0.0)),
-            gradient_clipping=float(
-                runner_config["runner"].get("gradient_clipping", 10.0)
-            ),
-            lr_schedule=build_lr_schedule(
-                runner_config, float(opt_cfg.get("lr", 1e-4))
-            ),
-        )
+        self.optimizer = self._build_optimizer()
         self.opt_state = self.optimizer.init(self.params)
         if (
             getattr(args, "init_optimizer_from_initial_weight", False)
@@ -196,6 +184,42 @@ class Runner:
         self._rebuild_steps()
 
     # ------------------------------------------------------------------
+    def _build_optimizer(self, sched_offset: int = 0):
+        """``sched_offset``: structured-prune events reset the Adam state
+        (reference re-creates the torch optimizer, runner.py:348,356),
+        which would restart an lr schedule from step 0 — the offset keeps
+        the schedule on the GLOBAL update count across resets."""
+        opt_cfg = self.runner_config.get("optimizer", {})
+        base_lr = float(opt_cfg.get("lr", 1e-4))
+        sched = build_lr_schedule(self.runner_config, base_lr)
+        if sched is not None and sched_offset:
+            inner = sched
+
+            def sched(n, _f=inner, _o=sched_offset):
+                return _f(n + _o)
+
+        return make_optimizer(
+            lr=base_lr,
+            betas=tuple(opt_cfg.get("betas", (0.9, 0.999))),
+            eps=float(opt_cfg.get("eps", 1e-8)),
+            weight_decay=float(opt_cfg.get("weight_decay", 0.0)),
+            gradient_clipping=float(
+                self.runner_config["runner"].get("gradient_clipping", 10.0)
+            ),
+            lr_schedule=sched,
+        )
+
+    def _applied_lr(self):
+        """The lr the LAST optimizer update actually used: the (offset-
+        wrapped) schedule evaluated at the Adam step count — skipped
+        non-finite steps do not advance it, so this tracks truth where
+        a global-step-indexed lookup would drift."""
+        sched = (getattr(self.optimizer, "hyper", None) or {}).get("schedule")
+        if sched is None:
+            return None
+        count = int(jax.tree.leaves(self.opt_state)[0])
+        return float(sched(count))
+
     def _log_scalar(self, tag, value, step):
         self.logger.scalar(tag, value, step)
 
@@ -320,7 +344,16 @@ class Runner:
             )
         self.apply_step = make_apply_step(self.optimizer, donate=True)
 
-    def _reset_optimizer(self):
+    def _reset_optimizer(self, global_step: int = 0):
+        """Fresh Adam state (reference re-creates the optimizer after
+        structured prune events, runner.py:348,356). With an lr schedule
+        active, rebuild the optimizer with the schedule offset by the
+        global step so the lr does NOT re-warm from zero after the reset
+        (the count leaf restarts; prune events re-jit anyway)."""
+        sched = (getattr(self.optimizer, "hyper", None) or {}).get("schedule")
+        if sched is not None and global_step:
+            self.optimizer = self._build_optimizer(sched_offset=global_step)
+            self.apply_step = make_apply_step(self.optimizer, donate=True)
         self.opt_state = self.optimizer.init(self.params)
 
     def _reshard(self):
@@ -418,7 +451,7 @@ class Runner:
             self.save(global_step, f"states_prune_{total_heads}.npz")
             self._head_prune_event()
             self._reshard()
-            self._reset_optimizer()
+            self._reset_optimizer(global_step)
             self._rebuild_steps()
         elif self.mode == "row-pruning" and global_step in self.prune_steps:
             self.save(
@@ -432,7 +465,7 @@ class Runner:
                 "dims remain in FFN"
             )
             self._reshard()
-            self._reset_optimizer()
+            self._reset_optimizer(global_step)
             self._rebuild_steps()
 
     def _head_prune_event(self):
@@ -659,11 +692,9 @@ class Runner:
                     self._log_scalar(
                         f"{prefix}gradient norm", float(grad_norm), global_step
                     )
-                    sched = (getattr(self.optimizer, "hyper", None) or {}).get(
-                        "schedule")
-                    if sched is not None:
-                        self._log_scalar(f"{prefix}lr",
-                                         float(sched(global_step)), global_step)
+                    lr_now = self._applied_lr()
+                    if lr_now is not None:
+                        self._log_scalar(f"{prefix}lr", lr_now, global_step)
                     steps_per_sec = global_step / (time.time() - t_start)
                     print(
                         f"[Runner] step {global_step}/{pbar['total']} "

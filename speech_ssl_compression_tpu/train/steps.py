@@ -113,6 +113,11 @@ def make_optimizer(lr=1e-4, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0,
         # [count, mu*, nu*] state layout.
         tx.append(optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps))
         return optax.chain(*tx)
+    if callable(lr):
+        raise ValueError(
+            "pass either a callable lr (generic optax path) or a float lr "
+            "+ lr_schedule (fused path), not both"
+        )
     base_lr = float(lr)
     tx.append(optax.adam(base_lr, b1=betas[0], b2=betas[1], eps=eps))
     chain = optax.chain(*tx)

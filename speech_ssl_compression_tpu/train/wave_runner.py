@@ -167,19 +167,7 @@ class WaveRunner:
             if self._resumed_meta and "Pruning" in self._resumed_meta:
                 self.wp_state.load_meta(self._resumed_meta["Pruning"])
 
-        opt_cfg = runner_config.get("optimizer", {})
-        self.optimizer = make_optimizer(
-            lr=float(opt_cfg.get("lr", 1e-4)),
-            betas=tuple(opt_cfg.get("betas", (0.9, 0.999))),
-            eps=float(opt_cfg.get("eps", 1e-8)),
-            weight_decay=float(opt_cfg.get("weight_decay", 0.0)),
-            gradient_clipping=float(
-                runner_config["runner"].get("gradient_clipping", 10.0)
-            ),
-            lr_schedule=build_lr_schedule(
-                runner_config, float(opt_cfg.get("lr", 1e-4))
-            ),
-        )
+        self.optimizer = self._build_optimizer()
         self.opt_state = self.optimizer.init(self.params)
         if getattr(args, "init_optimizer_from_initial_weight", False):
             if self._resumed_opt_leaves:
@@ -204,6 +192,44 @@ class WaveRunner:
         self._build_grad_step()
 
     # ------------------------------------------------------------------
+    def _build_optimizer(self, sched_offset: int = 0):
+        """See Runner._build_optimizer: the offset keeps an active lr
+        schedule on the global update count across prune-event optimizer
+        resets."""
+        opt_cfg = self.runner_config.get("optimizer", {})
+        base_lr = float(opt_cfg.get("lr", 1e-4))
+        sched = build_lr_schedule(self.runner_config, base_lr)
+        if sched is not None and sched_offset:
+            inner = sched
+
+            def sched(n, _f=inner, _o=sched_offset):
+                return _f(n + _o)
+
+        return make_optimizer(
+            lr=base_lr,
+            betas=tuple(opt_cfg.get("betas", (0.9, 0.999))),
+            eps=float(opt_cfg.get("eps", 1e-8)),
+            weight_decay=float(opt_cfg.get("weight_decay", 0.0)),
+            gradient_clipping=float(
+                self.runner_config["runner"].get("gradient_clipping", 10.0)
+            ),
+            lr_schedule=sched,
+        )
+
+    def _reset_optimizer(self, global_step: int = 0):
+        sched = (getattr(self.optimizer, "hyper", None) or {}).get("schedule")
+        if sched is not None and global_step:
+            self.optimizer = self._build_optimizer(sched_offset=global_step)
+            self.apply_step = make_apply_step(self.optimizer, donate=True)
+        self.opt_state = self.optimizer.init(self.params)
+
+    def _applied_lr(self):
+        sched = (getattr(self.optimizer, "hyper", None) or {}).get("schedule")
+        if sched is None:
+            return None
+        count = int(jax.tree.leaves(self.opt_state)[0])
+        return float(sched(count))
+
     def _load_dictionaries(self):
         label_dir = self.task_cfg.label_dir or self.task_cfg.data
         dicts = [
@@ -533,7 +559,7 @@ class WaveRunner:
                         f"[WaveRunner/HP] "
                         f"{sum(self.cfg.encoder_attention_heads)} heads remain"
                     )
-                    self.opt_state = self.optimizer.init(self.params)
+                    self._reset_optimizer(step)
                     self._build_grad_step()
                 elif (
                     self.mode == "row-pruning"
@@ -551,7 +577,7 @@ class WaveRunner:
                         f"[WaveRunner/RP] "
                         f"{min(self.cfg.encoder_ffn_embed_dim)} FFN dims remain"
                     )
-                    self.opt_state = self.optimizer.init(self.params)
+                    self._reset_optimizer(step)
                     self._build_grad_step()
 
                 self.rng, k = jax.random.split(self.rng)
@@ -635,11 +661,9 @@ class WaveRunner:
                     self.logger.scalar(
                         f"{prefix}gradient norm", float(gnorm), step
                     )
-                    sched = (getattr(self.optimizer, "hyper", None) or {}).get(
-                        "schedule")
-                    if sched is not None:
-                        self.logger.scalar(f"{prefix}lr",
-                                           float(sched(step)), step)
+                    lr_now = self._applied_lr()
+                    if lr_now is not None:
+                        self.logger.scalar(f"{prefix}lr", lr_now, step)
                     print(
                         f"[WaveRunner] step {step}/{total_steps} "
                         f"loss={norm_loss:.4f} "

@@ -292,7 +292,14 @@ def wave_state_dict_to_params(
         ).astype(np.float32)
     else:
         if "quantizer.vars" in sd:
-            if "quantizer.weight_proj.weight" in sd:
+            deep = any(
+                re.match(r"quantizer\.weight_proj\.\d+\.0\.weight(_orig)?$", k)
+                for k in sd
+            )
+            if not deep:
+                # depth == 1 — plain Linear, possibly in the prune.py
+                # weight_orig/weight_mask reparametrized form (_linear
+                # handles both)
                 wp = _linear(sd, "quantizer.weight_proj")
             else:
                 # quantizer_depth > 1 (gumbel_vector_quantizer.py:64-76):

@@ -280,3 +280,31 @@ def test_runner_lr_scheduler_section(tmp_path):
     np.testing.assert_allclose(float(sched(1)), lr / 2, rtol=1e-5)
     runner.train()
     assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))
+
+
+def test_lr_schedule_survives_prune_event_reset(tmp_path):
+    """A prune event resets the Adam state (count restarts at 0); the lr
+    schedule must stay on the GLOBAL update count via the rebuilt
+    optimizer's offset — not re-warm from ~0 after every event."""
+    csv = make_dataset(tmp_path)
+    rc = base_runner_cfg(csv, total_steps=6)
+    rc["prune"] = {
+        "metric": "l1",
+        "target": "by_layer",
+        "total_steps": 2,
+        "interval": 2,
+        "warm_up": 1,
+    }
+    rc["lr_scheduler"] = {"warmup_updates": 1000}  # ramp through the run
+    args = make_args(tmp_path, "head-pruning")
+    runner = Runner(args, rc, base_model_cfg())
+    runner.train()
+
+    base_lr = float(rc["optimizer"]["lr"])
+    import jax
+    count = int(jax.tree.leaves(runner.opt_state)[0])
+    # Adam count restarted at the last prune event, so count < 6...
+    assert count < 6
+    # ...but the applied lr reflects ~6 global updates, not `count`
+    lr_now = runner._applied_lr()
+    np.testing.assert_allclose(lr_now, base_lr * 6 / 1000, rtol=1e-5)
