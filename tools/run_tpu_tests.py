@@ -243,6 +243,47 @@ def main():
           (ids[:64] == 0).all() and (ids[64:] == 1).all(),
           f"ids head {ids[:3]} tail {ids[-3:]}")
 
+    # ---- wav2vec2 extended negatives: one grad step on-chip ------------
+    from speech_ssl_compression_tpu.configs import Wav2Vec2Config
+    from speech_ssl_compression_tpu.models import (
+        init_wav2vec2_params,
+        wav2vec2_forward,
+        wav2vec2_pretrain_loss,
+    )
+
+    w2v_cfg = Wav2Vec2Config.from_dict({
+        "encoder_layers": 2, "encoder_embed_dim": 128,
+        "encoder_attention_heads": 2, "head_dim": 64,
+        "encoder_ffn_embed_dim": 256,
+        "conv_feature_layers": "[(128,10,5)] + [(128,3,2)] + [(128,2,2)]",
+        "final_dim": 64, "conv_pos": 16, "conv_pos_groups": 4,
+        "quantize_targets": True, "latent_vars": 20, "latent_groups": 2,
+        "num_negatives": 10, "cross_sample_negatives": 5,
+        "codebook_negatives": 4, "negatives_from_everywhere": True,
+        "quantizer_depth": 2, "quantizer_factor": 2, "pos_conv_depth": 3,
+        "mask_prob": 0.5, "mask_length": 4,
+        "dropout": 0.0, "attention_dropout": 0.0, "activation_dropout": 0.0,
+    })
+    w2v_params = init_wav2vec2_params(jax.random.PRNGKey(0), w2v_cfg)
+    src = jnp.asarray(rng.standard_normal((2, 8000)) * 0.1, jnp.float32)
+    lens = jnp.asarray([8000, 6000], jnp.int32)
+
+    def w2v_loss(p, key):
+        o = wav2vec2_forward(p, w2v_cfg, src, lens, mask=True, rng=key,
+                             deterministic=False, gumbel_temp=2.0)
+        l, ss, _ = wav2vec2_pretrain_loss(o, w2v_cfg)
+        return l / jnp.maximum(ss, 1)
+
+    lval, grads = jax.jit(jax.value_and_grad(w2v_loss))(
+        w2v_params, jax.random.PRNGKey(3)
+    )
+    gn = float(jnp.sqrt(sum(
+        jnp.sum(x.astype(jnp.float32) ** 2) for x in jax.tree.leaves(grads)
+    )))
+    check("w2v2 cross/codebook/everywhere + deep VQ + deep pos-conv grad",
+          np.isfinite(float(lval)) and np.isfinite(gn) and gn > 0,
+          f"loss={float(lval):.4f} gnorm={gn:.3f}")
+
     print(f"\n{'ALL PASS' if not FAILED else 'FAILURES: ' + str(FAILED)}")
     sys.exit(1 if FAILED else 0)
 
