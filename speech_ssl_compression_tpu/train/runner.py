@@ -47,6 +47,7 @@ from ..utils.checkpoint import save_checkpoint, load_checkpoint, restore_opt_sta
 from ..utils.tb import TBLogger
 from .steps import (
     build_lr_schedule,
+    parse_betas,
     make_apply_step,
     make_distill_grad_step,
     make_melhubert_grad_step,
@@ -200,7 +201,7 @@ class Runner:
 
         return make_optimizer(
             lr=base_lr,
-            betas=tuple(opt_cfg.get("betas", (0.9, 0.999))),
+            betas=parse_betas(opt_cfg.get("betas", (0.9, 0.999))),
             eps=float(opt_cfg.get("eps", 1e-8)),
             weight_decay=float(opt_cfg.get("weight_decay", 0.0)),
             gradient_clipping=float(

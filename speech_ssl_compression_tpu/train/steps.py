@@ -89,6 +89,17 @@ def build_lr_schedule(runner_config: dict, base_lr: float):
     )
 
 
+def parse_betas(betas):
+    """Adam betas from YAML: a [b1, b2] list, or the fairseq string form
+    ``(0.9,0.98)`` the reference's wav2vec2 runner config ships (its own
+    ``tuple(str)`` call would shatter it into characters)."""
+    if isinstance(betas, str):
+        import ast
+
+        betas = ast.literal_eval(betas)
+    return tuple(float(b) for b in betas)
+
+
 def make_optimizer(lr=1e-4, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0,
                    gradient_clipping=10.0, lr_schedule=None):
     """torch.optim.Adam equivalent incl. the runner's clipping

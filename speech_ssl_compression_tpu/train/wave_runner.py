@@ -58,6 +58,7 @@ from ..utils.checkpoint import (
 from ..utils.tb import TBLogger
 from .steps import (
     build_lr_schedule,
+    parse_betas,
     accumulate_grads,
     cast_for_compute,
     make_apply_step,
@@ -207,7 +208,7 @@ class WaveRunner:
 
         return make_optimizer(
             lr=base_lr,
-            betas=tuple(opt_cfg.get("betas", (0.9, 0.999))),
+            betas=parse_betas(opt_cfg.get("betas", (0.9, 0.999))),
             eps=float(opt_cfg.get("eps", 1e-8)),
             weight_decay=float(opt_cfg.get("weight_decay", 0.0)),
             gradient_clipping=float(

@@ -321,3 +321,11 @@ def test_build_lr_schedule_from_runner_yaml():
                              "end_learning_rate": 1e-5}}
     f2 = build_lr_schedule(cfg2, 1e-3)
     np.testing.assert_allclose(float(f2(4)), 1e-5, rtol=1e-6)
+
+
+def test_parse_betas_fairseq_string_form():
+    from speech_ssl_compression_tpu.train.steps import parse_betas
+
+    assert parse_betas("(0.9,0.98)") == (0.9, 0.98)
+    assert parse_betas([0.9, 0.999]) == (0.9, 0.999)
+    assert parse_betas((0.8, 0.9)) == (0.8, 0.9)
