@@ -104,3 +104,60 @@ def test_runner_mesh_tp(tmp_path):
         runner.params["encoder"]["layers"][0]["q_proj"]["kernel"].shape
     )[1] < 64
     runner.train()
+
+
+def test_wav2vec2_cross_negatives_on_mesh():
+    """cross_sample_negatives gathers negatives across the BATCH dim, which
+    is sharded over the data axis — verify the sharded forward+grad
+    compiles (GSPMD inserts the cross-shard gather) and matches the
+    single-device values."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from speech_ssl_compression_tpu.configs import Wav2Vec2Config
+    from speech_ssl_compression_tpu.models import (
+        init_wav2vec2_params,
+        wav2vec2_forward,
+        wav2vec2_pretrain_loss,
+    )
+    from speech_ssl_compression_tpu.parallel import make_mesh
+
+    cfg = Wav2Vec2Config.from_dict({
+        "encoder_layers": 1, "encoder_embed_dim": 32,
+        "encoder_attention_heads": 2, "head_dim": 16,
+        "encoder_ffn_embed_dim": 64,
+        "conv_feature_layers": "[(32,10,5)] + [(32,2,2)]",
+        "final_dim": 16, "conv_pos": 8, "conv_pos_groups": 2,
+        "quantize_targets": True, "latent_vars": 8, "latent_groups": 2,
+        "num_negatives": 4, "cross_sample_negatives": 3,
+        "negatives_from_everywhere": True,
+        "mask_prob": 0.5, "mask_length": 2,
+        "dropout": 0.0, "attention_dropout": 0.0, "activation_dropout": 0.0,
+    })
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    src = np.asarray(rng.standard_normal((8, 1200)), np.float32)
+    lens = np.full((8,), 1200, np.int32)
+
+    def loss_fn(p, s, l, key):
+        out = wav2vec2_forward(p, cfg, s, l, mask=True, rng=key,
+                               deterministic=False, gumbel_temp=2.0,
+                               attn_impl="dense")
+        loss, ss, _ = wav2vec2_pretrain_loss(out, cfg)
+        return loss / jnp.maximum(ss, 1)
+
+    key = jax.random.PRNGKey(3)
+    ref = float(jax.jit(loss_fn)(params, jnp.asarray(src),
+                                 jnp.asarray(lens), key))
+
+    mesh = make_mesh(model_parallel=1)
+    bsh = NamedSharding(mesh, P("data"))
+    src_s = jax.device_put(jnp.asarray(src), bsh)
+    lens_s = jax.device_put(jnp.asarray(lens), bsh)
+    p_s = jax.device_put(params, NamedSharding(mesh, P()))
+    got, grads = jax.jit(jax.value_and_grad(loss_fn))(p_s, src_s, lens_s, key)
+    assert np.isfinite(float(got))
+    # sharded reductions reorder f32 adds (sum over 8 shards) — ~1e-4 drift
+    np.testing.assert_allclose(float(got), ref, rtol=5e-4)
+    gn = float(sum(float(jnp.sum(g ** 2)) for g in jax.tree.leaves(grads)))
+    assert np.isfinite(gn) and gn > 0
