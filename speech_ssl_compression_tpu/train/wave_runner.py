@@ -146,8 +146,23 @@ class WaveRunner:
                         "data-driven head scoring is MelHuBERT-only (as in "
                         "the reference, hp_utils.py:242 uses MelFeatDataset)"
                     )
+                # budget check (Runner has the same; reference hp_utils.py:40)
+                # strict <: by_layer removes 1 head/layer/event, and a layer
+                # pruned to ZERO heads is architecturally invalid — fail at
+                # construction, not at the event
+                assert (
+                    self.total_prune_step < min(self.cfg.encoder_attention_heads)
+                ), (
+                    f"{self.total_prune_step} head-prune events would empty a "
+                    f"layer (min heads/layer = "
+                    f"{min(self.cfg.encoder_attention_heads)})"
+                )
             else:
                 self.num_rows_each_step = pc["num_rows_each_step"]
+                assert (
+                    self.num_rows_each_step * self.total_prune_step
+                    <= min(self.cfg.encoder_ffn_embed_dim)
+                ), "row-prune schedule exceeds the FFN width"
         if self.mode == "weight-pruning":
             pc = runner_config["prune"]
             n_iters = pc.get("n_iters", 38)

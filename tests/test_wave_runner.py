@@ -502,3 +502,41 @@ def test_hubert_labels_respect_dictionary_order(tmp_path):
     got = np.asarray(out["target_list"][0])
     assert got[0, 0] == 4  # raw 7 -> first dict entry
     assert got[1, 0] == 4 + 3  # raw 5 -> fourth dict entry
+
+
+def test_wave_head_prune_budget_asserted(tmp_path):
+    """An over-budget head-prune schedule (would empty a layer) must fail
+    at construction, not crash mid-run at the prune event."""
+    data = make_wav_dataset(tmp_path)
+    runner_cfg = {
+        "runner": {"total_steps": 4, "gradient_clipping": 10.0,
+                   "gradient_accumulate_steps": 1, "log_step": 1,
+                   "bf16": False},
+        "optimizer": {"lr": 1e-4},
+        "datarc": {"train_batch_size": 2},
+        "task": {
+            "data": data, "label_dir": data, "labels": ["km"],
+            "label_rate": 50, "sample_rate": 16000,
+            "max_sample_size": 4000, "min_sample_size": 1000,
+            "pad_audio": False, "random_crop": True,
+        },
+        # 2 events x 1 head/layer/event on 2-head layers -> layer emptied
+        "prune": {"metric": "l1", "target": "by_layer", "total_steps": 2,
+                  "interval": [0, 2], "warm_up": 1},
+    }
+    upstream_cfg = {
+        "hubert": {
+            "label_rate": 50,
+            "encoder_layers": 2, "encoder_embed_dim": 32,
+            "encoder_attention_heads": 2, "head_dim": 16,
+            "encoder_ffn_embed_dim": 64,
+            "conv_feature_layers": CONV,
+            "final_dim": 16, "conv_pos": 16, "conv_pos_groups": 4,
+            "mask_prob": 0.65, "mask_length": 4,
+            "dropout": 0.0, "attention_dropout": 0.0,
+            "activation_dropout": 0.0,
+        }
+    }
+    args = _args(tmp_path, "head-pruning", "hubert")
+    with pytest.raises(AssertionError, match="empty a"):
+        WaveRunner(args, runner_cfg, upstream_cfg)
