@@ -252,6 +252,10 @@ class WaveRunner:
             Dictionary.load(f"{label_dir}/dict.{label}.txt")
             for label in self.task_cfg.labels
         ]
+        if self.task_cfg.fine_tuning:
+            # reference runner.py:206-207: fine-tuning tasks use only the
+            # first label set's dictionary
+            dicts = [dicts[0]]
         self._label_lookups = [build_label_lookup(d) for d in dicts]
         return dicts
 
