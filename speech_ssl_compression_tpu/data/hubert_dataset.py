@@ -67,6 +67,10 @@ def load_label_offsets(label_path: str, inds: Sequence[int], tot: int):
 def verify_label_lengths(sizes, label_path, inds, tot, label_rate,
                          sample_rate=16000, tol=0.1):
     """reference :72-108: warn when audio and label durations disagree."""
+    if label_rate < 0:
+        # sequence labels (reference :81-83): no frame alignment to verify
+        logger.info(f"{label_path} is sequence label. skipped")
+        return
     with open(label_path) as f:
         lengths = [len(line.rstrip().split()) for line in f]
     assert len(lengths) == tot
@@ -193,9 +197,14 @@ class HubertWaveDataset:
             source[i, : len(w)] = w
             lengths[i] = len(w)
 
-        # frame-aligned label crops (reference collater_frm_label :285-301)
+        # frame-aligned label crops (reference collater_frm_label :285-301);
+        # label_rate == -1 -> sequence labels passed whole (collater_seq_label
+        # :303-308 — no crop alignment)
         target_lists = []
         for li, rate in enumerate(self.label_rates):
+            if rate < 0:
+                target_lists.append([labs[li] for labs in labels])
+                continue
             s2f = rate / self.sample_rate
             frm_labels = []
             for bi, labs in enumerate(labels):

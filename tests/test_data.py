@@ -271,3 +271,41 @@ def test_prefetch_iterator_normal_exhaustion_and_error():
     import pytest
     with pytest.raises(RuntimeError, match="source failed"):
         next(it)
+
+
+def test_hubert_dataset_sequence_labels(tmp_path):
+    """label_rate == -1 -> sequence labels: duration verification skipped
+    and labels collated whole, without frame-crop alignment (reference
+    hubert_dataset.py:81-83, collater_seq_label :303-308)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_wave_runner import make_wav_dataset
+
+    from speech_ssl_compression_tpu.data.hubert_dataset import (
+        HubertWaveDataset,
+    )
+
+    data = make_wav_dataset(tmp_path, n_utts=4)
+    # the .km file holds 50 Hz labels; with rate=-1 they are "sequence"
+    # labels and must come through uncropped
+    ds = HubertWaveDataset(
+        manifest_path=f"{data}/train.tsv",
+        sample_rate=16000,
+        label_paths=[f"{data}/train.km"],
+        label_rates=-1,
+        batch_size=2,
+        max_keep_sample_size=None,
+        min_keep_sample_size=None,
+        max_sample_size=3200,   # forces crops on most utterances
+        pad_audio=False,
+        normalize=False,
+        random_crop=True,
+        seed=0,
+    )
+    raw_lines = open(f"{data}/train.km").read().splitlines()
+    raw_lens = {len(l.split()) for l in raw_lines}
+    batch = next(ds.epoch(shuffle=False))
+    for labs in batch["target_lists"][0]:
+        # audio was cropped to 3200 samples, labels stayed whole
+        assert len(labs) in raw_lens
+        assert len(labs) > int(round(3200 / 16000 * 50))
