@@ -96,6 +96,16 @@ class WaveRunner:
         if self.upstream == "hubert":
             self.task_cfg = HubertTaskConfig.from_dict(task)
             self.cfg = HuBERTConfig.from_dict(upstream_config["hubert"])
+            if self.task_cfg.label_rate < 0:
+                # sequence labels (dataset supports them for fine-tuning
+                # consumers) cannot be frame-aligned to randomly-cropped
+                # audio — the pretrain collate would silently index them
+                # from position 0. Fail loudly instead.
+                raise NotImplementedError(
+                    "task.label_rate = -1 (sequence labels) is not valid "
+                    "for HuBERT pre-training; set the frame label rate "
+                    "(e.g. 50)"
+                )
             self.dictionaries = self._load_dictionaries()
             self.num_classes = tuple(len(d) for d in self.dictionaries)
         elif self.upstream == "wav2vec2":
@@ -139,30 +149,49 @@ class WaveRunner:
                 pc["interval"], pc["warm_up"], pc["total_steps"]
             )
             if self.mode == "head-pruning":
-                if pc.get("metric", "l1") == "l1":
-                    self.num_heads_each_step = self.cfg.encoder_layers
-                else:
+                if pc.get("metric", "l1") != "l1":
                     raise NotImplementedError(
                         "data-driven head scoring is MelHuBERT-only (as in "
                         "the reference, hp_utils.py:242 uses MelFeatDataset)"
                     )
-                # budget check (Runner has the same; reference hp_utils.py:40)
-                # strict <: by_layer removes 1 head/layer/event, and a layer
-                # pruned to ZERO heads is architecturally invalid — fail at
-                # construction, not at the event
-                assert (
-                    self.total_prune_step < min(self.cfg.encoder_attention_heads)
-                ), (
-                    f"{self.total_prune_step} head-prune events would empty a "
-                    f"layer (min heads/layer = "
-                    f"{min(self.cfg.encoder_attention_heads)})"
-                )
+                target = pc.get("target", "by_layer")
+                if target == "by_layer":
+                    # 1 head per layer per event; a layer pruned to ZERO
+                    # heads is architecturally invalid — fail at
+                    # construction, not at the event (strict <)
+                    self.num_heads_each_step = self.cfg.encoder_layers
+                    assert (
+                        self.total_prune_step
+                        < min(self.cfg.encoder_attention_heads)
+                    ), (
+                        f"{self.total_prune_step} by_layer head-prune events "
+                        f"would empty a layer (min heads/layer = "
+                        f"{min(self.cfg.encoder_attention_heads)})"
+                    )
+                else:
+                    # by_whole protects the top head of every layer
+                    # (select_heads_to_prune), so the prunable pool is
+                    # sum(heads) - n_layers
+                    self.num_heads_each_step = pc["num_heads_each_step"]
+                    prunable = (
+                        sum(self.cfg.encoder_attention_heads)
+                        - self.cfg.encoder_layers
+                    )
+                    assert (
+                        self.num_heads_each_step * self.total_prune_step
+                        <= prunable
+                    ), (
+                        f"by_whole schedule prunes "
+                        f"{self.num_heads_each_step * self.total_prune_step} "
+                        f"heads but only {prunable} are prunable"
+                    )
             else:
                 self.num_rows_each_step = pc["num_rows_each_step"]
+                # strict <: an FFN pruned to zero rows is degenerate
                 assert (
                     self.num_rows_each_step * self.total_prune_step
-                    <= min(self.cfg.encoder_ffn_embed_dim)
-                ), "row-prune schedule exceeds the FFN width"
+                    < min(self.cfg.encoder_ffn_embed_dim)
+                ), "row-prune schedule would empty the FFN"
         if self.mode == "weight-pruning":
             pc = runner_config["prune"]
             n_iters = pc.get("n_iters", 38)
@@ -246,16 +275,20 @@ class WaveRunner:
         count = int(jax.tree.leaves(self.opt_state)[0])
         return float(sched(count))
 
+    def _label_sets(self):
+        """Label sets the run actually uses: fine-tuning tasks use only the
+        first (reference runner.py:206-207). One source of truth for the
+        dictionaries AND the dataset's label paths — truncating only one
+        side would desync target_lists from label lookups."""
+        labels = list(self.task_cfg.labels)
+        return labels[:1] if self.task_cfg.fine_tuning else labels
+
     def _load_dictionaries(self):
         label_dir = self.task_cfg.label_dir or self.task_cfg.data
         dicts = [
             Dictionary.load(f"{label_dir}/dict.{label}.txt")
-            for label in self.task_cfg.labels
+            for label in self._label_sets()
         ]
-        if self.task_cfg.fine_tuning:
-            # reference runner.py:206-207: fine-tuning tasks use only the
-            # first label set's dictionary
-            dicts = [dicts[0]]
         self._label_lookups = [build_label_lookup(d) for d in dicts]
         return dicts
 
@@ -388,7 +421,7 @@ class WaveRunner:
         if self.upstream == "hubert":
             label_dir = task.label_dir or task.data
             label_paths = [
-                f"{label_dir}/train.{l}" for l in task.labels
+                f"{label_dir}/train.{l}" for l in self._label_sets()
             ]
             return HubertWaveDataset(
                 manifest_path=f"{task.data}/train.tsv",

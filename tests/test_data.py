@@ -277,9 +277,7 @@ def test_hubert_dataset_sequence_labels(tmp_path):
     """label_rate == -1 -> sequence labels: duration verification skipped
     and labels collated whole, without frame-crop alignment (reference
     hubert_dataset.py:81-83, collater_seq_label :303-308)."""
-    import sys
-    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
-    from test_wave_runner import make_wav_dataset
+    from tests.test_wave_runner import make_wav_dataset
 
     from speech_ssl_compression_tpu.data.hubert_dataset import (
         HubertWaveDataset,
