@@ -324,7 +324,13 @@ def wav2vec2_forward(
     else:
         neg_mask = mask_indices & frame_valid
     n_cross = cfg.cross_sample_negatives
-    n_codebook = cfg.codebook_negatives if cfg.quantize_targets else 0
+    if cfg.codebook_negatives > 0 and not cfg.quantize_targets:
+        # the reference fails here too (self.quantizer is None ->
+        # AttributeError, model.py:849); be loud, not accept-and-ignore
+        raise ValueError(
+            "codebook_negatives requires quantize_targets=true"
+        )
+    n_codebook = cfg.codebook_negatives
     impl = getattr(cfg, "contrastive_impl", "auto")
 
     if (cfg.quantize_targets and q.get("targets") is not None

@@ -46,13 +46,13 @@ from ..parallel import batch_sharding, make_mesh, shard_params
 from ..utils.checkpoint import save_checkpoint, load_checkpoint, restore_opt_state
 from ..utils.tb import TBLogger
 from .steps import (
-    build_lr_schedule,
-    parse_betas,
+    accumulate_grads,
+    applied_lr,
     make_apply_step,
     make_distill_grad_step,
     make_melhubert_grad_step,
-    make_optimizer,
-    accumulate_grads,
+    make_optimizer_from_config,
+    optimizer_schedule,
 )
 
 
@@ -171,6 +171,8 @@ class Runner:
             self.prune_steps = []
 
         # ------- optimizer ----------------------------------------------
+        self._sched_offset = 0
+        self._sched_total = None
         self.optimizer = self._build_optimizer()
         self.opt_state = self.optimizer.init(self.params)
         if (
@@ -181,45 +183,44 @@ class Runner:
                 self.opt_state, self._resumed_opt_leaves
             )
             print(f"[Runner] Loaded optimizer state from {args.initial_weight}")
+            self._resync_schedule_offset()
 
         self._rebuild_steps()
 
     # ------------------------------------------------------------------
-    def _build_optimizer(self, sched_offset: int = 0):
-        """``sched_offset``: structured-prune events reset the Adam state
-        (reference re-creates the torch optimizer, runner.py:348,356),
-        which would restart an lr schedule from step 0 — the offset keeps
-        the schedule on the GLOBAL update count across resets."""
-        opt_cfg = self.runner_config.get("optimizer", {})
-        base_lr = float(opt_cfg.get("lr", 1e-4))
-        sched = build_lr_schedule(self.runner_config, base_lr)
-        if sched is not None and sched_offset:
-            inner = sched
-
-            def sched(n, _f=inner, _o=sched_offset):
-                return _f(n + _o)
-
-        return make_optimizer(
-            lr=base_lr,
-            betas=parse_betas(opt_cfg.get("betas", (0.9, 0.999))),
-            eps=float(opt_cfg.get("eps", 1e-8)),
-            weight_decay=float(opt_cfg.get("weight_decay", 0.0)),
-            gradient_clipping=float(
-                self.runner_config["runner"].get("gradient_clipping", 10.0)
-            ),
-            lr_schedule=sched,
+    def _build_optimizer(self):
+        return make_optimizer_from_config(
+            self.runner_config, sched_offset=self._sched_offset,
+            total_steps=self._sched_total,
         )
 
-    def _applied_lr(self):
-        """The lr the LAST optimizer update actually used: the (offset-
-        wrapped) schedule evaluated at the Adam step count — skipped
-        non-finite steps do not advance it, so this tracks truth where
-        a global-step-indexed lookup would drift."""
-        sched = (getattr(self.optimizer, "hyper", None) or {}).get("schedule")
-        if sched is None:
-            return None
+    def _resync_schedule_offset(self):
+        """After restoring optimizer state from a checkpoint: the Adam
+        count may be a post-prune-reset count while the checkpoint's
+        ``Step`` is the global update count — rebuild the optimizer so
+        the schedule stays on the global count across the resume (the
+        in-memory offset from the original run does not survive)."""
+        if optimizer_schedule(self.optimizer) is None:
+            return
         count = int(jax.tree.leaves(self.opt_state)[0])
-        return float(sched(count))
+        step = int((self._resumed_meta or {}).get("Step", count) or count)
+        if step > count:
+            self._sched_offset = step - count
+            self.optimizer = self._build_optimizer()
+
+    def _finalize_schedule_total(self, total_steps: int):
+        """Epoch-driven runs resolve their length only in train(): if the
+        schedule was built without a total (needs_total), rebuild the
+        optimizer so polynomial decay uses the real run length."""
+        sched = optimizer_schedule(self.optimizer)
+        if sched is None or not getattr(sched, "needs_total", False):
+            return
+        self._sched_total = int(total_steps)
+        self.optimizer = self._build_optimizer()
+        self.apply_step = make_apply_step(self.optimizer, donate=True)
+
+    def _applied_lr(self):
+        return applied_lr(self.optimizer, self.opt_state)
 
     def _log_scalar(self, tag, value, step):
         self.logger.scalar(tag, value, step)
@@ -351,9 +352,9 @@ class Runner:
         active, rebuild the optimizer with the schedule offset by the
         global step so the lr does NOT re-warm from zero after the reset
         (the count leaf restarts; prune events re-jit anyway)."""
-        sched = (getattr(self.optimizer, "hyper", None) or {}).get("schedule")
-        if sched is not None and global_step:
-            self.optimizer = self._build_optimizer(sched_offset=global_step)
+        if optimizer_schedule(self.optimizer) is not None and global_step:
+            self._sched_offset = int(global_step)
+            self.optimizer = self._build_optimizer()
             self.apply_step = make_apply_step(self.optimizer, donate=True)
         self.opt_state = self.optimizer.init(self.params)
 
@@ -583,6 +584,7 @@ class Runner:
             )
         step_per_epoch = max(1, len(dataset) // accum)
         save_every_x_epochs = runner.get("save_every_x_epochs", 10)
+        self._finalize_schedule_total(total_steps)
 
         if "pruning" in self.mode:
             assert max(self.prune_steps) <= total_steps, (

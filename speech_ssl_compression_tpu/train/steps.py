@@ -63,7 +63,8 @@ def polynomial_decay_schedule(base_lr, warmup_updates=0,
     return f
 
 
-def build_lr_schedule(runner_config: dict, base_lr: float):
+def build_lr_schedule(runner_config: dict, base_lr: float,
+                      total_steps=None):
     """Honor the runner-YAML ``lr_scheduler:`` section (the reference's
     wav2vec2 runner config ships ``warmup_updates``; upstream never calls
     its own ``step_update`` — the formula at runner.py:184-197 is applied
@@ -71,22 +72,80 @@ def build_lr_schedule(runner_config: dict, base_lr: float):
     ``lr_schedule`` or None when the section is absent.
 
     Keys: warmup_updates (default 0), total_num_update (defaults to
-    ``runner.total_steps`` when positive, else no decay),
-    end_learning_rate (default 0), power (default 1)."""
+    ``total_steps`` or ``runner.total_steps`` when positive), power
+    (default 1), end_learning_rate (default 0). When no total is known
+    yet (epoch-driven runs resolve their length in train()), the returned
+    schedule carries ``needs_total=True`` so the runner can rebuild it —
+    via :func:`make_optimizer_from_config` — once the length is computed;
+    until then it is warmup-only."""
     sched = runner_config.get("lr_scheduler")
     if not sched:
         return None
     total = sched.get("total_num_update")
+    if total is None and total_steps is not None and int(total_steps) > 0:
+        total = int(total_steps)
     if total is None:
         rt = runner_config.get("runner", {}).get("total_steps", -1)
         total = int(rt) if rt and int(rt) > 0 else None
-    return polynomial_decay_schedule(
+    f = polynomial_decay_schedule(
         base_lr,
         warmup_updates=int(sched.get("warmup_updates", 0)),
         total_num_update=total,
         end_learning_rate=float(sched.get("end_learning_rate", 0.0)),
         power=float(sched.get("power", 1.0)),
     )
+    f.needs_total = total is None
+    return f
+
+
+def make_optimizer_from_config(runner_config: dict, *, sched_offset: int = 0,
+                               total_steps=None):
+    """The optimizer both runners use, built from the runner YAML
+    (``optimizer:`` + ``runner.gradient_clipping`` + ``lr_scheduler:``).
+
+    ``sched_offset`` keeps an active lr schedule on the GLOBAL update
+    count when the Adam state (whose count the schedule is evaluated on)
+    has been reset — structured-prune events re-init it, and a resumed
+    run restores a post-reset count. ``total_steps`` supplies the run
+    length for polynomial decay when the YAML drives the run by epochs."""
+    opt_cfg = runner_config.get("optimizer", {})
+    base_lr = float(opt_cfg.get("lr", 1e-4))
+    sched = build_lr_schedule(runner_config, base_lr, total_steps=total_steps)
+    if sched is not None and sched_offset:
+        inner = sched
+
+        def sched(n, _f=inner, _o=int(sched_offset)):
+            return _f(n + _o)
+
+        sched.needs_total = inner.needs_total
+    return make_optimizer(
+        lr=base_lr,
+        betas=parse_betas(opt_cfg.get("betas", (0.9, 0.999))),
+        eps=float(opt_cfg.get("eps", 1e-8)),
+        weight_decay=float(opt_cfg.get("weight_decay", 0.0)),
+        gradient_clipping=float(
+            runner_config.get("runner", {}).get("gradient_clipping", 10.0)
+        ),
+        lr_schedule=sched,
+    )
+
+
+def optimizer_schedule(optimizer):
+    """The active lr schedule of a make_optimizer-built optimizer, or
+    None."""
+    return (getattr(optimizer, "hyper", None) or {}).get("schedule")
+
+
+def applied_lr(optimizer, opt_state):
+    """The lr the LAST optimizer update actually used: the (offset-
+    wrapped) schedule evaluated at the Adam step count — skipped
+    non-finite steps do not advance it, so this tracks truth where a
+    global-step-indexed lookup would drift. None without a schedule."""
+    sched = optimizer_schedule(optimizer)
+    if sched is None:
+        return None
+    count = int(jax.tree.leaves(opt_state)[0])
+    return float(sched(count))
 
 
 def parse_betas(betas):

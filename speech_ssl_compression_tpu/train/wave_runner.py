@@ -57,12 +57,12 @@ from ..utils.checkpoint import (
 )
 from ..utils.tb import TBLogger
 from .steps import (
-    build_lr_schedule,
-    parse_betas,
     accumulate_grads,
+    applied_lr,
     cast_for_compute,
     make_apply_step,
-    make_optimizer,
+    make_optimizer_from_config,
+    optimizer_schedule,
 )
 
 
@@ -212,6 +212,8 @@ class WaveRunner:
             if self._resumed_meta and "Pruning" in self._resumed_meta:
                 self.wp_state.load_meta(self._resumed_meta["Pruning"])
 
+        self._sched_offset = 0
+        self._sched_total = None
         self.optimizer = self._build_optimizer()
         self.opt_state = self.optimizer.init(self.params)
         if getattr(args, "init_optimizer_from_initial_weight", False):
@@ -223,6 +225,7 @@ class WaveRunner:
                     f"[WaveRunner] Loaded optimizer state from "
                     f"{args.initial_weight}"
                 )
+                self._resync_schedule_offset()
             else:
                 # torch-format ckpts / npz without opt state: be loud, not
                 # silent (the reference restores torch Adam state here;
@@ -237,43 +240,42 @@ class WaveRunner:
         self._build_grad_step()
 
     # ------------------------------------------------------------------
-    def _build_optimizer(self, sched_offset: int = 0):
-        """See Runner._build_optimizer: the offset keeps an active lr
-        schedule on the global update count across prune-event optimizer
-        resets."""
-        opt_cfg = self.runner_config.get("optimizer", {})
-        base_lr = float(opt_cfg.get("lr", 1e-4))
-        sched = build_lr_schedule(self.runner_config, base_lr)
-        if sched is not None and sched_offset:
-            inner = sched
-
-            def sched(n, _f=inner, _o=sched_offset):
-                return _f(n + _o)
-
-        return make_optimizer(
-            lr=base_lr,
-            betas=parse_betas(opt_cfg.get("betas", (0.9, 0.999))),
-            eps=float(opt_cfg.get("eps", 1e-8)),
-            weight_decay=float(opt_cfg.get("weight_decay", 0.0)),
-            gradient_clipping=float(
-                self.runner_config["runner"].get("gradient_clipping", 10.0)
-            ),
-            lr_schedule=sched,
+    def _build_optimizer(self):
+        return make_optimizer_from_config(
+            self.runner_config, sched_offset=self._sched_offset,
+            total_steps=self._sched_total,
         )
 
+    def _resync_schedule_offset(self):
+        """See Runner._resync_schedule_offset: re-derive the schedule
+        offset (global Step - restored Adam count) after a resume."""
+        if optimizer_schedule(self.optimizer) is None:
+            return
+        count = int(jax.tree.leaves(self.opt_state)[0])
+        step = int((self._resumed_meta or {}).get("Step", count) or count)
+        if step > count:
+            self._sched_offset = step - count
+            self.optimizer = self._build_optimizer()
+
+    def _finalize_schedule_total(self, total_steps: int):
+        """See Runner._finalize_schedule_total: epoch-driven runs resolve
+        their length only in train()."""
+        sched = optimizer_schedule(self.optimizer)
+        if sched is None or not getattr(sched, "needs_total", False):
+            return
+        self._sched_total = int(total_steps)
+        self.optimizer = self._build_optimizer()
+        self.apply_step = make_apply_step(self.optimizer, donate=True)
+
     def _reset_optimizer(self, global_step: int = 0):
-        sched = (getattr(self.optimizer, "hyper", None) or {}).get("schedule")
-        if sched is not None and global_step:
-            self.optimizer = self._build_optimizer(sched_offset=global_step)
+        if optimizer_schedule(self.optimizer) is not None and global_step:
+            self._sched_offset = int(global_step)
+            self.optimizer = self._build_optimizer()
             self.apply_step = make_apply_step(self.optimizer, donate=True)
         self.opt_state = self.optimizer.init(self.params)
 
     def _applied_lr(self):
-        sched = (getattr(self.optimizer, "hyper", None) or {}).get("schedule")
-        if sched is None:
-            return None
-        count = int(jax.tree.leaves(self.opt_state)[0])
-        return float(sched(count))
+        return applied_lr(self.optimizer, self.opt_state)
 
     def _label_sets(self):
         """Label sets the run actually uses: fine-tuning tasks use only the
@@ -538,6 +540,7 @@ class WaveRunner:
         if total_steps is None or total_steps <= 0:
             n_epochs = runner.get("n_epochs", 1)
             total_steps = int(n_epochs * len(dataset) / self.accum_steps)
+        self._finalize_schedule_total(total_steps)
         log_step = runner.get("log_step", 200)
         accum = self.accum_steps
         step_per_epoch = max(1, len(dataset) // accum)

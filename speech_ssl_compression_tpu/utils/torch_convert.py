@@ -310,7 +310,8 @@ def wave_state_dict_to_params(
                     int(m.group(1))
                     for k in sd
                     for m in [re.match(
-                        r"quantizer\.weight_proj\.(\d+)\.0\.weight$", k)]
+                        r"quantizer\.weight_proj\.(\d+)\.0\.weight(_orig)?$",
+                        k)]
                     if m
                 )
                 layers = [

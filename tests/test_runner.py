@@ -308,3 +308,63 @@ def test_lr_schedule_survives_prune_event_reset(tmp_path):
     # ...but the applied lr reflects ~6 global updates, not `count`
     lr_now = runner._applied_lr()
     np.testing.assert_allclose(lr_now, base_lr * 6 / 1000, rtol=1e-5)
+
+
+def test_lr_schedule_offset_survives_resume(tmp_path):
+    """A resumed run cannot see the original process's in-memory schedule
+    offset; it must be re-derived as (checkpoint Step - restored Adam
+    count) so the lr stays on the global update count."""
+    csv = make_dataset(tmp_path)
+    rc = base_runner_cfg(csv, total_steps=6)
+    rc["prune"] = {
+        "metric": "l1", "target": "by_layer",
+        "total_steps": 2, "interval": 2, "warm_up": 1,
+    }
+    rc["lr_scheduler"] = {"warmup_updates": 1000}
+    args = make_args(tmp_path, "head-pruning")
+    runner = Runner(args, rc, base_model_cfg())
+    runner.train()
+    base_lr = float(rc["optimizer"]["lr"])
+
+    # resume the (pruned) checkpoint with optimizer state — head-pruning's
+    # final artifact uses the reference's states_prune_{heads} naming
+    n_left = sum(runner.cfg.encoder_attention_heads)
+    args2 = make_args(
+        tmp_path, "melhubert",
+        initial_weight=os.path.join(args.expdir,
+                                    f"states_prune_{n_left}.npz"),
+        init_optimizer_from_initial_weight=True,
+    )
+    args2.expdir = str(tmp_path / "exp_resume_sched")
+    rc2 = base_runner_cfg(csv, total_steps=2)
+    rc2["lr_scheduler"] = {"warmup_updates": 1000}
+    runner2 = Runner(args2, rc2, base_model_cfg())
+    import jax
+    count = int(jax.tree.leaves(runner2.opt_state)[0])
+    assert count < 6  # the restored Adam count is post-prune-reset
+    np.testing.assert_allclose(
+        runner2._applied_lr(), base_lr * 6 / 1000, rtol=1e-5
+    )
+
+
+def test_lr_schedule_epoch_driven_total(tmp_path):
+    """Epoch-driven runs (total_steps <= 0) resolve their length in
+    train(); the polynomial decay must pick it up instead of silently
+    staying warmup-only."""
+    from speech_ssl_compression_tpu.train.steps import optimizer_schedule
+
+    csv = make_dataset(tmp_path)
+    rc = base_runner_cfg(csv)
+    rc["runner"]["total_steps"] = -1
+    rc["runner"]["n_epochs"] = 1
+    rc["lr_scheduler"] = {"warmup_updates": 1, "end_learning_rate": 0.0}
+    args = make_args(tmp_path, "melhubert")
+    runner = Runner(args, rc, base_model_cfg())
+    assert optimizer_schedule(runner.optimizer).needs_total
+    runner.train()
+    sched = optimizer_schedule(runner.optimizer)
+    assert not getattr(sched, "needs_total", False)
+    # decay engaged: by the final step the applied lr decayed to ~end_lr
+    lr_end = runner._applied_lr()
+    base_lr = float(rc["optimizer"]["lr"])
+    assert lr_end < base_lr * 0.51  # linear decay past the midpoint

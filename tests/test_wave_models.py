@@ -914,3 +914,49 @@ def test_deep_quantizer_state_dict_roundtrip():
     for a, b in zip(got, want):
         np.testing.assert_allclose(a["kernel"], np.asarray(b["kernel"]),
                                    atol=1e-7)
+
+
+def test_codebook_negatives_without_quantizer_raises():
+    import pytest
+
+    from speech_ssl_compression_tpu.models import (
+        init_wav2vec2_params,
+        wav2vec2_forward,
+    )
+
+    cfg = Wav2Vec2Config.from_dict(
+        {**_w2v2_cfg().to_dict(), "quantize_targets": False,
+         "codebook_negatives": 4}
+    )
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+    src = jnp.asarray(np.zeros((1, 2000)), jnp.float32)
+    with pytest.raises(ValueError, match="quantize_targets"):
+        wav2vec2_forward(params, cfg, src,
+                         jnp.asarray([2000], jnp.int32), mask=True,
+                         rng=jax.random.PRNGKey(1), deterministic=False)
+
+
+def test_deep_quantizer_weight_orig_form_roundtrip():
+    """A deep (depth>1) quantizer whose Linears are stored in torch-prune
+    weight_orig/weight_mask form must still parse (the masked product)."""
+    from speech_ssl_compression_tpu.models import init_wav2vec2_params
+    from speech_ssl_compression_tpu.utils.torch_convert import (
+        wave_params_to_state_dict,
+        wave_state_dict_to_params,
+    )
+
+    cfg = Wav2Vec2Config.from_dict(
+        {**_w2v2_cfg().to_dict(), "quantizer_depth": 2,
+         "quantizer_factor": 2}
+    )
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+    sd = wave_params_to_state_dict(params, "wav2vec2")
+    # reparametrize the first deep block like pytorch_code/prune.py
+    w = sd.pop("quantizer.weight_proj.0.0.weight")
+    mask = np.ones_like(w)
+    mask[0, 0] = 0.0
+    sd["quantizer.weight_proj.0.0.weight_orig"] = w
+    sd["quantizer.weight_proj.0.0.weight_mask"] = mask
+    back, _, _ = wave_state_dict_to_params(sd, "wav2vec2")
+    got = back["quantizer"]["weight_proj"]["layers"][0]["kernel"]
+    np.testing.assert_allclose(got, (w * mask).T, atol=1e-7)
