@@ -26,11 +26,15 @@ def test_runner_uses_mesh_dp(tmp_path):
     )
     rc = base_runner_cfg(csv, total_steps=3)
     rc["datarc"]["train_batch_size"] = 8  # divisible by dp=8
+    rc["lr_scheduler"] = {"warmup_updates": 10}  # fused apply w/ schedule
     runner = Runner(args, rc, base_model_cfg())
     assert runner.n_devices == 8
     assert dict(runner.mesh.shape) == {"data": 8, "model": 1}
     runner.train()
     assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))
+    base_lr = float(rc["optimizer"]["lr"])
+    np.testing.assert_allclose(runner._applied_lr(), base_lr * 3 / 10,
+                               rtol=1e-5)
 
 
 def test_runner_mesh_head_prune_reshard(tmp_path):
