@@ -33,12 +33,20 @@ def l1_head_scores(params: dict, cfg) -> List[Tuple[Tuple[int, int], float]]:
     hd = cfg.head_dim
     for i, layer in enumerate(params["encoder"]["layers"]):
         n_heads = cfg.encoder_attention_heads[i]
+        # one device->host transfer per module, then slice in NumPy (a
+        # per-head device slice would cost H*3 tiny round-trips per layer
+        # — material over a remote-TPU tunnel)
+        mods = {
+            mod: (np.asarray(layer[mod]["kernel"]),
+                  np.asarray(layer[mod]["bias"]))
+            for mod in ("k_proj", "q_proj", "v_proj")
+        }
         for h in range(n_heads):
             sl = slice(h * hd, (h + 1) * hd)
             s = 0.0
-            for mod in ("k_proj", "q_proj", "v_proj"):
-                s += float(np.abs(np.asarray(layer[mod]["kernel"][:, sl])).sum())
-                s += float(np.abs(np.asarray(layer[mod]["bias"][sl])).sum())
+            for kernel, bias in mods.values():
+                s += float(np.abs(kernel[:, sl]).sum())
+                s += float(np.abs(bias[sl]).sum())
             out.append(((i, h), s))
     return out
 
@@ -101,6 +109,10 @@ def select_heads_to_prune(
         to_prune = filtered[:n_to_prune]
     elif target == "by_layer":
         # lowest-scoring head of each of the first n_to_prune layers
+        assert n_to_prune <= n_layers, (
+            f"by_layer prunes 1 head per layer; {n_to_prune} requested "
+            f"but only {n_layers} layers exist"
+        )
         remaining = set(range(n_to_prune))
         to_prune = []
         for layer, head in sorted_heads:
@@ -109,6 +121,9 @@ def select_heads_to_prune(
             if layer in remaining:
                 to_prune.append((layer, head))
                 remaining.remove(layer)
+        assert not remaining, (
+            f"layers {sorted(remaining)} had no prunable head left"
+        )
     else:
         raise NotImplementedError(target)
 

@@ -178,6 +178,11 @@ class WeightPruningState:
             self.prune_condition == "converge"
             and global_step > self.warnup
             and any(global_step + self.avg_len == p for p in prune_steps)
+            # smooth_loss is None while the 3-batch seed buffer refills
+            # right after a prune/resume (period - avg_len <= 3): skip the
+            # record instead of storing None, which would make converged()
+            # compute `None - con_tol` once the EMA is reseeded
+            and self.smooth_loss is not None
         ):
             self.tgt_smooth_loss = self.smooth_loss
 

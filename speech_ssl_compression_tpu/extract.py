@@ -73,8 +73,12 @@ def load_any_checkpoint(path: str):
         state = load_checkpoint(path)
         meta = state["meta"]
         up = meta.get("Upstream_Config", {})
-        cfg_dict = dict(up.get("melhubert") or up.get("hubert")
-                        or up.get("student") or {})
+        # "student" FIRST: a distillation checkpoint stores the student's
+        # params, and its config may sit beside a legacy "melhubert"
+        # teacher section — same precedence as the distiller expert
+        # (upstream/melhubert_distiller.py:29)
+        cfg_dict = dict(up.get("student") or up.get("melhubert")
+                        or up.get("hubert") or {})
         cfg = MelHuBERTConfig.from_dict(cfg_dict)
         params = state["params"]
         if state["masks"] is not None:

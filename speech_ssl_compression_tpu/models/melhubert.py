@@ -105,6 +105,12 @@ def melhubert_forward(
                 min_masks=2,
                 no_overlap=cfg.no_mask_overlap,
                 min_space=cfg.mask_min_space,
+                # the reference MelHuBERT passes this EXPLICITLY
+                # (model.py:76), overriding fairseq's default True — each
+                # row keeps its own proportional mask count; the batch-min
+                # subsampling would let one short utterance cut masking
+                # for every row (HuBERT/wav2vec2 keep the fairseq default)
+                require_same_masks=False,
             )
 
     x = feat

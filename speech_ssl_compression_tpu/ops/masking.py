@@ -19,8 +19,9 @@ inside jit with jax.random and fully static shapes:
   * spans may overlap; indices >= sz never masked (reference :139)
   * ``require_same_masks`` subsamples every row's masked set down to the
     batch-wide minimum count, and ``mask_dropout`` then drops a further
-    ``rint(count * mask_dropout)`` positions (reference :141-150; note the
-    reference *defaults* require_same_masks=True at every call site).
+    ``rint(count * mask_dropout)`` positions (reference :141-150; fairseq
+    defaults require_same_masks=True — HuBERT/wav2vec2 use the default,
+    but MelHuBERT explicitly passes False, reference model.py:76).
 
 ``no_overlap=True`` selects the reference's recursive interval-splitting
 placement (data_utils.py:103-124), which is inherently sequential and
@@ -162,10 +163,15 @@ def compute_span_mask(
                 rng=np.random.default_rng(int(seed_)),
             )
 
-        return jax.pure_callback(
+        out = jax.pure_callback(
             _host, jax.ShapeDtypeStruct((b, t), jnp.bool_), seed, lengths,
             vmap_method="sequential",
         )
+        # shared_rounding models fairseq's padding_mask=None path (full-
+        # length rows); if a caller nevertheless passes ragged lengths,
+        # confine the masks like the overlapping branch does so the "no
+        # True beyond each row's length" contract holds
+        return out & (jnp.arange(t)[None, :] < lengths[:, None])
 
     n_spans = max_spans_upper_bound(t, mask_prob, mask_length, min_masks)
     k_count, k_lens, k_starts, k_subset = jax.random.split(rng, 4)
@@ -216,6 +222,14 @@ def compute_span_mask(
     # partially unmasked, which is the intent).
     num_mask = jnp.minimum(num_mask, n_starts)
     keep = jnp.arange(n_spans)[None, :] < num_mask[:, None]
+    # Re-apply the all-zero-length fallback on the CLAMPED slot set: a
+    # short row may have kept only zero-length spans (poisson/uniform),
+    # which would yield an empty mask — and under require_same_masks an
+    # empty batch-wide target. Slot 0 is always kept when num_mask >= 1.
+    total_len = jnp.sum(jnp.where(keep, span_len, 0), axis=1)
+    span_len = span_len.at[:, 0].set(
+        jnp.where(total_len == 0, fallback, span_len[:, 0])
+    )
 
     # Uniform sample w/o replacement via top-k of uniform scores over valid
     # positions; invalid positions get score -inf so they are never picked.

@@ -240,3 +240,78 @@ def test_shared_rounding_count_matches_reference_no_padding():
     # ...and the per-row batch-min bias is real and visible
     per_row = mean_count(shared_rounding=False)
     assert per_row < shared, (per_row, shared)
+
+
+def test_melhubert_masks_not_batch_min_subsampled():
+    """The reference MelHuBERT passes require_same_masks=False explicitly
+    (model.py:76): a short utterance must NOT cut the long rows' mask
+    counts to the batch minimum."""
+    import jax
+
+    from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+    from speech_ssl_compression_tpu.models import (
+        init_melhubert_params,
+        melhubert_forward,
+    )
+
+    cfg = MelHuBERTConfig.from_dict({
+        "feat_emb_dim": 16, "encoder_layers": 1, "encoder_embed_dim": 32,
+        "encoder_attention_heads": 4, "head_dim": 8,
+        "encoder_ffn_embed_dim": 64, "num_cluster": 8,
+        "conv_pos": 8, "conv_pos_groups": 2,
+        "mask_prob": 0.5, "mask_length": 4,
+        "dropout": 0.0, "attention_dropout": 0.0, "activation_dropout": 0.0,
+    })
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    t = 200
+    feat = jnp.asarray(rng.standard_normal((2, t, 16)), jnp.float32)
+    pad = np.zeros((2, t), np.float32)
+    pad[0, :] = 1.0     # full-length row
+    pad[1, :16] = 1.0   # short row
+    counts = []
+    for seed in range(8):
+        out = melhubert_forward(
+            params, cfg, feat, jnp.asarray(pad), mask=True,
+            rng=jax.random.PRNGKey(seed), deterministic=True,
+            attn_impl="dense",
+        )
+        m = np.asarray(out["mask_indices"])
+        counts.append((m[0].sum(), m[1].sum()))
+    # long row keeps a proportional count (~0.5*200 frames area), far
+    # above the short row's (require_same_masks=True would pin them equal)
+    long_avg = np.mean([c[0] for c in counts])
+    short_max = max(c[1] for c in counts)
+    assert long_avg > 3 * short_max, counts
+    assert all(c0 != c1 for c0, c1 in counts)
+
+
+def test_no_overlap_shared_rounding_confined_to_lengths():
+    """shared_rounding + no_overlap with ragged lengths: masks must still
+    never land beyond a row's length."""
+    lengths = jnp.asarray([50, 256], jnp.int32)
+    m = np.asarray(compute_span_mask(
+        jax.random.PRNGKey(0), lengths, 256,
+        mask_prob=0.65, mask_length=10, mask_selection="static",
+        mask_other=0.0, min_masks=2, no_overlap=True, min_space=1,
+        shared_rounding=True,
+    ))
+    assert not m[0, 50:].any()
+    assert m[1].sum() > 0
+
+
+def test_zero_length_spans_after_clamp_still_mask():
+    """A short row whose clamped slots all sampled zero-length spans must
+    still receive the slot-0 fallback span (empty masks would collapse
+    the whole batch under require_same_masks)."""
+    rng = jax.random.PRNGKey(0)
+    for seed in range(32):
+        m = np.asarray(compute_span_mask(
+            jax.random.fold_in(rng, seed),
+            jnp.asarray([6, 256], jnp.int32), 256,
+            mask_prob=0.9, mask_length=3, mask_selection="poisson",
+            mask_other=0.2, min_masks=2, no_overlap=False, min_space=1,
+            require_same_masks=False,
+        ))
+        assert m[0, :6].sum() > 0, seed
+        assert not m[0, 6:].any()
