@@ -107,6 +107,7 @@ class HubertWaveDataset:
         single_target: bool = False,
         pad_multiple: int = 2000,
         seed: int = 0,
+        label_processors: Optional[List] = None,
     ):
         self.root, self.names, inds, self.sizes, tot = load_manifest(
             manifest_path, max_keep_sample_size, min_keep_sample_size
@@ -123,6 +124,10 @@ class HubertWaveDataset:
         self.single_target = single_target
         self.pad_multiple = pad_multiple
         self.rng = np.random.default_rng(seed)
+        # per-label-set line -> int-array encoders (reference's
+        # label_processors / LabelEncoder, runner.py:25-34); default =
+        # whitespace-separated integers (the .km format)
+        self.label_processors = label_processors
 
         self.label_offsets = [
             load_label_offsets(p, inds, tot) for p in label_paths
@@ -135,7 +140,9 @@ class HubertWaveDataset:
             order[i : i + batch_size].tolist()
             for i in range(0, len(order), batch_size)
         ]
-        if self.buckets and len(self.buckets[-1]) < 2:
+        if batch_size > 1 and self.buckets and len(self.buckets[-1]) < 2:
+            # a lone leftover in a >1-sized batching is dropped (static
+            # shapes); batch_size == 1 legitimately produces singletons
             logger.info("dropping a trailing single-utterance bucket")
             self.buckets.pop()
 
@@ -153,7 +160,9 @@ class HubertWaveDataset:
 
     def _get_labels(self, index: int) -> List[np.ndarray]:
         out = []
-        for p, offsets in zip(self.label_paths, self.label_offsets):
+        for li, (p, offsets) in enumerate(
+            zip(self.label_paths, self.label_offsets)
+        ):
             s, e = offsets[index]
             # binary mode: the offsets are BYTE positions; a text-mode
             # f.read(e - s) counts characters and over-reads into the next
@@ -161,7 +170,10 @@ class HubertWaveDataset:
             with open(p, "rb") as f:
                 f.seek(s)
                 line = f.read(e - s).decode("utf-8")
-            out.append(np.array(list(map(int, line.split()))))
+            if self.label_processors is not None:
+                out.append(np.asarray(self.label_processors[li](line)))
+            else:
+                out.append(np.array(list(map(int, line.split()))))
         return out
 
     def get_batch(self, bucket_idx: int) -> dict:

@@ -129,7 +129,8 @@ class Wav2Vec2AudioDataset:
             order[i : i + batch_size].tolist()
             for i in range(0, len(order), batch_size)
         ]
-        if self.batches and len(self.batches[-1]) < 2:
+        if batch_size > 1 and self.batches and len(self.batches[-1]) < 2:
+            # batch_size == 1 legitimately produces singletons
             self.batches.pop()
 
     def __len__(self):

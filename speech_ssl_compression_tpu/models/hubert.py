@@ -89,6 +89,29 @@ def align_targets_np(labels: np.ndarray, n_frames: int, ratio: float):
     return labels[idx], keep
 
 
+def encode_aligned_targets_np(labels_per_utt, t_frames: int, ratio: float,
+                              lut: np.ndarray, unk: int):
+    """Align label-rate frames to conv frames (reference forward_targets,
+    model.py:292-305) and map raw cluster ids -> dictionary indices via the
+    dict-file order (reference LabelEncoder -> dictionary.encode_line);
+    out-of-vocabulary ids become ``unk``. One implementation for the
+    runner collate AND the pretrain expert — the two paths must produce
+    identical targets. Returns (ids (B, t_frames) int32, valid bool)."""
+    b = len(labels_per_utt)
+    arr = np.zeros((b, t_frames), np.int32)
+    valid = np.zeros((b, t_frames), bool)
+    for bi, labs in enumerate(labels_per_utt):
+        aligned, keep = align_targets_np(np.asarray(labs), t_frames, ratio)
+        keep = min(keep, t_frames)
+        raw = aligned[:keep].astype(np.int64)
+        oob = (raw < 0) | (raw >= len(lut))
+        arr[bi, :keep] = np.where(
+            oob, unk, lut[np.clip(raw, 0, len(lut) - 1)]
+        )
+        valid[bi, :keep] = True
+    return arr, valid
+
+
 def _glu(x, p):
     h = x @ p["kernel"] + p["bias"]
     a, b = jnp.split(h, 2, axis=-1)

@@ -49,6 +49,10 @@ class UpstreamExpert:
         return self.extractor.get_downsample_rates(key)
 
     def forward(self, wavs: Sequence, no_pred: bool = True, norm: bool = True):
+        # no_pred/norm are accepted for reference-signature parity but (as
+        # in the reference, s3prl_upstream/expert.py:113,130 — no_pred is
+        # hardcoded True at the call and norm is never read) intentionally
+        # inert
         from ..ops.attention import attention_mesh
 
         waves = [_to_numpy_wave(w) for w in wavs]

@@ -180,7 +180,8 @@ class Runner:
             and self._resumed_opt_leaves
         ):
             self.opt_state = restore_opt_state(
-                self.opt_state, self._resumed_opt_leaves
+                self.opt_state, self._resumed_opt_leaves,
+                getattr(self, "_resumed_opt_treedef", None),
             )
             print(f"[Runner] Loaded optimizer state from {args.initial_weight}")
             self._resync_schedule_offset()
@@ -243,6 +244,7 @@ class Runner:
                 )
                 self._resumed_meta = state["meta"]
                 self._resumed_opt_leaves = state["opt_leaves"] or None
+                self._resumed_opt_treedef = state.get("opt_treedef")
                 meta_cfg = (
                     state["meta"].get("Upstream_Config", {}).get("melhubert")
                 )

@@ -37,7 +37,7 @@ from ..data.task_config import HubertTaskConfig, Wav2vec2TaskConfig
 from ..data.wav2vec2_dataset import Wav2Vec2AudioDataset
 from ..models.conv_frontend import conv_output_length
 from ..models.hubert import (
-    align_targets_np,
+    encode_aligned_targets_np,
     feat2tar_ratio,
     hubert_forward,
     hubert_pretrain_loss,
@@ -91,6 +91,7 @@ class WaveRunner:
         self.wp_state: Optional[wp.WeightPruningState] = None
         self._resumed_meta = None
         self._resumed_opt_leaves = None
+        self._resumed_opt_treedef = None
 
         task = runner_config.get("task", {})
         if self.upstream == "hubert":
@@ -219,7 +220,8 @@ class WaveRunner:
         if getattr(args, "init_optimizer_from_initial_weight", False):
             if self._resumed_opt_leaves:
                 self.opt_state = restore_opt_state(
-                    self.opt_state, self._resumed_opt_leaves
+                    self.opt_state, self._resumed_opt_leaves,
+                    self._resumed_opt_treedef,
                 )
                 print(
                     f"[WaveRunner] Loaded optimizer state from "
@@ -303,46 +305,15 @@ class WaveRunner:
         possible; a fresh init here would silently prune a random model)."""
         init_w = getattr(self.args, "initial_weight", None)
         if init_w:
-            if init_w.endswith(".npz"):
-                state = load_checkpoint(init_w)
-                self.params = jax.tree.map(jnp.asarray, state["params"])
-                self.masks = (
-                    jax.tree.map(jnp.asarray, state["masks"])
-                    if state["masks"] is not None else None
-                )
-                self._resumed_meta = state["meta"]
-                self._resumed_opt_leaves = state["opt_leaves"] or None
-                # "Config" is the exact (possibly pruned, per-layer) dataclass
-                # dump; "Upstream_Config" the original YAML — prefer the former
-                meta_cfg = state["meta"].get("Config") or (
-                    state["meta"].get("Upstream_Config", {})
-                    .get(self.upstream)
-                )
-                if meta_cfg:
-                    self.cfg = type(self.cfg).from_dict(meta_cfg)
-            else:
-                from ..utils.torch_convert import load_wave_reference_checkpoint
+            from ..utils.torch_convert import load_wave_initial_weight
 
-                params, masks, cfg, extras = load_wave_reference_checkpoint(
-                    init_w, self.upstream
-                )
-                self.params = jax.tree.map(jnp.asarray, params)
-                self.masks = (
-                    jax.tree.map(jnp.asarray, masks) if masks else None
-                )
-                if cfg is not None:
-                    self.cfg = cfg
-                self._resumed_meta = extras
+            (self.params, self.masks, self.cfg, self._resumed_meta,
+             self._resumed_opt_leaves, self._resumed_opt_treedef) = (
+                load_wave_initial_weight(init_w, self.upstream, self.cfg)
+            )
             self.pruned_heads = list(
                 (self._resumed_meta or {}).get("Pruned_heads", [])
             )
-            # structured-prune state is encoded in the array shapes: recover
-            # per-layer head/FFN dims so the jitted step re-traces against
-            # the true (pruned) architecture
-            from ..utils.torch_convert import infer_pruned_dims
-
-            heads, ffns = infer_pruned_dims(self.params, self.cfg.head_dim)
-            self.cfg = self.cfg.with_heads(heads).with_ffn_dims(ffns)
             if self.upstream == "hubert":
                 n_embs = int(
                     self.params["label_embs_concat"].shape[0]
@@ -486,25 +457,11 @@ class WaveRunner:
                 (batch["source"].shape[0], t_frames), bool
             )
             for di, frm_labels in enumerate(batch["target_lists"]):
-                lut = self._label_lookups[di]
-                arr = np.zeros((len(frm_labels), t_frames), np.int32)
-                for bi, labs in enumerate(frm_labels):
-                    # align label-rate frames to conv frames (reference
-                    # forward_targets, model.py:292-305) and map raw cluster
-                    # ids -> dictionary indices through the dict-file order
-                    # (reference LabelEncoder -> dictionary.encode_line);
-                    # out-of-vocabulary ids become <unk>
-                    aligned, keep = align_targets_np(
-                        np.asarray(labs), t_frames, ratio
-                    )
-                    keep = min(keep, t_frames)
-                    raw = aligned[:keep].astype(np.int64)
-                    oob = (raw < 0) | (raw >= len(lut))
-                    arr[bi, :keep] = np.where(
-                        oob, self.dictionaries[di].unk(),
-                        lut[np.clip(raw, 0, len(lut) - 1)],
-                    )
-                    target_valid[bi, :keep] = True
+                arr, valid = encode_aligned_targets_np(
+                    frm_labels, t_frames, ratio,
+                    self._label_lookups[di], self.dictionaries[di].unk(),
+                )
+                target_valid |= valid
                 target_list.append(put(arr))
             out["target_list"] = target_list
             out["target_valid"] = put(target_valid)

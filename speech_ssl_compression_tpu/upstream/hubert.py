@@ -27,7 +27,7 @@ from ..configs import HuBERTConfig
 from ..data.dictionary import build_label_lookup
 from ..models.conv_frontend import conv_output_length
 from ..models.hubert import (
-    align_targets_np,
+    encode_aligned_targets_np,
     feat2tar_ratio,
     hubert_forward,
     hubert_pretrain_loss,
@@ -48,15 +48,26 @@ class HuBERTPretrainExpert:
         self.sample_rate = int(upstream_config.get("sample_rate", 16000))
         self.rng = jax.random.PRNGKey(0)
 
-        self.rng, k = jax.random.split(self.rng)
-        self.params = init_hubert_params(k, self.cfg, self.num_classes)
+        self.masks = None
         if initial_weight:
-            from ..utils.checkpoint import load_checkpoint
+            # shared -i loader (npz or reference .ckpt): recovers pruned
+            # per-layer dims from shapes and keeps the weight-pruning mask
+            # tree — training must continue at the checkpoint's sparsity
+            from ..utils.torch_convert import load_wave_initial_weight
 
-            state = load_checkpoint(initial_weight)
-            self.params = jax.tree.map(jnp.asarray, state["params"])
+            self.params, self.masks, self.cfg, _, _, _ = (
+                load_wave_initial_weight(initial_weight, "hubert", self.cfg)
+            )
+            n_embs = int(self.params["label_embs_concat"].shape[0])
+            assert n_embs == int(sum(self.num_classes)), (
+                f"checkpoint has {n_embs} label embeddings but the "
+                f"dictionaries define {sum(self.num_classes)}"
+            )
             print(f"[Pretrainer] Loaded initialization weight from "
                   f"{initial_weight}")
+        else:
+            self.rng, k = jax.random.split(self.rng)
+            self.params = init_hubert_params(k, self.cfg, self.num_classes)
 
         n = sum(int(np.prod(np.shape(x)))
                 for x in jax.tree.leaves(self.params))
@@ -64,10 +75,12 @@ class HuBERTPretrainExpert:
         self._jit_loss = jax.jit(self._loss_impl, static_argnums=(0, 1))
 
     @staticmethod
-    def _loss_impl(cfg, num_classes, params, source, lengths, targets,
+    def _loss_impl(cfg, num_classes, params, masks, source, lengths, targets,
                    target_valid, rng):
+        from ..compress.weight_pruning import apply_masks
+
         out = hubert_forward(
-            params, cfg, source, lengths, mask=True,
+            apply_masks(params, masks), cfg, source, lengths, mask=True,
             rng=rng, deterministic=False,
         )
         loss, sample_size, _ = hubert_pretrain_loss(
@@ -92,20 +105,11 @@ class HuBERTPretrainExpert:
         ratio = feat2tar_ratio(self.cfg, self.sample_rate)
         target_list, valid = [], np.zeros((source.shape[0], t_frames), bool)
         for di, labs_per_utt in enumerate(data["target_list"]):
-            lut = self._label_lookups[di]
-            arr = np.zeros((source.shape[0], t_frames), np.int32)
-            for bi, labs in enumerate(labs_per_utt):
-                aligned, keep = align_targets_np(
-                    np.asarray(labs), t_frames, ratio
-                )
-                keep = min(keep, t_frames)
-                raw = aligned[:keep].astype(np.int64)
-                oob = (raw < 0) | (raw >= len(lut))
-                arr[bi, :keep] = np.where(
-                    oob, self.dicts[di].unk(),
-                    lut[np.clip(raw, 0, len(lut) - 1)],
-                )
-                valid[bi, :keep] = True
+            arr, v = encode_aligned_targets_np(
+                labs_per_utt, t_frames, ratio,
+                self._label_lookups[di], self.dicts[di].unk(),
+            )
+            valid |= v
             target_list.append(jnp.asarray(arr))
 
         from ..ops.attention import attention_mesh
@@ -113,7 +117,7 @@ class HuBERTPretrainExpert:
         self.rng, k = jax.random.split(self.rng)
         with attention_mesh(None):  # single-process expert (ADVICE r2)
             loss, sample_size = self._jit_loss(
-                self.cfg, self.num_classes, self.params,
+                self.cfg, self.num_classes, self.params, self.masks,
                 jnp.asarray(source), jnp.asarray(lengths),
                 target_list, jnp.asarray(valid), k,
             )
@@ -123,8 +127,31 @@ class HuBERTPretrainExpert:
 
     def load_model(self, init_ckpt: dict):
         assert "model" in init_ckpt or "params" in init_ckpt
-        tree = init_ckpt.get("params", init_ckpt.get("model"))
-        self.params = jax.tree.map(jnp.asarray, tree)
+        from ..utils.torch_convert import infer_pruned_dims
+
+        if "params" in init_ckpt:
+            self.params = jax.tree.map(jnp.asarray, init_ckpt["params"])
+            # masks belong to THIS state (stale masks would zero wrong
+            # weights); absent means dense
+            m = init_ckpt.get("masks")
+            self.masks = jax.tree.map(jnp.asarray, m) if m else None
+        else:
+            model = init_ckpt["model"]
+            if isinstance(model, dict) and any("." in k for k in model):
+                # torch-named flat state dict (reference format)
+                from ..utils.torch_convert import wave_state_dict_to_params
+
+                params, masks, _ = wave_state_dict_to_params(model, "hubert")
+            else:
+                # our own add_state_to_save stores the raw param pytree
+                params, masks = model, None
+            self.params = jax.tree.map(jnp.asarray, params)
+            self.masks = (
+                jax.tree.map(jnp.asarray, masks) if masks else None
+            )
+        # loaded state may be structurally pruned: re-trace with true dims
+        heads, ffns = infer_pruned_dims(self.params, self.cfg.head_dim)
+        self.cfg = self.cfg.with_heads(heads).with_ffn_dims(ffns)
 
     def add_state_to_save(self, all_states: dict) -> dict:
         all_states["model"] = jax.device_get(self.params)

@@ -107,8 +107,14 @@ class MelHuBERTPretrainExpert:
 
     def load_model(self, init_ckpt: dict):
         assert "model" in init_ckpt or "params" in init_ckpt
+        from ..utils.torch_convert import infer_pruned_dims
+
         if "params" in init_ckpt:
             self.params = jax.tree.map(jnp.asarray, init_ckpt["params"])
+            # masks belong to THIS state (stale masks would zero wrong
+            # weights); absent means dense
+            m = init_ckpt.get("masks")
+            self.masks = jax.tree.map(jnp.asarray, m) if m else None
         else:
             from ..utils.torch_convert import melhubert_state_dict_to_params
 
@@ -117,6 +123,10 @@ class MelHuBERTPretrainExpert:
             )
             self.params = jax.tree.map(jnp.asarray, params)
             self.masks = masks
+        # the loaded state may be structurally pruned differently than the
+        # current config: recover per-layer dims from shapes
+        heads, ffns = infer_pruned_dims(self.params, self.cfg.head_dim)
+        self.cfg = self.cfg.with_heads(heads).with_ffn_dims(ffns)
 
     def add_state_to_save(self, all_states: dict) -> dict:
         from ..utils.torch_convert import params_to_state_dict

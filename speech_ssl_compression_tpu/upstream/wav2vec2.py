@@ -39,15 +39,21 @@ class Wav2Vec2PretrainExpert:
         self.cfg = Wav2Vec2Config.from_dict(dict(model_cfg))
         self.rng = jax.random.PRNGKey(0)
 
-        self.rng, k = jax.random.split(self.rng)
-        self.params = init_wav2vec2_params(k, self.cfg)
+        self.masks = None
         if initial_weight:
-            from ..utils.checkpoint import load_checkpoint
+            # shared -i loader (npz or reference .ckpt): recovers pruned
+            # per-layer dims and keeps the weight-pruning mask tree
+            from ..utils.torch_convert import load_wave_initial_weight
 
-            state = load_checkpoint(initial_weight)
-            self.params = jax.tree.map(jnp.asarray, state["params"])
+            self.params, self.masks, self.cfg, _, _, _ = (
+                load_wave_initial_weight(initial_weight, "wav2vec2",
+                                         self.cfg)
+            )
             print(f"[Pretrainer] Loaded initialization weight from "
                   f"{initial_weight}")
+        else:
+            self.rng, k = jax.random.split(self.rng)
+            self.params = init_wav2vec2_params(k, self.cfg)
 
         n = sum(int(np.prod(np.shape(x)))
                 for x in jax.tree.leaves(self.params))
@@ -55,9 +61,11 @@ class Wav2Vec2PretrainExpert:
         self._jit_loss = jax.jit(self._loss_impl, static_argnums=(0,))
 
     @staticmethod
-    def _loss_impl(cfg, params, source, lengths, gumbel_temp, rng):
+    def _loss_impl(cfg, params, masks, source, lengths, gumbel_temp, rng):
+        from ..compress.weight_pruning import apply_masks
+
         out = wav2vec2_forward(
-            params, cfg, source, lengths, mask=True,
+            apply_masks(params, masks), cfg, source, lengths, mask=True,
             rng=rng, deterministic=False, gumbel_temp=gumbel_temp,
         )
         loss, sample_size, _ = wav2vec2_pretrain_loss(out, cfg)
@@ -82,7 +90,7 @@ class Wav2Vec2PretrainExpert:
         self.rng, k = jax.random.split(self.rng)
         with attention_mesh(None):  # single-process expert (ADVICE r2)
             loss, sample_size = self._jit_loss(
-                self.cfg, self.params, jnp.asarray(source),
+                self.cfg, self.params, self.masks, jnp.asarray(source),
                 jnp.asarray(lengths), jnp.asarray(temp, jnp.float32), k,
             )
         return loss, int(sample_size)
@@ -91,8 +99,28 @@ class Wav2Vec2PretrainExpert:
 
     def load_model(self, init_ckpt: dict):
         assert "model" in init_ckpt or "params" in init_ckpt
-        tree = init_ckpt.get("params", init_ckpt.get("model"))
-        self.params = jax.tree.map(jnp.asarray, tree)
+        from ..utils.torch_convert import infer_pruned_dims
+
+        if "params" in init_ckpt:
+            self.params = jax.tree.map(jnp.asarray, init_ckpt["params"])
+            m = init_ckpt.get("masks")
+            self.masks = jax.tree.map(jnp.asarray, m) if m else None
+        else:
+            model = init_ckpt["model"]
+            if isinstance(model, dict) and any("." in k for k in model):
+                # torch-named flat state dict (reference format)
+                from ..utils.torch_convert import wave_state_dict_to_params
+
+                params, masks, _ = wave_state_dict_to_params(model, "wav2vec2")
+            else:
+                # our own add_state_to_save stores the raw param pytree
+                params, masks = model, None
+            self.params = jax.tree.map(jnp.asarray, params)
+            self.masks = (
+                jax.tree.map(jnp.asarray, masks) if masks else None
+            )
+        heads, ffns = infer_pruned_dims(self.params, self.cfg.head_dim)
+        self.cfg = self.cfg.with_heads(heads).with_ffn_dims(ffns)
 
     def add_state_to_save(self, all_states: dict) -> dict:
         all_states["model"] = jax.device_get(self.params)

@@ -110,6 +110,7 @@ def load_checkpoint(path: str) -> dict:
     params_flat, masks_flat, opt_leaves = {}, {}, []
     rng_key = None
     meta = None
+    opt_treedef = None
     opt_idx = []
     for k in data.files:
         if k.startswith("params/"):
@@ -120,6 +121,8 @@ def load_checkpoint(path: str) -> dict:
             opt_idx.append(int(k[len("opt/"):]))
         elif k == "rng_key":
             rng_key = jax.random.wrap_key_data(data[k])
+        elif k == "opt_treedef":
+            opt_treedef = data[k].tobytes().decode()
         elif k == "meta_json":
             # authoritative copy (atomic with the params)
             meta = json.loads(data[k].tobytes().decode())
@@ -136,17 +139,29 @@ def load_checkpoint(path: str) -> dict:
         "params": _unflatten(params_flat) if params_flat else None,
         "masks": _unflatten(masks_flat) if masks_flat else None,
         "opt_leaves": opt_leaves,
+        "opt_treedef": opt_treedef,
         "rng_key": rng_key,
         "meta": meta,
     }
 
 
-def restore_opt_state(template_opt_state, opt_leaves):
-    """Zip saved leaves back into a freshly-built optax state tree."""
+def restore_opt_state(template_opt_state, opt_leaves, saved_treedef=None):
+    """Zip saved leaves back into a freshly-built optax state tree.
+
+    ``saved_treedef``: the checkpoint's ``opt_treedef`` string, when
+    available — a mismatch with the template's structure means the run was
+    saved under a DIFFERENT optimizer whose leaves merely happen to line
+    up; the coercion below would then corrupt the state silently."""
     leaves, treedef = jax.tree.flatten(template_opt_state)
     assert len(leaves) == len(opt_leaves), (
         f"optimizer state mismatch: {len(leaves)} vs {len(opt_leaves)}"
     )
+    if saved_treedef is not None and saved_treedef != str(treedef):
+        raise ValueError(
+            "checkpoint optimizer state structure differs from the "
+            "configured optimizer — refusing to zip leaves positionally "
+            f"(saved: {saved_treedef[:120]}... vs {str(treedef)[:120]}...)"
+        )
     new_leaves = [
         np.asarray(saved, dtype=np.asarray(tmpl).dtype).reshape(np.shape(tmpl))
         for tmpl, saved in zip(leaves, opt_leaves)

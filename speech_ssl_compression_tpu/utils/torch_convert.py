@@ -162,7 +162,6 @@ def melhubert_state_dict_to_params(
                 "ffn_per_layer": [...], "n_layers": int, "head_dim": guess}
     masks: pytree matching the pruned leaves (1/0 float) or None.
     """
-    sd = {k: v for k, v in sd.items()}
     params: dict = {}
 
     if "pre_extract_proj.weight" in sd:
@@ -339,6 +338,53 @@ def wave_state_dict_to_params(
     return params, mask_tree, arch_info
 
 
+def load_wave_initial_weight(path: str, upstream: str, cfg):
+    """The full ``-i initial_weight`` load for hubert/wav2vec2 — shared by
+    WaveRunner._init_params and the wave pretrain experts so the two paths
+    cannot drift. Accepts native .npz or reference torch .ckpt, recovers
+    the structured-prune architecture (per-layer head/FFN dims from array
+    shapes), and keeps the weight-pruning mask tree (training must
+    continue at the checkpoint's sparsity).
+
+    Returns (params, masks, cfg, meta, opt_leaves, opt_treedef) with jnp
+    arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    opt_leaves = None
+    opt_treedef = None
+    if path.endswith(".npz"):
+        from .checkpoint import load_checkpoint
+
+        state = load_checkpoint(path)
+        params = jax.tree.map(jnp.asarray, state["params"])
+        masks = (
+            jax.tree.map(jnp.asarray, state["masks"])
+            if state["masks"] is not None else None
+        )
+        meta = state["meta"] or {}
+        opt_leaves = state["opt_leaves"] or None
+        opt_treedef = state.get("opt_treedef")
+        # "Config" is the exact (possibly pruned, per-layer) dataclass
+        # dump; "Upstream_Config" the original YAML — prefer the former
+        meta_cfg = meta.get("Config") or (
+            meta.get("Upstream_Config", {}).get(upstream)
+        )
+        if meta_cfg:
+            cfg = type(cfg).from_dict(meta_cfg)
+    else:
+        params, masks, ckpt_cfg, meta = load_wave_reference_checkpoint(
+            path, upstream
+        )
+        params = jax.tree.map(jnp.asarray, params)
+        masks = jax.tree.map(jnp.asarray, masks) if masks else None
+        if ckpt_cfg is not None:
+            cfg = ckpt_cfg
+    heads, ffns = infer_pruned_dims(params, cfg.head_dim)
+    cfg = cfg.with_heads(heads).with_ffn_dims(ffns)
+    return params, masks, cfg, meta, opt_leaves, opt_treedef
+
+
 def load_wave_reference_checkpoint(
     path: str, upstream: str, *, trust_pickle: bool = False
 ):
@@ -471,7 +517,11 @@ def params_to_state_dict(params: dict, masks: Optional[dict] = None) -> dict:
         sd["mask_emb"] = np.asarray(params["mask_emb"])
     put_linear("final_proj", params["final_proj"])
 
-    enc = params["encoder"]
+    enc = params.get("encoder")
+    if enc is None:
+        # encoder_layers == 0 (fully-distilled student): nothing else to
+        # export — init_melhubert_params omits the encoder subtree
+        return sd
     if "layers" in enc["pos_conv"]:  # pos_conv_depth > 1 (module.py:147-173)
         for i, lp in enumerate(enc["pos_conv"]["layers"]):
             sd[f"encoder.pos_conv.{i}.0.weight"] = np.asarray(lp["weight"])

@@ -222,3 +222,58 @@ def test_dispatch_resolves_all_experts():
     for name in ("melhubert", "melhubert_distiller", "hubert", "wav2vec2"):
         cls = get_pretrain_expert(name)
         assert cls.__name__.endswith("Expert"), (name, cls)
+
+
+def test_hubert_expert_initial_weight_keeps_masks_and_pruned_dims(tmp_path):
+    """The wave experts' -i path must load pruned architectures and KEEP
+    the weight-pruning mask tree (training continues at the checkpoint's
+    sparsity — the old path discarded masks and arch metadata)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_ssl_compression_tpu.configs import HuBERTConfig
+    from speech_ssl_compression_tpu.data.dictionary import Dictionary
+    from speech_ssl_compression_tpu.models import init_hubert_params
+    from speech_ssl_compression_tpu.compress import weight_pruning as wp
+    from speech_ssl_compression_tpu.compress import head_pruning as hp
+    from speech_ssl_compression_tpu.upstream import get_pretrain_expert
+    from speech_ssl_compression_tpu.utils.checkpoint import save_checkpoint
+
+    cfg_d = {
+        "label_rate": 50,
+        "encoder_layers": 2, "encoder_embed_dim": 32,
+        "encoder_attention_heads": 2, "head_dim": 16,
+        "encoder_ffn_embed_dim": 64,
+        "conv_feature_layers": "[(32,10,5)] + [(32,3,2)] + [(32,2,2)]",
+        "final_dim": 16, "conv_pos": 16, "conv_pos_groups": 4,
+        "mask_prob": 0.65, "mask_length": 4,
+        "dropout": 0.0, "attention_dropout": 0.0, "activation_dropout": 0.0,
+    }
+    cfg = HuBERTConfig.from_dict(cfg_d)
+    dicts = [Dictionary([str(i) for i in range(8)])]
+    params = init_hubert_params(jax.random.PRNGKey(0), cfg,
+                                (len(dicts[0]),))
+    # head-prune one layer + weight-prune masks, then save
+    params, cfg = hp.prune_heads(params, cfg, {0: [1]})
+    masks = wp.global_magnitude_prune(params, 0.5)
+    ckpt = str(tmp_path / "pruned.npz")
+    save_checkpoint(ckpt, params, masks=masks,
+                    meta={"Config": cfg.to_dict(), "Step": 0})
+
+    Expert = get_pretrain_expert("hubert")
+    expert = Expert({"hubert": cfg_d, "sample_rate": 16000},
+                    initial_weight=ckpt, dicts=dicts)
+    assert expert.cfg.encoder_attention_heads == (1, 2)  # pruned arch
+    assert expert.masks is not None
+    assert abs(wp.sparsity_of(expert.masks) - 0.5) < 0.01
+
+    rng = np.random.default_rng(0)
+    data = {
+        "net_input": {
+            "source": rng.standard_normal((2, 4000)).astype(np.float32),
+            "padding_mask": np.zeros((2, 4000), bool),
+        },
+        "target_list": [[rng.integers(0, 8, 12) for _ in range(2)]],
+    }
+    loss, sample_size = expert.forward(data, global_step=0)
+    assert np.isfinite(float(loss)) and sample_size > 0
