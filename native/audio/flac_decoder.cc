@@ -377,6 +377,14 @@ static int decode_buffer_unguarded(const uint8_t* data, size_t size,
     }
   }
 
+  if (si.total_samples > 0 &&
+      pcm.size() < static_cast<size_t>(si.total_samples) * si.channels) {
+    // the stream ended (EOF / sync loss treated as end) before producing
+    // the STREAMINFO-declared sample count: a truncated file. Without
+    // this check a partial download decodes "successfully" short — and
+    // all-zero-MD5 streams would never catch it.
+    return -6;
+  }
   *info = si;
   int32_t* result =
       static_cast<int32_t*>(malloc(pcm.size() * sizeof(int32_t)));

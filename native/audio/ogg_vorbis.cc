@@ -294,6 +294,15 @@ int sslc_ogg_decode(const uint8_t *data, size_t len, float **out_pcm,
       api->ov_clear(&vf_buf);
       return -3;
     }
+    // chained streams: vorbisfile switches links mid-read and pcm[] then
+    // has the NEW link's channel count — indexing with the first link's
+    // would read out of bounds. A format change mid-file cannot be
+    // represented in one output array: fail cleanly.
+    vorbis_info *cur = api->ov_info(&vf_buf, bitstream);
+    if (!cur || cur->channels != channels || cur->rate != rate) {
+      api->ov_clear(&vf_buf);
+      return -7;  // chained stream changed channels/rate
+    }
     for (int c = 0; c < channels; ++c) {
       ch[static_cast<size_t>(c)].insert(ch[static_cast<size_t>(c)].end(),
                                         pcm[c], pcm[c] + n);

@@ -78,6 +78,11 @@ def _sharded_flash(mesh, q, k, v, *, key_padding_mask, causal, dropout_p,
     specs = [qkv_spec, qkv_spec, qkv_spec]
     has_kpm = key_padding_mask is not None
     has_seg = segment_ids is not None
+    if dropout_p > 0.0:
+        # same contract as flash_attention (flash_attention.py): training
+        # dropout REQUIRES an rng — silently disabling it only on sharded
+        # meshes would hide a lost-rng plumbing bug on the expensive runs
+        assert dropout_rng is not None, "dropout_p > 0 requires dropout_rng"
     has_rng = dropout_rng is not None and dropout_p > 0.0
     if has_kpm:
         args.append(key_padding_mask)

@@ -34,15 +34,21 @@ def _rbg_key(rng) -> jax.Array:
     return jnp.concatenate([kd, kd ^ jnp.uint32(_GOLDEN)])
 
 
+def keep_threshold(p: float):
+    """uint32 threshold with P(bits < threshold) = 1 - p up to 2^-32;
+    the -1 keeps tiny p from overflowing uint32. ONE definition shared by
+    the dense path here and the in-kernel flash-attention dropout
+    (flash_attention.py::_tile_keep_mask) — the keep probability must be
+    identical in both."""
+    return jnp.uint32(int((1.0 - p) * 4294967295.0))
+
+
 def dropout(x, rng, p: float, deterministic: bool):
     """Inverted dropout: keep with prob 1-p, scale kept values by 1/(1-p)."""
     if deterministic or p == 0.0 or rng is None:
         return x
     _, bits = jax.lax.rng_bit_generator(_rbg_key(rng), x.shape,
                                         dtype=jnp.uint32)
-    # P(bits < floor((1-p) * (2^32 - 1))) = (1-p) up to 2^-32; the -1
-    # keeps tiny p from overflowing uint32 (flash kernel uses the same
-    # multiplier, flash_attention.py::_tile_keep_mask)
-    threshold = jnp.uint32(int((1.0 - p) * 4294967295.0))
+    threshold = keep_threshold(p)
     scale = jnp.asarray(1.0 / (1.0 - p), x.dtype)
     return jnp.where(bits < threshold, x * scale, jnp.zeros((), x.dtype))

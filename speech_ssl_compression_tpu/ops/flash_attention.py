@@ -53,9 +53,10 @@ def _tile_keep_mask(seed_ref, b, h, qi, ki, shape, dropout_p):
     pltpu.prng_seed(
         seed_ref[0, 0] + b * 131071 + h, qi * 65536 + ki
     )
+    from .dropout import keep_threshold
+
     bits = pltpu.prng_random_bits(shape)  # uint32
-    threshold = jnp.uint32(int((1.0 - dropout_p) * 4294967295.0))
-    return pltpu.bitcast(bits, jnp.uint32) < threshold
+    return pltpu.bitcast(bits, jnp.uint32) < keep_threshold(dropout_p)
 
 
 # ---------------------------------------------------------------------------

@@ -140,7 +140,14 @@ def _dsq_seed(rng, x, k):
     idx = [int(rng.integers(n))]
     d2 = np.sum((x - x[idx[0]]) ** 2, axis=-1)
     for _ in range(k - 1):
-        p = d2 / max(d2.sum(), 1e-12)
+        tot = d2.sum()
+        if tot <= 0:
+            # fewer than k distinct rows in the chunk (e.g. digital
+            # silence): fall back to uniform draws — duplicate seeds are
+            # resolved by the dead-center reseeding during fitting
+            idx.append(int(rng.integers(n)))
+            continue
+        p = d2 / tot
         idx.append(int(rng.choice(n, p=p)))
         d2 = np.minimum(d2, np.sum((x - x[idx[-1]]) ** 2, axis=-1))
     return jnp.asarray(x[idx], jnp.float32)

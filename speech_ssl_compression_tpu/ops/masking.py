@@ -84,6 +84,13 @@ def _sample_lengths(key, shape, mask_selection: str, mask_length: int,
         return jnp.full(shape, mask_length, jnp.int32)
     if mask_selection == "uniform":
         low = int(mask_other)
+        if low > 2 * mask_length:
+            # np.random.randint raises for an inverted range (the host
+            # oracle does); jax.random.randint would sample garbage
+            raise ValueError(
+                f"uniform mask_selection: mask_other ({low}) must be <= "
+                f"2 * mask_length ({2 * mask_length})"
+            )
         return jax.random.randint(key, shape, low, 2 * mask_length + 1,
                                   jnp.int32)
     if mask_selection == "normal":

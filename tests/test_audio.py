@@ -198,3 +198,18 @@ def test_flac_decoder_corrupt_inputs_error_not_crash():
     # absurd garbage with a valid magic
     with pytest.raises(Exception):
         read_flac_bytes(b"fLaC" + bytes(64))
+
+
+def test_flac_truncated_file_errors():
+    """A FLAC cut off mid-stream must error, not decode 'successfully'
+    with fewer samples than STREAMINFO declares (partial downloads; the
+    MD5 check alone cannot catch all-zero-MD5 streams)."""
+    import pytest
+
+    from speech_ssl_compression_tpu.data.audio import read_flac_bytes
+
+    real = open("/root/reference/example/100-121669-0000.flac", "rb").read()
+    # cut deep into the frame section (keep headers + many whole frames)
+    for cut in (len(real) // 2, len(real) - 1000):
+        with pytest.raises(Exception):
+            read_flac_bytes(real[:cut])
