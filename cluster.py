@@ -84,13 +84,20 @@ class _Chunks:
             x = self.load(p)
             buf.append(x)
             n += x.shape[0]
-            while n >= self.rows:
-                flat = np.concatenate(buf, axis=0)
-                yield flat[: self.rows], self.rows
-                rest = flat[self.rows:]
-                buf, n = ([rest] if len(rest) else []), len(rest)
+            if n < self.rows:
+                continue
+            # concatenate ONCE per flush and walk it with slices — the old
+            # per-chunk re-concatenation of the shrinking tail was O(n^2)
+            # in memcpy for files much larger than rows_per_chunk
+            flat = np.concatenate(buf, axis=0) if len(buf) > 1 else buf[0]
+            off = 0
+            while n - off >= self.rows:
+                yield flat[off: off + self.rows], self.rows
+                off += self.rows
+            rest = flat[off:]
+            buf, n = ([rest] if len(rest) else []), len(rest)
         if n:
-            flat = np.concatenate(buf, axis=0)
+            flat = np.concatenate(buf, axis=0) if len(buf) > 1 else buf[0]
             pad = np.zeros((self.rows - n, flat.shape[1]), np.float32)
             yield np.concatenate([flat, pad], axis=0), n
 

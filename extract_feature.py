@@ -122,6 +122,8 @@ def main():
         import numpy as np
         from pathlib import Path
 
+        import csv
+
         dump = Path(args.dump_dir)
         dump.mkdir(parents=True, exist_ok=True)
         layer = np.asarray(out["hidden_states"][args.dump_layer])
@@ -131,10 +133,11 @@ def main():
             # clobber each other's dumps
             fp_ = dump / f"{i:06d}_{Path(p).stem}.npy"
             np.save(fp_, layer[i, :n].astype(np.float32))
-            rows.append(f"{fp_},{n}")
-        (dump / "features.csv").write_text(
-            "file_path,length\n" + "\n".join(rows) + "\n"
-        )
+            rows.append((str(fp_), int(n)))
+        with open(dump / "features.csv", "w", newline="") as f:
+            w = csv.writer(f)  # quotes paths containing commas
+            w.writerow(["file_path", "length"])
+            w.writerows(rows)
         print(f"[Extractor] - Dumped layer {args.dump_layer} features for "
               f"{len(rows)} utterances to {dump} (features.csv manifest)")
 

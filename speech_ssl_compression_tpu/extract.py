@@ -410,7 +410,7 @@ class MelHuBERTExtractor:
                     self._pack_and_dispatch(feat, pad_mask, lengths,
                                             capacity)
                 )
-                if len(pending) > depth:
+                if len(pending) >= depth:
                     yield pending.popleft()
             while pending:
                 yield pending.popleft()

@@ -41,7 +41,6 @@ def init_hubert_params(rng, cfg: HuBERTConfig,
                        num_classes: Sequence[int], dtype=jnp.float32) -> dict:
     ks = jax.random.split(rng, 6)
     embed = cfg.conv_feature_layers[-1][0]
-    final_dim = cfg.final_dim if cfg.final_dim > 0 else cfg.encoder_embed_dim
     n_proj = final_dim * (len(num_classes) if cfg.untie_final_proj else 1)
     params = {
         "feature_extractor": init_conv_frontend(
@@ -125,6 +124,11 @@ def hubert_forward(
     wave_lengths: jax.Array,  # (B,) valid samples
     *,
     mask: bool = True,
+    # signature parity with the reference's extract_features entry; the
+    # return dict is always the superset (x = encoder output, features =
+    # pre-encoder), so the flag needs no branch — masking is governed by
+    # ``mask`` alone, as in the reference (extract_features passes
+    # mask=False explicitly, model.py:419-424)
     features_only: bool = False,
     get_hidden: bool = False,
     rng: Optional[jax.Array] = None,

@@ -86,9 +86,9 @@ def melhubert_forward(
     lengths = jnp.sum(valid.astype(jnp.int32), axis=-1)
     b, t, _ = feat.shape
 
-    mask_rng = enc_rng = drop_rng = None
+    mask_rng = enc_rng = None
     if rng is not None:
-        mask_rng, enc_rng, drop_rng = jax.random.split(rng, 3)
+        mask_rng, enc_rng = jax.random.split(rng)
 
     mask_indices = jnp.zeros((b, t), bool)
     if mask and cfg.mask_prob > 0:
