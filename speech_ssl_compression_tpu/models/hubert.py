@@ -41,6 +41,7 @@ def init_hubert_params(rng, cfg: HuBERTConfig,
                        num_classes: Sequence[int], dtype=jnp.float32) -> dict:
     ks = jax.random.split(rng, 6)
     embed = cfg.conv_feature_layers[-1][0]
+    final_dim = cfg.final_dim if cfg.final_dim > 0 else cfg.encoder_embed_dim
     n_proj = final_dim * (len(num_classes) if cfg.untie_final_proj else 1)
     params = {
         "feature_extractor": init_conv_frontend(
@@ -228,7 +229,6 @@ def hubert_nce_loss_terms(
     Returns (list of scalar losses, count, list of accuracies)."""
     fp = params["final_proj"]
     proj = out["x"] @ fp["kernel"] + fp["bias"]
-    final_dim = cfg.final_dim if cfg.final_dim > 0 else cfg.encoder_embed_dim
     if cfg.untie_final_proj:
         proj_list = jnp.split(proj, len(num_classes), axis=-1)
     else:

@@ -47,16 +47,16 @@ from ..utils.checkpoint import save_checkpoint, load_checkpoint, restore_opt_sta
 from ..utils.tb import TBLogger
 from .steps import (
     accumulate_grads,
-    applied_lr,
     make_apply_step,
     make_distill_grad_step,
     make_melhubert_grad_step,
-    make_optimizer_from_config,
-    optimizer_schedule,
 )
 
 
-class Runner:
+from .optim_mixin import OptimizerScheduleMixin
+
+
+class Runner(OptimizerScheduleMixin):
     def __init__(self, args, runner_config: dict, upstream_config: dict):
         self.args = args
         self.runner_config = runner_config
@@ -152,29 +152,42 @@ class Runner:
             )
             assert len(self.prune_steps) == self.total_prune_step
             if self.mode == "head-pruning":
-                total_heads = sum(self.cfg.encoder_attention_heads)
                 if runner_config["prune"]["metric"] == "l1":
                     self.num_heads_each_step = self.cfg.encoder_layers
                 else:
                     self.num_heads_each_step = pc["num_heads_each_step"]
-                assert (
-                    self.num_heads_each_step * self.total_prune_step
-                    <= total_heads
-                )
+                if pc.get("target", "by_layer") == "by_layer":
+                    # 1 head/layer/event; a layer pruned to ZERO heads is
+                    # invalid — fail at construction, not at the final event
+                    assert (
+                        self.total_prune_step
+                        < min(self.cfg.encoder_attention_heads)
+                    ), (
+                        f"{self.total_prune_step} by_layer head-prune events "
+                        f"would empty a layer"
+                    )
+                else:
+                    # by_whole protects the top head per layer
+                    prunable = (
+                        sum(self.cfg.encoder_attention_heads)
+                        - self.cfg.encoder_layers
+                    )
+                    assert (
+                        self.num_heads_each_step * self.total_prune_step
+                        <= prunable
+                    ), "by_whole schedule exceeds the prunable head pool"
             else:
                 self.num_rows_each_step = pc["num_rows_each_step"]
+                # strict <: an FFN pruned to zero rows is degenerate
                 assert (
                     self.num_rows_each_step * self.total_prune_step
-                    <= min(self.cfg.encoder_ffn_embed_dim)
-                )
+                    < min(self.cfg.encoder_ffn_embed_dim)
+                ), "row-prune schedule would empty the FFN"
         else:
             self.prune_steps = []
 
         # ------- optimizer ----------------------------------------------
-        self._sched_offset = 0
-        self._sched_total = None
-        self.optimizer = self._build_optimizer()
-        self.opt_state = self.optimizer.init(self.params)
+        self._init_optimizer_state()
         if (
             getattr(args, "init_optimizer_from_initial_weight", False)
             and self._resumed_opt_leaves
@@ -189,40 +202,6 @@ class Runner:
         self._rebuild_steps()
 
     # ------------------------------------------------------------------
-    def _build_optimizer(self):
-        return make_optimizer_from_config(
-            self.runner_config, sched_offset=self._sched_offset,
-            total_steps=self._sched_total,
-        )
-
-    def _resync_schedule_offset(self):
-        """After restoring optimizer state from a checkpoint: the Adam
-        count may be a post-prune-reset count while the checkpoint's
-        ``Step`` is the global update count — rebuild the optimizer so
-        the schedule stays on the global count across the resume (the
-        in-memory offset from the original run does not survive)."""
-        if optimizer_schedule(self.optimizer) is None:
-            return
-        count = int(jax.tree.leaves(self.opt_state)[0])
-        step = int((self._resumed_meta or {}).get("Step", count) or count)
-        if step > count:
-            self._sched_offset = step - count
-            self.optimizer = self._build_optimizer()
-
-    def _finalize_schedule_total(self, total_steps: int):
-        """Epoch-driven runs resolve their length only in train(): if the
-        schedule was built without a total (needs_total), rebuild the
-        optimizer so polynomial decay uses the real run length."""
-        sched = optimizer_schedule(self.optimizer)
-        if sched is None or not getattr(sched, "needs_total", False):
-            return
-        self._sched_total = int(total_steps)
-        self.optimizer = self._build_optimizer()
-        self.apply_step = make_apply_step(self.optimizer, donate=True)
-
-    def _applied_lr(self):
-        return applied_lr(self.optimizer, self.opt_state)
-
     def _log_scalar(self, tag, value, step):
         self.logger.scalar(tag, value, step)
 
@@ -347,18 +326,6 @@ class Runner:
                 compute_dtype=self.compute_dtype,
             )
         self.apply_step = make_apply_step(self.optimizer, donate=True)
-
-    def _reset_optimizer(self, global_step: int = 0):
-        """Fresh Adam state (reference re-creates the optimizer after
-        structured prune events, runner.py:348,356). With an lr schedule
-        active, rebuild the optimizer with the schedule offset by the
-        global step so the lr does NOT re-warm from zero after the reset
-        (the count leaf restarts; prune events re-jit anyway)."""
-        if optimizer_schedule(self.optimizer) is not None and global_step:
-            self._sched_offset = int(global_step)
-            self.optimizer = self._build_optimizer()
-            self.apply_step = make_apply_step(self.optimizer, donate=True)
-        self.opt_state = self.optimizer.init(self.params)
 
     def _reshard(self):
         """Re-apply mesh shardings after a structured prune event produced
@@ -606,6 +573,8 @@ class Runner:
         batch_loss = 0.0
         global_step = 0
         backward_steps = 0
+        last_prune_fired = -1  # an OOM rewinds the window; the prune hook
+        # must not re-fire for the same global_step on the retry
         grads_acc = None
         num_epoch = 0
         prefix = f"{self.mode}/train-"
@@ -618,14 +587,16 @@ class Runner:
                 first_accu = backward_steps % accum == 0
 
                 if self.mode in ("melhubert", "distillation") and first_accu:
-                    if global_step % int(save_every_x_epochs * step_per_epoch) == 0:
+                    cadence = max(1, int(save_every_x_epochs * step_per_epoch))
+                    if global_step % cadence == 0:
                         num_epoch = global_step // step_per_epoch
                         self.save(
                             global_step,
                             f"states-epoch-{num_epoch}.npz",
                         )
-                elif first_accu:
+                elif first_accu and global_step != last_prune_fired:
                     self._prune_hook(global_step, pbar)
+                    last_prune_fired = global_step
 
                 global_step = pbar["n"] + 1
                 self.rng, k = jax.random.split(self.rng)

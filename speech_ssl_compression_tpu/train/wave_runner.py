@@ -58,15 +58,15 @@ from ..utils.checkpoint import (
 from ..utils.tb import TBLogger
 from .steps import (
     accumulate_grads,
-    applied_lr,
     cast_for_compute,
     make_apply_step,
-    make_optimizer_from_config,
-    optimizer_schedule,
 )
 
 
-class WaveRunner:
+from .optim_mixin import OptimizerScheduleMixin
+
+
+class WaveRunner(OptimizerScheduleMixin):
     def __init__(self, args, runner_config: dict, upstream_config: dict):
         self.args = args
         self.runner_config = runner_config
@@ -106,6 +106,17 @@ class WaveRunner:
                     "task.label_rate = -1 (sequence labels) is not valid "
                     "for HuBERT pre-training; set the frame label rate "
                     "(e.g. 50)"
+                )
+            if (self.task_cfg.label_rate > 0
+                    and float(self.task_cfg.label_rate)
+                    != float(self.cfg.label_rate)):
+                # the dataset validates/crops labels at the TASK rate while
+                # target alignment uses the MODEL rate — a mismatch trains
+                # on silently mis-indexed labels (the reference interpolates
+                # task.label_rate from the model config so they can't differ)
+                raise ValueError(
+                    f"task.label_rate ({self.task_cfg.label_rate}) != model "
+                    f"label_rate ({self.cfg.label_rate})"
                 )
             self.dictionaries = self._load_dictionaries()
             self.num_classes = tuple(len(d) for d in self.dictionaries)
@@ -213,10 +224,7 @@ class WaveRunner:
             if self._resumed_meta and "Pruning" in self._resumed_meta:
                 self.wp_state.load_meta(self._resumed_meta["Pruning"])
 
-        self._sched_offset = 0
-        self._sched_total = None
-        self.optimizer = self._build_optimizer()
-        self.opt_state = self.optimizer.init(self.params)
+        self._init_optimizer_state()
         if getattr(args, "init_optimizer_from_initial_weight", False):
             if self._resumed_opt_leaves:
                 self.opt_state = restore_opt_state(
@@ -242,43 +250,6 @@ class WaveRunner:
         self._build_grad_step()
 
     # ------------------------------------------------------------------
-    def _build_optimizer(self):
-        return make_optimizer_from_config(
-            self.runner_config, sched_offset=self._sched_offset,
-            total_steps=self._sched_total,
-        )
-
-    def _resync_schedule_offset(self):
-        """See Runner._resync_schedule_offset: re-derive the schedule
-        offset (global Step - restored Adam count) after a resume."""
-        if optimizer_schedule(self.optimizer) is None:
-            return
-        count = int(jax.tree.leaves(self.opt_state)[0])
-        step = int((self._resumed_meta or {}).get("Step", count) or count)
-        if step > count:
-            self._sched_offset = step - count
-            self.optimizer = self._build_optimizer()
-
-    def _finalize_schedule_total(self, total_steps: int):
-        """See Runner._finalize_schedule_total: epoch-driven runs resolve
-        their length only in train()."""
-        sched = optimizer_schedule(self.optimizer)
-        if sched is None or not getattr(sched, "needs_total", False):
-            return
-        self._sched_total = int(total_steps)
-        self.optimizer = self._build_optimizer()
-        self.apply_step = make_apply_step(self.optimizer, donate=True)
-
-    def _reset_optimizer(self, global_step: int = 0):
-        if optimizer_schedule(self.optimizer) is not None and global_step:
-            self._sched_offset = int(global_step)
-            self.optimizer = self._build_optimizer()
-            self.apply_step = make_apply_step(self.optimizer, donate=True)
-        self.opt_state = self.optimizer.init(self.params)
-
-    def _applied_lr(self):
-        return applied_lr(self.optimizer, self.opt_state)
-
     def _label_sets(self):
         """Label sets the run actually uses: fine-tuning tasks use only the
         first (reference runner.py:206-207). One source of truth for the
@@ -286,6 +257,16 @@ class WaveRunner:
         side would desync target_lists from label lookups."""
         labels = list(self.task_cfg.labels)
         return labels[:1] if self.task_cfg.fine_tuning else labels
+
+    def _reshard(self):
+        """Re-apply mesh shardings after a structured prune event produced
+        host-resident (unsharded) arrays — without this, a multi-device
+        run continues replicated on the default device after the event
+        (Runner has the same helper)."""
+        if self.n_devices > 1:
+            tp = self.mesh.shape.get("model", 1)
+            self.params = shard_params(self.params, self.mesh,
+                                       tensor_parallel=tp > 1)
 
     def _load_dictionaries(self):
         label_dir = self.task_cfg.label_dir or self.task_cfg.data
@@ -509,6 +490,8 @@ class WaveRunner:
 
         step = 0
         backward = 0
+        last_prune_fired = -1  # OOM rewinds the window; prune events must
+        # not re-fire for the same step on the retry
         grads_acc = None
         sample_total = 0.0
         accum_loss = 0.0
@@ -529,7 +512,9 @@ class WaveRunner:
                     self.mode == "weight-pruning"
                     and step in self.prune_steps
                     and backward % accum == 0
+                    and step != last_prune_fired
                 ):
+                    last_prune_fired = step
                     if self.wp_state.converged():
                         self.save(step, f"before-pruning-{step}.npz")
                         self.params, self.masks, _ = wp.prune_event(
@@ -551,7 +536,9 @@ class WaveRunner:
                     self.mode == "head-pruning"
                     and step in self.prune_steps
                     and backward % accum == 0
+                    and step != last_prune_fired
                 ):
+                    last_prune_fired = step
                     self.save(
                         step,
                         f"states_prune_{sum(self.cfg.encoder_attention_heads)}.npz",
@@ -572,13 +559,16 @@ class WaveRunner:
                         f"[WaveRunner/HP] "
                         f"{sum(self.cfg.encoder_attention_heads)} heads remain"
                     )
+                    self._reshard()
                     self._reset_optimizer(step)
                     self._build_grad_step()
                 elif (
                     self.mode == "row-pruning"
                     and step in self.prune_steps
                     and backward % accum == 0
+                    and step != last_prune_fired
                 ):
+                    last_prune_fired = step
                     self.save(
                         step,
                         f"states_prune_{min(self.cfg.encoder_ffn_embed_dim)}.npz",
@@ -590,6 +580,7 @@ class WaveRunner:
                         f"[WaveRunner/RP] "
                         f"{min(self.cfg.encoder_ffn_embed_dim)} FFN dims remain"
                     )
+                    self._reshard()
                     self._reset_optimizer(step)
                     self._build_grad_step()
 

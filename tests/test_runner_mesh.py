@@ -165,3 +165,38 @@ def test_wav2vec2_cross_negatives_on_mesh():
     np.testing.assert_allclose(float(got), ref, rtol=5e-4)
     gn = float(sum(float(jnp.sum(g ** 2)) for g in jax.tree.leaves(grads)))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_wave_runner_mesh_head_prune_reshards(tmp_path):
+    """A WaveRunner head-prune event on the mesh must re-apply shardings:
+    prune_heads rebuilds leaves host-side, and without the reshard the
+    run continues replicated (tensor parallelism silently lost)."""
+    from speech_ssl_compression_tpu.train.wave_runner import WaveRunner
+    from tests.test_wave_runner import (
+        TINY_HUBERT,
+        _runner_cfg,
+        make_wav_dataset,
+    )
+
+    data = make_wav_dataset(tmp_path, n_utts=8)
+    args = types.SimpleNamespace(
+        mode="head-pruning", upstream="hubert",
+        expdir=str(tmp_path / "exp_wave_mesh_hp"),
+        initial_weight=None, init_optimizer_from_initial_weight=False,
+        frame_period=20, seed=0, model_parallel=2,
+    )
+    up = dict(TINY_HUBERT)
+    up["encoder_attention_heads"] = 4  # room for one by_layer event
+    rc = _runner_cfg(data, total_steps=4)
+    rc["datarc"]["train_batch_size"] = 4
+    rc["prune"] = {"metric": "l1", "target": "by_layer",
+                   "total_steps": 1, "interval": [0], "warm_up": 1}
+    runner = WaveRunner(args, rc, {"hubert": up})
+    assert runner.n_devices == 8
+    runner.train()
+    assert runner.cfg.encoder_attention_heads == tuple(
+        [3] * up["encoder_layers"]
+    )
+    kern = runner.params["encoder"]["layers"][0]["q_proj"]["kernel"]
+    # sharded over the model axis after the event (not fully replicated)
+    assert kern.sharding.shard_shape(kern.shape)[1] < kern.shape[1]
