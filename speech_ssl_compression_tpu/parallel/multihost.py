@@ -36,7 +36,9 @@ def initialize(coordinator_address: Optional[str] = None,
         # fall back silently; an explicit multi-host request must fail loudly
         # (a swallowed failure would run N independent jobs that all think
         # they are primary)
-        if coordinator_address is not None or num_processes not in (None, 1):
+        if (coordinator_address is not None
+                or num_processes not in (None, 1)
+                or process_id not in (None, 0)):
             raise
         print(f"[multihost] single-process mode ({e})")
 

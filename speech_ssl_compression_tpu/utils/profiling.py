@@ -52,22 +52,3 @@ def annotate(name: str):
 
     return wrap
 
-
-class StepTimer:
-    """Rolling steps/sec + wall accounting for runner logs."""
-
-    def __init__(self, window: int = 50):
-        self.window = window
-        self.times = []
-        self.t_last: Optional[float] = None
-
-    def tick(self) -> Optional[float]:
-        now = time.time()
-        if self.t_last is not None:
-            self.times.append(now - self.t_last)
-            if len(self.times) > self.window:
-                self.times.pop(0)
-        self.t_last = now
-        if not self.times:
-            return None
-        return 1.0 / (sum(self.times) / len(self.times))

@@ -13,9 +13,15 @@ class TBLogger:
     def __init__(self, logdir: str):
         try:
             from tensorboardX import SummaryWriter
-
+        except ImportError:
+            # optional dependency: degrade silently
+            self._writer = None
+            return
+        try:
             self._writer = SummaryWriter(logdir)
-        except Exception:
+        except Exception as e:  # unwritable logdir etc. — degrade LOUDLY
+            print(f"[TBLogger] WARNING: TensorBoard logging disabled "
+                  f"({type(e).__name__}: {e})")
             self._writer = None
 
     def scalar(self, tag: str, value, step: int) -> None:

@@ -33,8 +33,13 @@ def bench_online_extraction(reps: int):
     from speech_ssl_compression_tpu.extract import load_mean_std, wav_to_mel
 
     examples = pathlib.Path("/root/reference/example")
-    if not examples.exists():
+    if not (examples / "100-121669-0000.flac").exists():
         examples = pathlib.Path(__file__).resolve().parent.parent / "example"
+    if not (examples / "100-121669-0000.flac").exists():
+        raise SystemExit(
+            "example flacs not found (need the reference example/ mount "
+            "or local copies in ./example)"
+        )
     mean, std = load_mean_std(str(examples / "libri-960-mean-std.npy"))
 
     flacs = ["100-121669-0000.flac", "1001-134707-0000.flac"]

@@ -43,8 +43,13 @@ def main():
     from speech_ssl_compression_tpu.utils.checkpoint import save_checkpoint
 
     examples = pathlib.Path("/root/reference/example")
-    if not examples.exists():
+    if not (examples / "100-121669-0000.flac").exists():
         examples = pathlib.Path(__file__).resolve().parent.parent / "example"
+    if not (examples / "100-121669-0000.flac").exists():
+        raise SystemExit(
+            "example flacs not found (need the reference example/ mount "
+            "or local copies in ./example)"
+        )
     wavs = [read_audio(examples / n)[0][0]
             for n in ("100-121669-0000.flac", "1001-134707-0000.flac")]
     wavs = wavs * args.reps

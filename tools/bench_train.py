@@ -15,6 +15,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+from _bench import chain_time, fence  # noqa: E402
 
 
 def main():
@@ -62,10 +64,6 @@ def main():
     n = args.steps
     results = {}
 
-    def fence(tree):
-        """Force the whole dependency chain by fetching one scalar."""
-        leaf = jax.tree.leaves(tree)[0]
-        return float(jnp.sum(leaf.astype(jnp.float32)))
 
     dtype_map = {"f32": jnp.float32, "bf16": jnp.bfloat16}
     for dname in args.dtypes.split(","):

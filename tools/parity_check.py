@@ -93,8 +93,9 @@ def main():
         rel = np.abs(g - r)[valid].max() / np.abs(r)[valid].mean()
         worst = max(worst, rel)
         print(f"layer {i:2d}: rel err = {rel:.3e}")
-    status = "PASS" if final_rel < 1e-4 else "FAIL"
-    print(f"north-star (<1e-4): {status}")
+    ok = final_rel < 1e-4 and worst < 1e-4
+    print(f"north-star (<1e-4): {'PASS' if ok else 'FAIL'}")
+    raise SystemExit(0 if ok else 1)
 
 
 if __name__ == "__main__":

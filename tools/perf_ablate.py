@@ -9,18 +9,10 @@ import time
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+from _bench import chain_time, fence  # noqa: E402
 
 
-def chain_time(step, x0, n_rep=20):
-    import jax.numpy as jnp
-    x = step(x0)
-    float(jnp.sum(x))
-    t0 = time.time()
-    x = x0
-    for _ in range(n_rep):
-        x = step(x)
-    float(jnp.sum(x))
-    return (time.time() - t0) / n_rep
 
 
 def main():

@@ -7,20 +7,12 @@ import time
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+from _bench import chain_time, fence  # noqa: E402
 
 import jax  # noqa: E402
 
 
-def chain_time(step, x0, n_rep=20):
-    import jax.numpy as jnp
-    x = step(x0)
-    float(jnp.sum(x))
-    t0 = time.time()
-    x = x0
-    for _ in range(n_rep):
-        x = step(x)
-    float(jnp.sum(x))
-    return (time.time() - t0) / n_rep
 
 
 def slope(make, x, n_lo=1, n_hi=3):
@@ -130,7 +122,8 @@ def main():
     for name, fn in (("NCH grouped conv (current)", v_ncw),
                      ("NHC grouped conv", v_nhc),
                      ("NHC grouped conv bf16", v_nhc_bf16),
-                     ("per-tap scan einsum", v_tap_scan)):
+                     ("per-tap scan einsum", v_tap_scan),
+                     ("unfolded-taps matmul", v_unfold_mm)):
         try:
             ms = slope(fn, x) * 1e3
             print(f"{name}: {ms:.2f} ms/apply", flush=True)

@@ -8,20 +8,10 @@ import time
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+from _bench import chain_time, fence  # noqa: E402
 
 
-def chain_time(step, *args, n_rep=20):
-    import jax.numpy as jnp
-    x = step(*args)
-    float(jnp.sum(jnp.asarray(jax.tree_util.tree_leaves(x)[0], jnp.float32)))
-    t0 = time.time()
-    y = args[0]
-    for _ in range(n_rep):
-        y = step(y, *args[1:])
-        if isinstance(y, tuple):
-            y = y[0]
-    float(jnp.sum(jnp.asarray(jax.tree_util.tree_leaves(y)[0], jnp.float32)))
-    return (time.time() - t0) / n_rep
 
 
 import jax  # noqa: E402
@@ -99,7 +89,7 @@ def main():
 
     # ---- fwd blocked sweep at T=1664 with segments (packed fp10 path) ----
     seg = jnp.asarray(rng.integers(1, 4, (2, tt)), jnp.int32)
-    for bq, bk in ((256, 256), (512, 512), (512, 1664 and 832), (256, 832)):
+    for bq, bk in ((256, 256), (512, 512), (512, 832), (256, 832)):
         fa._BLOCK_Q, fa._BLOCK_K = bq, bk
 
         @jax.jit

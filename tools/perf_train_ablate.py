@@ -11,6 +11,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+from _bench import chain_time, fence  # noqa: E402
 
 
 def main():
@@ -101,32 +103,25 @@ def main():
     print(f"apply_step: {ms:.1f} ms", flush=True)
 
     # --- apply_step with donation (what the runners actually use) -------
-    # Donation invalidates the inputs, so the timed chain must keep
-    # flowing forward (never reuse x0); run on COPIES so `params` /
-    # `opt_state` stay valid for the full-step stage below.
-    # donate=True also donates grads, so regenerate them from the new
-    # params each step (one fused extra pass; same trick as
-    # tools/perf_apply_ablate.py)
+    # Donation invalidates params/opt_state (argnums (0, 1) only —
+    # steps.py make_apply_step; grads are NOT donated), so the timed chain
+    # must keep flowing forward; run on COPIES so `params` / `opt_state`
+    # stay valid for the full-step stage below. The grads tree is safe to
+    # reuse across steps.
     apply_don = make_apply_step(opt, donate=True)
-
-    @jax.jit
-    def regen(p):
-        return jax.tree.map(lambda x: 0.01 * jnp.ones_like(x) + 0.0 * x, p)
 
     p = jax.tree.map(jnp.array, params)
     ost = jax.tree.map(jnp.array, opt_state)
-    g = regen(p)
+    g = jax.tree.map(lambda x: 0.01 * jnp.ones_like(x), params)
     p, ost, _ = apply_don(p, ost, g, jnp.asarray(1.0))  # compile+warm
     fence((p, ost))
     t0 = time.time()
     for _ in range(n):
-        g = regen(p)
         p, ost, _ = apply_don(p, ost, g, jnp.asarray(1.0))
     fence((p, ost))
     ms = (time.time() - t0) / n * 1e3
     results["apply_step_donated"] = ms
-    print(f"apply_step (donated, incl. grad-regen pass): {ms:.1f} ms",
-          flush=True)
+    print(f"apply_step (donated): {ms:.1f} ms", flush=True)
     del grads, apply_don, p, ost, g
     jax.clear_caches()
 

@@ -289,5 +289,4 @@ def main():
 
 
 if __name__ == "__main__":
-    t0 = time.time()
     main()
