@@ -181,6 +181,30 @@ def _pad_to(x, target, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
+def _fwd_block_plan(t):
+    """Minimal-padding (t_pad, block) for the blocked dropout-free forward.
+
+    Padded attention FLOPs scale with t_pad^2, so the fixed 512 grid's
+    round-up can be expensive: T=1664 (13x128, 13 prime) pads to 2048
+    (+51% score FLOPs). Searching t_pad upward in 128 steps for the first
+    length that admits a block in [512, 1024] (multiple of 128, dividing
+    t_pad; larger preferred — the v5e sweep showed per-FLOP cost rises
+    steeply below 512) finds 1792 with 896-wide blocks instead: +16%
+    padding. Blocks stay 128-multiples so the in-kernel lane-dimension
+    bias/segment slices remain aligned.
+    """
+    t0 = max(-(-t // 128) * 128, 128)
+    for extra in range(8):
+        t_pad = t0 + extra * 128
+        n = t_pad // 128
+        for units in range(min(n, 8), 3, -1):  # block 1024 ... 512
+            if n % units == 0:
+                return t_pad, 128 * units
+    # unreachable (within 4 steps t_pad hits a multiple of 512) — fall back
+    # to the fixed grid
+    return -(-t // _BLOCK_Q) * _BLOCK_Q, _BLOCK_Q
+
+
 def _pad_sizes(t, backward=False, use_segments=False):
     # Short sequences: one whole-sequence tile beats 256x256 tiling (grid /
     # loop overhead and repeated K/V reloads dominate; +22-40% measured).
@@ -202,10 +226,15 @@ def _pad_sizes(t, backward=False, use_segments=False):
     if t <= whole_tile_limit:
         t_pad = max(-(-t // 128) * 128, 128)
         return t_pad, t_pad, t_pad
-    block_q = min(_BLOCK_Q, t)
-    block_k = min(_BLOCK_K, t)
-    t_pad = -(-t // max(block_q, block_k)) * max(block_q, block_k)
-    return block_q, block_k, t_pad
+    if backward:
+        # the backward grid is pinned at 512/512 (see sweep note above);
+        # the dropout forward reuses it so the per-tile PRNG masks align
+        block_q = min(_BLOCK_Q, t)
+        block_k = min(_BLOCK_K, t)
+        t_pad = -(-t // max(block_q, block_k)) * max(block_q, block_k)
+        return block_q, block_k, t_pad
+    t_pad, block = _fwd_block_plan(t)
+    return block, block, t_pad
 
 
 def _flash_fwd_impl(q, k, v, bias, seg, seed, causal, dropout_p,

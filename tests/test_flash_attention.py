@@ -78,6 +78,55 @@ def test_flash_fully_padded_row_no_nan():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_fwd_block_plan_minimizes_padding():
+    """The dropout-free forward searches (t_pad, block) for minimal padded
+    FLOPs instead of rounding up to the fixed 512 grid: T=1664 (13x128)
+    pads to 1792 with 896-blocks (+16% score FLOPs) rather than 2048
+    (+51%)."""
+    from speech_ssl_compression_tpu.ops.flash_attention import (
+        _fwd_block_plan,
+        _pad_sizes,
+    )
+
+    assert _fwd_block_plan(1664) == (1792, 896)
+    assert _fwd_block_plan(2000) == (2048, 1024)
+    assert _fwd_block_plan(1700) == (1792, 896)
+    for t in range(1537, 4097, 31):
+        t_pad, block = _fwd_block_plan(t)
+        assert t_pad >= t and t_pad % 128 == 0
+        assert 512 <= block <= 1024 and block % 128 == 0
+        assert t_pad % block == 0
+        # never worse than the fixed 512 grid's round-up
+        assert t_pad <= -(-t // 512) * 512
+
+    # dropout-free forward takes the plan; backward keeps the fixed grid
+    # (the dropout forward reuses it so per-tile PRNG masks align)
+    assert _pad_sizes(1664, backward=False, use_segments=True) == (
+        896, 896, 1792
+    )
+    assert _pad_sizes(1664, backward=True) == (512, 512, 2048)
+
+
+def test_flash_forward_block_plan_parity_with_segments():
+    """T=1664 packed (segments) is the long-seq serving shape: the new
+    896-block plan must match dense attention exactly, including the
+    block-diagonal segment mask straddling block boundaries."""
+    t = 1664
+    q, k, v = _qkv(b=1, h=1, t=t, d=8, seed=7)
+    seg = jnp.asarray(
+        np.concatenate([np.zeros(900, np.int32), np.ones(t - 900, np.int32)])
+    )[None, :]
+    pad = jnp.asarray(np.arange(t)[None, :] >= t - 40)
+    ref = dense_attention(q, k, v, key_padding_mask=pad, segment_ids=seg)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, key_padding_mask=pad,
+                              segment_ids=seg)
+    valid = (~np.asarray(pad))[:, None, :, None]
+    np.testing.assert_allclose(
+        np.asarray(got) * valid, np.asarray(ref) * valid, atol=5e-5
+    )
+
+
 @pytest.mark.parametrize("t,causal", [(1100, False), (1700, False),
                                       (1700, True)])
 def test_flash_gradients_mixed_grid_regimes(t, causal):
