@@ -83,6 +83,24 @@ def main():
               diff < 2e-2 and mean_diff < 1e-3,
               f"max|diff|={diff:.2e} mean={mean_diff:.2e}")
 
+    # -- 1b. blocked-forward tile plan (T=1664 -> 896-wide blocks at 1792) --
+    tl = 1664
+    ql = jnp.asarray(rng.standard_normal((1, 2, tl, d)), jnp.float32)
+    kl = jnp.asarray(rng.standard_normal((1, 2, tl, d)), jnp.float32)
+    vl = jnp.asarray(rng.standard_normal((1, 2, tl, d)), jnp.float32)
+    segl = jnp.asarray(
+        np.repeat(np.arange(4), tl // 4)[None, :], jnp.int32
+    )
+    of = np.asarray(jax.jit(
+        lambda q, k, v: flash_attention(q, k, v, segment_ids=segl)
+    )(ql, kl, vl))
+    od = np.asarray(jax.jit(
+        lambda q, k, v: dense_attention(q, k, v, segment_ids=segl)
+    )(ql, kl, vl))
+    diff = np.abs(of - od).max()
+    check("flash fwd block plan T=1664+segments vs dense",
+          diff < 2e-2, f"max|diff|={diff:.2e}")
+
     # -- 2. backward parity --------------------------------------------------
     def loss_flash(q, k, v):
         o = flash_attention(q, k, v, key_padding_mask=kpm)
