@@ -225,15 +225,23 @@ def encoder_layer_forward(
     segment_ids: Optional[jax.Array] = None,
     attn_impl: str = "auto",
     activation_fn: str = "gelu",
+    attn_fn=None,
 ):
     """Post-LN (default) or pre-LN BERT layer (reference module.py:82-133).
-    Returns (x, context)."""
+    Returns (x, context).
+
+    ``attn_fn``, when given, replaces the built-in self-attention with a
+    caller-supplied ``h -> (out, context)`` (used by the streaming KV-cache
+    path, streaming.py) while keeping the residual/LN/FFN structure here —
+    the single source of truth for layer semantics."""
     if rng is not None:
         r_attn, r1, r2, r3 = jax.random.split(rng, 4)
     else:
         r_attn = r1 = r2 = r3 = None
 
     def self_attn(h):
+        if attn_fn is not None:
+            return attn_fn(h)
         return ATTENTION(
             h, p,
             num_heads=num_heads,

@@ -1,0 +1,418 @@
+"""Streaming causal MelHuBERT inference with per-layer KV caches.
+
+The reference ships a causal attention option (model.py:121-132 builds a
+lower-triangular mask with a host loop) but provides no way to *serve* it
+incrementally — the only entry points re-run the full forward on the whole
+utterance. This module adds online inference as a TPU-native chunked loop:
+
+  * one jitted step of a STATIC chunk of C frames against STATIC-capacity
+    per-layer K/V caches (no recompiles as the stream grows; cache writes
+    are ``lax.dynamic_update_slice`` at the traced global offset);
+  * exact parity with the full causal forward: the conv positional
+    embedding (kernel K) is the only non-causal op, so emission lags the
+    newest frame by K - 1 - K//2 frames (63 at the default K=128 — 1.26 s
+    of audio at the 20 ms frame period) and each chunk's conv runs VALID
+    over a (C + K - 1)-frame feature window, reproducing the full
+    forward's SamePad arithmetic (module.py:175-188) including its zero
+    padding at both stream ends;
+  * host-side streaming featurizer: Kaldi fbank ops are strictly
+    per-frame (ops/fbank.py), so chunked extraction is bit-identical to
+    whole-utterance extraction; the 20 ms frame-stacking carry and the
+    odd-final-frame zero pad (extract_feature.py:47-52) are handled at
+    flush.
+
+Typical use::
+
+    s = StreamingCausalExtractor("causal.ckpt", fp=20,
+                                 mean_std_npy_path=".../mean-std.npy")
+    for wav_chunk in microphone:
+        hidden = s.push_wav(wav_chunk)["last_hidden_state"]  # (n_new, D)
+    tail = s.flush()["last_hidden_state"]
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configs import MelHuBERTConfig
+from .models.encoder import (
+    encoder_layer_forward,
+    layer_norm,
+)
+from .ops.activations import gelu
+from .ops.fbank import kaldi_fbank_np, normalize_fbank, num_frames
+from .ops.grouped_conv import grouped_conv1d
+
+NEG_INF = -1e30
+
+
+def _cached_self_attn(h, lp, cache, n, *, num_heads, head_dim):
+    """Causal self-attention of a (1, C, D) chunk at global offset ``n``
+    against a (1, H, MAX, d) K/V cache. Returns (out, context, new_cache).
+
+    New keys/values are written into the cache first; the causal mask
+    kv_pos <= n + q_row then covers everything — unwritten capacity and any
+    stale rows beyond the write live at positions > n + C - 1 and are
+    excluded by the same comparison."""
+    b, c, _ = h.shape
+
+    def proj(name):
+        p = lp[name]
+        y = h @ p["kernel"] + p["bias"]
+        return y.reshape(b, c, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q = proj("q_proj")
+    ck = jax.lax.dynamic_update_slice(cache["k"], proj("k_proj"), (0, 0, n, 0))
+    cv = jax.lax.dynamic_update_slice(cache["v"], proj("v_proj"), (0, 0, n, 0))
+
+    scale = 1.0 / (head_dim ** 0.5)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, ck, preferred_element_type=jnp.float32
+    )  # (1, H, C, MAX)
+    kv_pos = jnp.arange(ck.shape[2])
+    allowed = kv_pos[None, :] <= n + jnp.arange(c)[:, None]  # (C, MAX)
+    s = jnp.where(allowed[None, None], s, NEG_INF)
+    p_att = jax.nn.softmax(s, axis=-1)
+    ctx = jnp.einsum(
+        "bhqk,bhkd->bhqd", p_att.astype(h.dtype), cv,
+        preferred_element_type=jnp.float32,
+    ).astype(h.dtype)  # (1, H, C, d)
+    flat = ctx.transpose(0, 2, 1, 3).reshape(b, c, num_heads * head_dim)
+    op = lp["out_proj"]
+    out = flat @ op["kernel"] + op["bias"]
+    return out, ctx, {"k": ck, "v": cv}
+
+
+def _stream_step(cfg, precision, params, feat_win, valid_win, caches, n):
+    """One streaming step: feat_win (1, C + K - 1, F) raw model-input
+    features around the C frames being emitted, valid_win (1, C + K - 1)
+    bool (False outside the real stream), caches per layer, n = global
+    index of the first emitted frame. Returns (hidden, layer_hiddens,
+    pre_feat, new_caches)."""
+    with jax.default_matmul_precision(precision):
+        x = feat_win
+        if "pre_extract_proj" in params:
+            p = params["pre_extract_proj"]
+            x = x @ p["kernel"] + p["bias"]
+        # the full forward zeroes padded positions BEFORE pos_conv
+        # (encoder_prologue); stream edges reproduce that zero context
+        x = jnp.where(valid_win[:, :, None], x, 0.0)
+
+        enc = params["encoder"]
+        k_size = cfg.conv_pos
+        left = k_size // 2
+        c = x.shape[1] - k_size + 1
+
+        pp = enc["pos_conv"]
+        v = pp["weight_v"]
+        norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True))
+        w = pp["weight_g"] * v / jnp.maximum(norm, 1e-12)  # (D, D//g, K)
+        pos = grouped_conv1d(
+            x.astype(w.dtype), w.transpose(2, 1, 0), cfg.conv_pos_groups,
+            (0, 0),
+        ).astype(x.dtype) + pp["bias"][None, None, :]
+        # VALID conv over the window == the full forward's SamePad output
+        # for exactly these C frames (even-K crop included: output t uses
+        # inputs [t - K//2, t + K - 1 - K//2], the window's full extent)
+        pos = gelu(pos)
+
+        pre_feat = x[:, left:left + c]
+        h = pre_feat + pos
+        if not cfg.layer_norm_first:
+            h = layer_norm(h, enc["layer_norm"])
+
+        new_caches = []
+        hiddens = []
+        for i, lp in enumerate(enc["layers"]):
+            box = {}
+
+            def attn_fn(hh, lp=lp, i=i, box=box):
+                out, ctx, box["cache"] = _cached_self_attn(
+                    hh, lp, caches[i], n,
+                    num_heads=cfg.encoder_attention_heads[i],
+                    head_dim=cfg.head_dim,
+                )
+                return out, ctx
+
+            h, _ = encoder_layer_forward(
+                h, lp,
+                num_heads=cfg.encoder_attention_heads[i],
+                head_dim=cfg.head_dim,
+                layer_norm_first=cfg.layer_norm_first,
+                key_padding_mask=None,
+                causal=False,  # causality lives in the cache mask
+                dropout=0.0,
+                attention_dropout=0.0,
+                activation_dropout=0.0,
+                rng=None,
+                deterministic=True,
+                attn_fn=attn_fn,
+                activation_fn=cfg.activation_fn,
+            )
+            new_caches.append(box["cache"])
+            hiddens.append(h)
+
+        final = layer_norm(h, enc["layer_norm"]) if cfg.layer_norm_first \
+            else h
+        return final, hiddens, pre_feat, new_caches
+
+
+class StreamingCausalExtractor:
+    """Online causal feature extraction with constant-shape chunk steps.
+
+    Parameters mirror :class:`extract.MelHuBERTExtractor`; the model must
+    have ``attention_type: causal`` (the reference's option at
+    model.py:121-132) — a bidirectional model cannot be streamed without
+    changing its outputs, so anything else raises.
+
+    ``push_wav`` / ``push_feat`` buffer input and run as many C-frame steps
+    as the conv lookahead allows, returning newly emitted frames;
+    ``flush`` drains the tail (zero right-context, as in the full
+    forward). Outputs are bitwise-stable against chunk boundaries and
+    match the full causal forward to float tolerance.
+    """
+
+    def __init__(
+        self,
+        ckpt: Optional[str] = None,
+        *,
+        params: Optional[dict] = None,
+        cfg: Optional[MelHuBERTConfig] = None,
+        fp: int = 20,
+        mean_std_npy_path: Optional[str] = None,
+        chunk_frames: int = 128,
+        max_frames: int = 3072,
+        dtype=jnp.float32,
+        matmul_precision: str = "highest",
+        fbank_precision: str = "fast",
+        get_hidden: bool = False,
+    ):
+        if ckpt is not None:
+            from .extract import load_any_checkpoint
+
+            params, cfg, _ = load_any_checkpoint(ckpt)
+        if params is None or cfg is None:
+            raise ValueError("pass either ckpt= or (params= and cfg=)")
+        if cfg.attention_type != "causal":
+            raise ValueError(
+                "streaming requires attention_type: causal (got "
+                f"{cfg.attention_type!r}); a bidirectional model's outputs "
+                "depend on future frames"
+            )
+        if cfg.pos_emb_type != "conv" or getattr(cfg, "pos_conv_depth", 1) != 1:
+            raise NotImplementedError(
+                "streaming supports the depth-1 conv positional embedding"
+            )
+        if cfg.encoder_layers <= 0:
+            raise ValueError("streaming needs at least one encoder layer")
+
+        self.cfg = cfg
+        self.fp = fp
+        self.chunk = int(chunk_frames)
+        self.max_frames = int(max_frames)
+        self.dtype = dtype
+        self.get_hidden = get_hidden
+        self.fbank_precision = fbank_precision
+        self.params = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype), params,
+            is_leaf=lambda x: not isinstance(x, (dict, list)),
+        )
+        if mean_std_npy_path is not None:
+            from .extract import load_mean_std
+
+            self.mean, self.std = load_mean_std(mean_std_npy_path)
+        else:
+            self.mean, self.std = np.zeros(40), np.ones(40)
+
+        k = cfg.conv_pos
+        self._left = k // 2
+        self._right = k - 1 - self._left
+        step = functools.partial(_stream_step, cfg, matmul_precision)
+        # args after the partial: (params, feat_win, valid_win, caches, n)
+        donate = (3,) if jax.default_backend() == "tpu" else ()
+        self._step = jax.jit(step, donate_argnums=donate)
+        self.reset()
+
+    # ------------------------------------------------------------------ #
+
+    def reset(self):
+        cfg, d = self.cfg, self.dtype
+        self._caches = [
+            {
+                "k": jnp.zeros(
+                    (1, cfg.encoder_attention_heads[i], self.max_frames,
+                     cfg.head_dim), d,
+                ),
+                "v": jnp.zeros(
+                    (1, cfg.encoder_attention_heads[i], self.max_frames,
+                     cfg.head_dim), d,
+                ),
+            }
+            for i in range(cfg.encoder_layers)
+        ]
+        feat_dim = self.cfg.feat_emb_dim
+        self._ctx = np.zeros((self._left, feat_dim), np.float32)
+        self._pending = np.zeros((0, feat_dim), np.float32)
+        self._emitted = 0   # frames already run through the encoder
+        self._total = 0     # real feature frames received
+        self._audio_tail = np.zeros((0,), np.float32)
+        self._mel_carry = np.zeros((0, 40), np.float32)
+
+    # ------------------------------------------------------------------ #
+    # feature-level streaming
+
+    def push_feat(self, feat: np.ndarray) -> dict:
+        """feat: (m, feat_emb_dim) final model-input frames (normalized;
+        already pair-stacked for fp=20)."""
+        feat = np.asarray(feat, np.float32)
+        if feat.ndim != 2 or feat.shape[1] != self.cfg.feat_emb_dim:
+            raise ValueError(
+                f"expected (m, {self.cfg.feat_emb_dim}) features, got "
+                f"{feat.shape}"
+            )
+        self._pending = np.concatenate([self._pending, feat], axis=0)
+        self._total += len(feat)
+        return self._drain(final=False)
+
+    def flush(self) -> dict:
+        """Emit every remaining frame (zero right-context at the stream
+        end, matching the full forward's padding) and reset the
+        featurizer tail."""
+        out = self._flush_featurizer()
+        tail = self._drain(final=True)
+        return _merge_out(out, tail)
+
+    # ------------------------------------------------------------------ #
+    # waveform-level streaming
+
+    def push_wav(self, wav: np.ndarray) -> dict:
+        """wav: (n,) float32 in [-1, 1] at 16 kHz, any chunk size."""
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        buf = np.concatenate([self._audio_tail, wav])
+        m = num_frames(len(buf))
+        if m == 0:
+            self._audio_tail = buf
+            return _empty_out(self.cfg, self.get_hidden)
+        mel = kaldi_fbank_np(
+            buf.astype(
+                np.float64 if self.fbank_precision == "high" else np.float32
+            ) * (2 ** 15),
+            dtype=np.float64 if self.fbank_precision == "high"
+            else np.float32,
+        )
+        # frame t covers samples [160t, 160t + 400): keep from sample 160m
+        self._audio_tail = buf[160 * m:]
+        mel = normalize_fbank(mel, self.mean, self.std).astype(np.float32)
+        return self._push_mel(mel, final=False)
+
+    def _push_mel(self, mel: np.ndarray, final: bool) -> dict:
+        if self.fp == 20:
+            mel = np.concatenate([self._mel_carry, mel], axis=0)
+            n_pairs = len(mel) // 2
+            stacked = np.concatenate(
+                [mel[: 2 * n_pairs : 2], mel[1 : 2 * n_pairs : 2]], axis=1
+            )
+            self._mel_carry = mel[2 * n_pairs:]
+            if final and len(self._mel_carry):
+                # odd utterance length: the reference pads the second half
+                # of the last pair with a zero row (extract_feature.py:47-52)
+                last = np.concatenate(
+                    [self._mel_carry, np.zeros_like(self._mel_carry)], axis=1
+                )
+                stacked = np.concatenate([stacked, last], axis=0)
+                self._mel_carry = self._mel_carry[:0]
+            feat = stacked
+        else:
+            feat = mel
+        if len(feat) == 0:
+            return _empty_out(self.cfg, self.get_hidden)
+        return self.push_feat(feat)
+
+    def _flush_featurizer(self) -> dict:
+        # remaining audio shorter than one 400-sample window carries no
+        # frame under snip_edges — identical to whole-utterance extraction
+        self._audio_tail = self._audio_tail[:0]
+        return self._push_mel(np.zeros((0, 40), np.float32), final=True)
+
+    # ------------------------------------------------------------------ #
+
+    def _drain(self, final: bool) -> dict:
+        cfg, c = self.cfg, self.chunk
+        outs = []
+        while True:
+            if final:
+                if self._emitted >= self._total:
+                    break
+            elif len(self._pending) < c + self._right:
+                break
+            if self._emitted + c > self.max_frames:
+                raise ValueError(
+                    f"stream exceeds max_frames={self.max_frames}; "
+                    "raise max_frames or reset()"
+                )
+            need = c + self._right
+            window = self._pending[:need]
+            if len(window) < need:
+                pad = np.zeros((need - len(window), window.shape[1]),
+                               np.float32)
+                window = np.concatenate([window, pad], axis=0)
+            feat_win = np.concatenate([self._ctx, window], axis=0)[None]
+            start = self._emitted - self._left
+            pos = start + np.arange(feat_win.shape[1])
+            valid = (pos >= 0) & (pos < self._total)
+
+            hidden, hiddens, pre_feat, self._caches = self._step(
+                self.params,
+                jnp.asarray(feat_win, self.dtype),
+                jnp.asarray(valid[None]),
+                self._caches,
+                jnp.asarray(self._emitted, jnp.int32),
+            )
+            n_real = min(c, self._total - self._emitted)
+            entry = {"last_hidden_state": np.asarray(hidden[0, :n_real])}
+            if self.get_hidden:
+                entry["hidden_states"] = [
+                    np.asarray(pre_feat[0, :n_real])
+                ] + [np.asarray(h[0, :n_real]) for h in hiddens]
+            outs.append(entry)
+
+            # next window's left context = the last `left` frames of the
+            # chunk just emitted (zeros beyond the stream are masked by the
+            # validity positions, so their content never matters)
+            full_win = feat_win[0]
+            self._ctx = full_win[c:c + self._left].copy()
+            self._pending = self._pending[c:]
+            self._emitted += c if n_real == c else n_real
+        if not outs:
+            return _empty_out(cfg, self.get_hidden)
+        return functools.reduce(_merge_out, outs)
+
+
+def _empty_out(cfg, get_hidden: bool) -> dict:
+    d = cfg.encoder_embed_dim
+    out = {"last_hidden_state": np.zeros((0, d), np.float32)}
+    if get_hidden:
+        out["hidden_states"] = [
+            np.zeros((0, d), np.float32)
+            for _ in range(cfg.encoder_layers + 1)
+        ]
+    return out
+
+
+def _merge_out(a: dict, b: dict) -> dict:
+    out = {
+        "last_hidden_state": np.concatenate(
+            [a["last_hidden_state"], b["last_hidden_state"]], axis=0
+        )
+    }
+    if "hidden_states" in a:
+        out["hidden_states"] = [
+            np.concatenate([x, y], axis=0)
+            for x, y in zip(a["hidden_states"], b["hidden_states"])
+        ]
+    return out

@@ -1,0 +1,89 @@
+"""Streaming causal extraction latency on the real TPU.
+
+Flagship 12L/768 causal MelHuBERT, fp=20, chunk=128 frames (2.56 s of
+audio), KV caches at max_frames capacity. Each push is host-synchronous
+(outputs are fetched), so wall-clock per push is the real serving latency —
+chunk compute + tunnel round-trip.
+
+Usage: python tools/bench_streaming.py [--chunk 128] [--max-frames 3072]
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--max-frames", type=int, default=3072)
+    ap.add_argument("--pushes", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+    from speech_ssl_compression_tpu.models import init_melhubert_params
+    from speech_ssl_compression_tpu.streaming import StreamingCausalExtractor
+
+    cfg = MelHuBERTConfig.from_dict(
+        {
+            "feat_emb_dim": 80,
+            "encoder_layers": 12,
+            "encoder_embed_dim": 768,
+            "encoder_ffn_embed_dim": 3072,
+            "encoder_attention_heads": 12,
+            "num_cluster": 512,
+            "attention_type": "causal",
+        }
+    )
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    s = StreamingCausalExtractor(
+        params=params, cfg=cfg, fp=20, chunk_frames=args.chunk,
+        max_frames=args.max_frames,
+    )
+
+    rng = np.random.default_rng(0)
+    # one push = chunk frames of 20 ms audio (chunk * 2 fbank frames)
+    samples_per_push = args.chunk * 2 * 160
+    audio_secs = samples_per_push / 16000.0
+
+    # prime: fill the conv lookahead (63 frames) + compile; small chunks
+    # need several pushes before the first emission
+    for _ in range(4 + (63 // args.chunk + 1)):
+        out = s.push_wav(
+            rng.standard_normal(samples_per_push).astype(np.float32) * 0.1
+        )
+        if out["last_hidden_state"].shape[0] > 0:
+            break
+    assert out["last_hidden_state"].shape[0] > 0
+
+    lat = []
+    for _ in range(args.pushes):
+        wav = rng.standard_normal(samples_per_push).astype(np.float32) * 0.1
+        t0 = time.time()
+        out = s.push_wav(wav)
+        lat.append(time.time() - t0)
+        assert out["last_hidden_state"].shape[0] == args.chunk
+    lat = np.array(lat) * 1e3
+    med = float(np.median(lat))
+    lookahead_ms = (cfg.conv_pos - 1 - cfg.conv_pos // 2) * 20
+    print(
+        f"chunk={args.chunk} frames ({audio_secs:.2f}s audio), "
+        f"max_frames={args.max_frames}: median {med:.1f} ms/push "
+        f"(p90 {np.percentile(lat, 90):.1f}), realtime factor "
+        f"{audio_secs * 1e3 / med:.1f}x, algorithmic lookahead "
+        f"{lookahead_ms} ms (pos_conv)"
+    )
+
+
+if __name__ == "__main__":
+    main()
