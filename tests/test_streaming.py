@@ -148,6 +148,27 @@ def test_streaming_wav_matches_offline_featurizer():
         )
 
 
+def test_streaming_head_pruned_model():
+    """Per-layer head counts (the shape head pruning leaves behind) must
+    stream: caches are built per layer from cfg.encoder_attention_heads."""
+    cfg = _tiny_cfg(encoder_attention_heads=[2, 1])
+    params = init_melhubert_params(jax.random.PRNGKey(4), cfg)
+    feat = np.random.default_rng(1).standard_normal((30, 13)).astype(
+        np.float32
+    )
+    ref = _full_causal(params, cfg, feat)
+    s = StreamingCausalExtractor(
+        params=params, cfg=cfg, chunk_frames=8, max_frames=64
+    )
+    got = np.concatenate([
+        s.push_feat(feat)["last_hidden_state"],
+        s.flush()["last_hidden_state"],
+    ])
+    np.testing.assert_allclose(
+        got, np.asarray(ref["hidden"][0]), atol=2e-5, rtol=1e-5
+    )
+
+
 def test_streaming_rejects_bidirectional_and_overflow():
     cfg = _tiny_cfg(attention_type="original")
     params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
