@@ -172,6 +172,134 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, seed_ref, o_ref,
     lse_ref[0, 0, 0] = lse[:, 0]
 
 
+# ---------------------------------------------------------------------------
+# streamed forward (long sequences)
+# ---------------------------------------------------------------------------
+# The kernels above keep the WHOLE K/V of one (b, h) resident in VMEM, which
+# double-buffers to ~t_pad KiB and hits the 16 MB scoped limit around
+# T≈8k (measured: T=4096 compiles at ~6 MB, T=8192 OOMs even at 512-wide
+# blocks). For longer sequences the k-loop moves into the grid: k/v stream
+# through VMEM in blocks while online-softmax statistics carry across the
+# innermost grid axis in scratch — the classic flash layout, unbounded in T.
+_STREAM_BLOCK_Q = 1024
+_STREAM_BLOCK_K = 512
+_STREAM_THRESHOLD = 4096  # largest hardware-validated whole-K/V t_pad
+
+
+def _fa_fwd_stream_kernel(q_ref, k_ref, v_ref, bias_ref, segq_ref, segk_ref,
+                          o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale,
+                          causal, block_q, block_k, use_segments):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    n_k = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    if causal:
+        # K blocks strictly above the q block's last row are fully masked
+        run = ki * block_k <= qi * block_q + block_q - 1
+    else:
+        run = True
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0]  # (BQ, d)
+        k = k_ref[0, 0]  # (BK, d)
+        in_dtype = q_ref.dtype
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK) f32
+        s = s + bias_ref[0, 0][None, :]
+        if use_segments:
+            s = jnp.where(
+                segq_ref[0, 0][:, None] != segk_ref[0, 0][None, :],
+                NEG_INF, s,
+            )
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(k_pos > q_pos, NEG_INF, s)
+        m_prev = m_scr[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+            p.astype(in_dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[...] = m_new
+
+    @pl.when(ki == n_k - 1)
+    def _finalize():
+        l_safe = jnp.maximum(l_scr[...], 1e-30)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0, 0] = (m_scr[...] + jnp.log(l_safe))[:, 0]
+
+
+def _flash_fwd_stream(q, k, v, bias, seg, causal, use_segments):
+    b, h, t, d = q.shape
+    bq, bk = _STREAM_BLOCK_Q, _STREAM_BLOCK_K
+    unit = max(bq, bk)
+    t_pad = -(-t // unit) * unit
+
+    qp = _pad_to(q, t_pad, axis=2)
+    kp = _pad_to(k, t_pad, axis=2)
+    vp = _pad_to(v, t_pad, axis=2)
+    biasp = _pad_to(bias, t_pad, axis=1, value=NEG_INF)[:, None, :]
+    segp = _pad_to(seg, t_pad, axis=1, value=-1)[:, None, :]
+
+    scale = 1.0 / (d ** 0.5)
+    grid = (b, h, t_pad // bq, t_pad // bk)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fa_fwd_stream_kernel,
+            scale=scale,
+            causal=causal,
+            block_q=bq,
+            block_k=bk,
+            use_segments=use_segments,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki)),
+            pl.BlockSpec((1, 1, bq), lambda bi, hi, qi, ki: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, t_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel", "parallel", "arbitrary"
+            ),
+        ),
+    )(qp, kp, vp, biasp, segp, segp)
+    return out[:, :, :t, :], lse[:, :, :, :t]
+
+
 def _pad_to(x, target, axis, value=0.0):
     pad = target - x.shape[axis]
     if pad <= 0:
@@ -186,18 +314,22 @@ def _fwd_block_plan(t):
 
     Padded attention FLOPs scale with t_pad^2, so the fixed 512 grid's
     round-up can be expensive: T=1664 (13x128, 13 prime) pads to 2048
-    (+51% score FLOPs). Searching t_pad upward in 128 steps for the first
-    length that admits a block in [512, 1024] (multiple of 128, dividing
-    t_pad; larger preferred — the v5e sweep showed per-FLOP cost rises
-    steeply below 512) finds 1792 with 896-wide blocks instead: +16%
-    padding. Blocks stay 128-multiples so the in-kernel lane-dimension
-    bias/segment slices remain aligned.
+    (+51% score FLOPs). Search t_pad upward in 128 steps for the first
+    length admitting a block in [512, 1024] (multiple of 128, dividing
+    t_pad): T=1664 runs 896-wide blocks at 1792 (+16% padding, 3.08 ms vs
+    3.45 on the v5e at (5,12,1664,64)+segments). Among admissible blocks
+    the SMALLEST wins: per-FLOP cost rises steeply below 512 (256-blocks
+    4.09 ms) but also climbs above it (equal-padding sweep at T=4096:
+    512 3.79 ms, 1024 4.04 ms), and 1024-wide tiles sit on the 16 MB
+    scoped-VMEM edge once the whole-K/V residency is double-buffered
+    (in-model compile OOM at T=4096 by 364 KB). Blocks stay 128-multiples
+    so the in-kernel lane-dimension bias/segment slices remain aligned.
     """
     t0 = max(-(-t // 128) * 128, 128)
     for extra in range(8):
         t_pad = t0 + extra * 128
         n = t_pad // 128
-        for units in range(min(n, 8), 3, -1):  # block 1024 ... 512
+        for units in range(4, min(n, 8) + 1):  # block 512 ... 1024
             if n % units == 0:
                 return t_pad, 128 * units
     # unreachable (within 4 steps t_pad hits a multiple of 512) — fall back
@@ -240,6 +372,11 @@ def _pad_sizes(t, backward=False, use_segments=False):
 def _flash_fwd_impl(q, k, v, bias, seg, seed, causal, dropout_p,
                     use_segments):
     b, h, t, d = q.shape
+    if dropout_p == 0.0 and t > _STREAM_THRESHOLD:
+        # whole-K/V residency no longer fits VMEM — stream k/v through the
+        # grid instead (long-form extraction; the dropout/backward grids
+        # keep the resident layout and their T<=threshold domain)
+        return _flash_fwd_stream(q, k, v, bias, seg, causal, use_segments)
     # with dropout the backward regenerates the per-tile PRNG masks, so the
     # forward must use the SAME tile grid as the backward
     block_q, block_k, t_pad = _pad_sizes(

@@ -89,7 +89,10 @@ def test_fwd_block_plan_minimizes_padding():
     )
 
     assert _fwd_block_plan(1664) == (1792, 896)
-    assert _fwd_block_plan(2000) == (2048, 1024)
+    # equal-padding candidates prefer the SMALLEST block >= 512: better
+    # per-FLOP cost and VMEM headroom (1024-tiles OOM in-model at T=4096)
+    assert _fwd_block_plan(2000) == (2048, 512)
+    assert _fwd_block_plan(4000) == (4096, 512)
     assert _fwd_block_plan(1700) == (1792, 896)
     for t in range(1537, 4097, 31):
         t_pad, block = _fwd_block_plan(t)
@@ -121,6 +124,29 @@ def test_flash_forward_block_plan_parity_with_segments():
     with pltpu.force_tpu_interpret_mode():
         got = flash_attention(q, k, v, key_padding_mask=pad,
                               segment_ids=seg)
+    valid = (~np.asarray(pad))[:, None, :, None]
+    np.testing.assert_allclose(
+        np.asarray(got) * valid, np.asarray(ref) * valid, atol=5e-5
+    )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_streamed_forward_long_sequence(causal):
+    """T > 4096 takes the streamed kernel (k/v blocks in the grid, online-
+    softmax carry in VMEM scratch) — whole-K/V residency OOMs scoped VMEM
+    at T=8192 on hardware. Parity vs dense with padding + segments across
+    the 1024/512 block boundaries."""
+    t = 5000
+    q, k, v = _qkv(b=1, h=1, t=t, d=8, seed=11)
+    pad = jnp.asarray(np.arange(t)[None, :] >= t - 300)
+    seg = jnp.asarray(
+        np.minimum(np.arange(t) // 1700, 2).astype(np.int32)
+    )[None, :]
+    ref = dense_attention(q, k, v, key_padding_mask=pad, segment_ids=seg,
+                          causal=causal)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, key_padding_mask=pad,
+                              segment_ids=seg, causal=causal)
     valid = (~np.asarray(pad))[:, None, :, None]
     np.testing.assert_allclose(
         np.asarray(got) * valid, np.asarray(ref) * valid, atol=5e-5

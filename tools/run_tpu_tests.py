@@ -101,6 +101,23 @@ def main():
     check("flash fwd block plan T=1664+segments vs dense",
           diff < 2e-2, f"max|diff|={diff:.2e}")
 
+    # -- 1c. streamed long-form forward (T > 4096: k/v blocks in the grid) --
+    ts = 5000
+    qs = jnp.asarray(rng.standard_normal((1, 2, ts, d)), jnp.float32)
+    ks = jnp.asarray(rng.standard_normal((1, 2, ts, d)), jnp.float32)
+    vs = jnp.asarray(rng.standard_normal((1, 2, ts, d)), jnp.float32)
+    pads = jnp.asarray(np.arange(ts)[None, :] >= ts - 300)
+    of = np.asarray(jax.jit(
+        lambda q, k, v: flash_attention(q, k, v, key_padding_mask=pads)
+    )(qs, ks, vs))
+    od = np.asarray(jax.jit(
+        lambda q, k, v: dense_attention(q, k, v, key_padding_mask=pads)
+    )(qs, ks, vs))
+    vmask = (~np.asarray(pads))[:, None, :, None]
+    diff = np.abs((of - od) * vmask).max()
+    check("flash streamed fwd T=5000 vs dense", diff < 2e-2,
+          f"max|diff|={diff:.2e}")
+
     # -- 2. backward parity --------------------------------------------------
     def loss_flash(q, k, v):
         o = flash_attention(q, k, v, key_padding_mask=kpm)
