@@ -576,6 +576,18 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, seed_ref,
 def _flash_bwd_impl(q, k, v, bias, seg, seed, causal, dropout_p,
                     use_segments, out, lse, g):
     b, h, t, d = q.shape
+    if t > _STREAM_THRESHOLD:
+        # the backward keeps the whole-K/V-resident layout, whose VMEM
+        # footprint is hardware-validated only up to the stream threshold;
+        # beyond it the kernel would OOM scoped VMEM at compile time with an
+        # opaque Mosaic error. Fail loudly instead: long-form (T > 4096)
+        # sequences are an inference/extraction feature (streamed forward),
+        # not a training one.
+        raise NotImplementedError(
+            f"flash_attention backward supports T <= {_STREAM_THRESHOLD} "
+            f"(got T={t}); long sequences are extraction-only — crop or "
+            "bucket training data to at most 4096 frames"
+        )
     block_q, block_k, t_pad = _pad_sizes(t, backward=True)
 
     qp = _pad_to(q, t_pad, axis=2)

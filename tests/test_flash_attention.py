@@ -192,3 +192,19 @@ def test_flash_gradients_mixed_grid_regimes(t, causal):
             np.asarray(a), np.asarray(b), atol=2e-3,
             err_msg=f"d{name} mismatch at T={t}",
         )
+
+
+def test_flash_backward_beyond_stream_threshold_raises():
+    """The streamed forward is unbounded in T, but the backward keeps the
+    whole-K/V-resident layout (hardware-validated to T=4096 only) — a grad
+    at T > 4096 must fail with a clear error, not an opaque Mosaic VMEM
+    OOM at compile time."""
+    t = 4352  # > _STREAM_THRESHOLD, small enough to trace quickly
+    q, k, v = _qkv(b=1, h=1, t=t, d=8, seed=5)
+
+    def f(q):
+        return jnp.sum(flash_attention(q, k, v))
+
+    with pltpu.force_tpu_interpret_mode():
+        with pytest.raises(NotImplementedError, match="extraction-only"):
+            jax.grad(f)(q)
