@@ -1,9 +1,10 @@
 """Benchmark harness (driver contract): prints ONE JSON line whose top-level
 keys follow {"metric", "value", "unit", "vs_baseline"}; the "all" key holds
 the full metric array (fp=20 f32, fp=20 bf16, fp=10 long-sequence f32
-extraction + MelHuBERT pre-train/distillation steps/s + HuBERT/wav2vec2
-waveform pre-train steps/s) so BENCH_r* tracks every headline number, not
-just one.
+extraction, fp=10 single-sequence T=8192 long-form extraction through the
+streamed flash forward + MelHuBERT pre-train/distillation steps/s +
+HuBERT/wav2vec2 waveform pre-train steps/s) so BENCH_r* tracks every
+headline number, not just one.
 
 Headline metric: MelHuBERT-20ms feature-extraction throughput
 (frames/sec/chip) on the flagship 12L/768 architecture over the two bundled
@@ -216,6 +217,8 @@ def main():
         fps * flops_per_frame,
     ))
 
+    metrics.append(_measure_longform(cfg10, params10, feat, lens))
+
     if not args.no_train:
         # free the extraction stage's device buffers first — the training
         # stage needs headroom (90M params x4 trees + activations)
@@ -226,6 +229,54 @@ def main():
     head = dict(metrics[0])
     head["all"] = metrics
     print(json.dumps(head))
+
+
+def _measure_longform(cfg10, params10, feat, lens, t_long=8192, n_rep=10):
+    """Single-sequence long-form extraction (fp=10, T=8192 ~ 82 s of audio)
+    through the streamed flash forward — the T > 4096 regime where the
+    whole-K/V-resident kernel OOMs scoped VMEM and the reference cannot run
+    at all (it caps sequence length on the data side,
+    /root/reference/datasets/melhubert_dataset.py max_timestep cropping)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_ssl_compression_tpu.extract import MelHuBERTExtractor
+
+    # one real utterance tiled to t_long frames: realistic fbank statistics,
+    # no padding (the metric times pure long-context compute)
+    mel = feat[0, : lens[0]]
+    reps = -(-t_long // mel.shape[0])
+    long_feat = np.tile(mel, (reps, 1))[None, :t_long]
+    pad_mask = np.ones((1, t_long), np.float32)
+
+    fwd = MelHuBERTExtractor._forward_impl
+
+    @jax.jit
+    def step(params, x, pad_mask):
+        out = fwd(cfg10, "default", params, x, pad_mask)
+        return x + 1e-12 * out["hidden"][:, :, :40].astype(x.dtype)
+
+    jf = jnp.asarray(long_feat, jnp.float32)
+    jp = jnp.asarray(pad_mask)
+    x = step(params10, jf, jp)
+    float(jnp.sum(x))  # compile + warm
+    t0 = time.time()
+    x = jf
+    for _ in range(n_rep):
+        x = step(params10, x, jp)
+    float(jnp.sum(x))
+    dt = (time.time() - t0) / n_rep
+    fps = t_long / dt
+    flops = _melhubert_fwd_flops(cfg10, t_long, 40)
+    entry = _with_mfu({
+        "metric": "melhubert10ms_streamed_T8192_extraction_frames_per_sec",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        # the reference cannot run T=8192 at all (data-side length cap)
+        "vs_baseline": None,
+        "realtime_x": round((t_long / 100.0) / dt, 1),
+    }, flops / dt)
+    return entry
 
 
 def _measure_train(n_steps=8):
