@@ -258,6 +258,28 @@ class MelHuBERTExtractor:
             "lengths": lengths,
         }
 
+    def forward_seqpar(self, wav: np.ndarray, mesh,
+                       featurizer: str = "host") -> dict:
+        """Sequence-parallel long-form extraction of ONE utterance: the
+        time axis sharded over ``mesh``'s "data" axis (parallel/seqpar.py).
+        Use when a single chip's O(T^2) attention wall-clock is the
+        bottleneck; outputs match ``forward`` exactly."""
+        _check_featurizer(featurizer)
+        if featurizer == "device":
+            feat, pad_mask, lengths = self.featurize_device([wav])
+        else:
+            feat, pad_mask, lengths = self.featurize([wav])
+        from .ops.attention import attention_mesh
+        from .parallel.seqpar import melhubert_extract_seqpar
+
+        with attention_mesh(None):  # seqpar manages its own shard_map
+            hidden = melhubert_extract_seqpar(
+                self.params, self.cfg,
+                jnp.asarray(feat, self.dtype), jnp.asarray(pad_mask),
+                mesh, precision=self.matmul_precision,
+            )
+        return {"last_hidden_state": hidden, "lengths": lengths}
+
     def forward_files(self, paths: Sequence[str],
                       featurizer: str = "host") -> dict:
         wavs = []

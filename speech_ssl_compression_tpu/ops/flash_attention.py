@@ -246,20 +246,39 @@ def _fa_fwd_stream_kernel(q_ref, k_ref, v_ref, bias_ref, segq_ref, segk_ref,
         lse_ref[0, 0, 0] = (m_scr[...] + jnp.log(l_safe))[:, 0]
 
 
-def _flash_fwd_stream(q, k, v, bias, seg, causal, use_segments):
-    b, h, t, d = q.shape
+def _flash_fwd_stream(q, k, v, bias, seg, causal, use_segments, segq=None):
+    """Streamed forward. Rectangular inputs are allowed (q rows against a
+    longer/shorter key sequence — the sequence-parallel extraction path
+    gathers the FULL k/v while q stays local): k/v/bias/seg follow k's
+    length, q (and ``segq``, defaulting to ``seg``) follow q's. Causal
+    requires square inputs — the in-kernel position math assumes a shared
+    origin."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    if causal and tq != tk:
+        raise NotImplementedError(
+            "causal streamed attention requires square q/k (no global "
+            f"row-offset support); got tq={tq} tk={tk}"
+        )
+    if segq is None:
+        segq = seg
     bq, bk = _STREAM_BLOCK_Q, _STREAM_BLOCK_K
-    unit = max(bq, bk)
-    t_pad = -(-t // unit) * unit
+    tq_pad = -(-tq // bq) * bq
+    tk_pad = -(-tk // bk) * bk
+    if causal:
+        # keep the square case on one padded length so block-diagonal
+        # skipping stays exact
+        tq_pad = tk_pad = max(tq_pad, tk_pad)
 
-    qp = _pad_to(q, t_pad, axis=2)
-    kp = _pad_to(k, t_pad, axis=2)
-    vp = _pad_to(v, t_pad, axis=2)
-    biasp = _pad_to(bias, t_pad, axis=1, value=NEG_INF)[:, None, :]
-    segp = _pad_to(seg, t_pad, axis=1, value=-1)[:, None, :]
+    qp = _pad_to(q, tq_pad, axis=2)
+    kp = _pad_to(k, tk_pad, axis=2)
+    vp = _pad_to(v, tk_pad, axis=2)
+    biasp = _pad_to(bias, tk_pad, axis=1, value=NEG_INF)[:, None, :]
+    segp = _pad_to(seg, tk_pad, axis=1, value=-1)[:, None, :]
+    segqp = _pad_to(segq, tq_pad, axis=1, value=-1)[:, None, :]
 
     scale = 1.0 / (d ** 0.5)
-    grid = (b, h, t_pad // bq, t_pad // bk)
+    grid = (b, h, tq_pad // bq, tk_pad // bk)
     out, lse = pl.pallas_call(
         functools.partial(
             _fa_fwd_stream_kernel,
@@ -283,8 +302,8 @@ def _flash_fwd_stream(q, k, v, bias, seg, causal, use_segments):
             pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, 1, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, tq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, tq_pad), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -296,8 +315,8 @@ def _flash_fwd_stream(q, k, v, bias, seg, causal, use_segments):
                 "parallel", "parallel", "parallel", "arbitrary"
             ),
         ),
-    )(qp, kp, vp, biasp, segp, segp)
-    return out[:, :, :t, :], lse[:, :, :, :t]
+    )(qp, kp, vp, biasp, segqp, segp)
+    return out[:, :, :tq, :], lse[:, :, :, :tq]
 
 
 def _pad_to(x, target, axis, value=0.0):
@@ -715,3 +734,29 @@ def flash_attention(
         seed = jnp.zeros((1,), jnp.int32)
     return _flash(q, k, v, bias, seg, seed, causal, float(dropout_p),
                   use_segments)
+
+
+def flash_attention_kv_full(
+    q: jax.Array,   # (B, H, Tq, d) — LOCAL query rows, unscaled
+    k: jax.Array,   # (B, H, Tk, d) — the FULL key sequence
+    v: jax.Array,   # (B, H, Tk, d)
+    *,
+    key_padding_mask: Optional[jax.Array] = None,  # (B, Tk) bool, True = PAD
+) -> jax.Array:
+    """Rectangular streamed attention: local q rows against the full K/V.
+
+    The sequence-parallel extraction path (parallel/seqpar.py) shards the
+    time axis of one long utterance over the mesh; each shard all-gathers
+    K/V and runs its own q rows here — compute is O(Tq*Tk) per chip,
+    balanced across shards. Forward-only (no vjp: extraction), non-causal,
+    dropout-free."""
+    b, _, _, _ = q.shape
+    tk = k.shape[2]
+    if key_padding_mask is None:
+        bias = jnp.zeros((b, tk), jnp.float32)
+    else:
+        bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
+    seg = jnp.zeros((b, tk), jnp.int32)
+    segq = jnp.zeros((b, q.shape[2]), jnp.int32)
+    out, _ = _flash_fwd_stream(q, k, v, bias, seg, False, False, segq=segq)
+    return out

@@ -6,3 +6,4 @@ from .mesh import (
     shard_params,
     shard_batch,
 )
+from .seqpar import melhubert_extract_seqpar

@@ -1,0 +1,216 @@
+"""Sequence-parallel (context-parallel) long-form MelHuBERT extraction.
+
+The streamed flash forward (ops/flash_attention.py) removes the VMEM cap on
+sequence length for ONE chip; this module removes the single-chip wall-clock
+cap by sharding the TIME axis of one long utterance over a mesh axis
+(SURVEY.md §2.8's optional SP/CP row — the reference has no analogue: it
+crops long utterances on the data side, /root/reference/datasets/
+melhubert_dataset.py max_timestep):
+
+- position-wise ops (projections, LayerNorms, FFN, GELU) run on the local
+  frame shard untouched — ``encoder_layer_forward`` is reused as-is via its
+  ``attn_fn`` hook, so layer semantics have a single source of truth;
+- the grouped positional conv exchanges a K//2-frame halo with mesh
+  neighbors via ``lax.ppermute``; edge shards receive zeros (ppermute
+  zero-fills missing peers), which is exactly the reference SamePad zero
+  padding (/root/reference/module.py:175-188) — boundary-exact, not an
+  approximation;
+- attention all-gathers K/V over the axis (small: T x d per head, rides
+  ICI) and runs the LOCAL q rows against the full keys through the
+  rectangular streamed flash kernel — O(T^2 / n_shards) compute per chip,
+  perfectly balanced since extraction is non-causal.
+
+Deterministic, non-causal, forward-only (extraction). Training stays on the
+data/tensor axes (parallel/mesh.py); causal streaming inference has its own
+KV-cache path (streaming.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.encoder import (
+    encoder_layer_forward,
+    layer_norm,
+    pos_conv_embed,
+)
+from ..ops.flash_attention import NEG_INF, flash_attention_kv_full
+
+__all__ = ["melhubert_extract_seqpar"]
+
+
+def _pos_conv_halo(x, p, groups: int, kernel_size: int, axis: str):
+    """Grouped SamePad pos-conv on a time-sharded input.
+
+    out[t] depends on x[t - K//2 .. t + K//2 - 1] (even-K SamePad crops the
+    trailing frame), so a K//2 halo on each side makes every local output's
+    receptive field fully resident. Missing edge halos arrive as zeros from
+    ppermute — identical to SamePad's zero padding at the true sequence
+    boundary."""
+    n = jax.lax.axis_size(axis)
+    halo = kernel_size // 2
+    if x.shape[1] < halo:
+        raise NotImplementedError(
+            f"local shard ({x.shape[1]} frames) shorter than the pos-conv "
+            f"halo ({halo}); use fewer shards or longer sequences"
+        )
+    if n > 1:
+        # receive the left neighbor's tail and the right neighbor's head
+        from_left = jax.lax.ppermute(
+            x[:, -halo:], axis, [(i, i + 1) for i in range(n - 1)]
+        )
+        from_right = jax.lax.ppermute(
+            x[:, :halo], axis, [(i + 1, i) for i in range(n - 1)]
+        )
+        ext = jnp.concatenate([from_left, x, from_right], axis=1)
+    else:
+        ext = jnp.pad(x, ((0, 0), (halo, halo), (0, 0)))
+    out = pos_conv_embed(ext, p, groups, kernel_size)
+    return out[:, halo : halo + x.shape[1]]
+
+
+def _rect_attention(q, k_full, v_full, bias_full, impl: str):
+    """(B, H, Tl, d) local q against (B, H, T, d) full K/V."""
+    if impl == "flash" or (impl == "auto" and jax.default_backend() == "tpu"):
+        pad = bias_full <= NEG_INF / 2
+        return flash_attention_kv_full(q, k_full, v_full,
+                                       key_padding_mask=pad)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k_full,
+        preferred_element_type=jnp.float32,
+    ) / (q.shape[-1] ** 0.5)
+    s = s + bias_full[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v_full.dtype), v_full)
+
+
+def _make_seqpar_attn(lp, num_heads: int, head_dim: int, bias_full,
+                      axis: str, impl: str):
+    """Self-attention for one layer: local q/k/v projections, K/V
+    all-gathered over the sequence axis, rectangular attention. Mirrors
+    ops/attention.py::multi_head_self_attention's projection layout
+    (reference fairseq_code/multihead_attention.py q/k/v/out split)."""
+
+    def attn(h):
+        b, tl, _ = h.shape
+
+        def proj(name):
+            pp = lp[name]
+            return h @ pp["kernel"] + pp["bias"]
+
+        def heads(z):
+            return z.reshape(b, tl, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(proj("q_proj")), heads(proj("k_proj")), \
+            heads(proj("v_proj"))
+        k_full = jax.lax.all_gather(k, axis, axis=2, tiled=True)
+        v_full = jax.lax.all_gather(v, axis, axis=2, tiled=True)
+        context = _rect_attention(q, k_full, v_full, bias_full, impl)
+        o = context.transpose(0, 2, 1, 3).reshape(b, tl,
+                                                  num_heads * head_dim)
+        op = lp["out_proj"]
+        return o @ op["kernel"] + op["bias"], context
+
+    return attn
+
+
+def _seqpar_body(params, cfg, feat_l, pad_l, axis: str, impl: str):
+    """Per-shard forward: everything melhubert_forward does for extraction
+    (mask=False, no_pred=True, deterministic), on one time shard."""
+    x = feat_l
+    if "pre_extract_proj" in params:
+        pp = params["pre_extract_proj"]
+        x = x @ pp["kernel"] + pp["bias"]
+
+    enc = params["encoder"]
+    # prologue (models/encoder.py::encoder_prologue with a halo'd conv)
+    x = jnp.where(pad_l[:, :, None], 0.0, x)
+    x = x + _pos_conv_halo(x, enc["pos_conv"], cfg.conv_pos_groups,
+                           cfg.conv_pos, axis)
+    if not cfg.layer_norm_first:
+        x = layer_norm(x, enc["layer_norm"])
+
+    bias_l = jnp.where(pad_l, NEG_INF, 0.0).astype(jnp.float32)
+    bias_full = jax.lax.all_gather(bias_l, axis, axis=1, tiled=True)
+
+    for i, lp in enumerate(enc["layers"]):
+        x, _ = encoder_layer_forward(
+            x, lp,
+            num_heads=cfg.encoder_attention_heads[i],
+            head_dim=cfg.head_dim,
+            layer_norm_first=cfg.layer_norm_first,
+            key_padding_mask=None,
+            causal=False,
+            dropout=0.0,
+            attention_dropout=0.0,
+            activation_dropout=0.0,
+            rng=None,
+            deterministic=True,
+            attn_fn=_make_seqpar_attn(
+                lp, cfg.encoder_attention_heads[i], cfg.head_dim,
+                bias_full, axis, impl,
+            ),
+            activation_fn=cfg.activation_fn,
+        )
+    if cfg.layer_norm_first:
+        x = layer_norm(x, enc["layer_norm"])
+    return x
+
+
+def melhubert_extract_seqpar(
+    params: dict,
+    cfg,
+    feat: jax.Array,          # (B, T, feat_dim) float32
+    pad_mask: jax.Array,      # (B, T): 1/True = valid frame
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    attn_impl: str = "auto",
+    precision: str = "default",
+) -> jax.Array:
+    """Sequence-parallel extraction forward. Returns hidden (B, T, D).
+
+    Matches ``melhubert_forward(..., mask=False, no_pred=True,
+    deterministic=True)`` exactly (tests/test_seqpar.py) while sharding T
+    over ``mesh.shape[axis]`` devices. T is padded up to a multiple of
+    ``n * 128`` internally; the pad is key-masked and stripped."""
+    if getattr(cfg, "attention_type", "original") == "causal":
+        raise NotImplementedError(
+            "sequence-parallel extraction is non-causal; use "
+            "streaming.StreamingCausalExtractor for causal serving"
+        )
+    if getattr(cfg, "pos_conv_depth", 1) > 1:
+        raise NotImplementedError(
+            "seqpar halo exchange supports pos_conv_depth == 1"
+        )
+    n = mesh.shape[axis]
+    b, t, _ = feat.shape
+    unit = n * 128
+    t_pad = -(-t // unit) * unit
+    if t_pad > t:
+        feat = jnp.pad(feat, ((0, 0), (0, t_pad - t), (0, 0)))
+        pad_mask = jnp.pad(
+            pad_mask.astype(bool), ((0, 0), (0, t_pad - t)),
+            constant_values=False,
+        )
+    pad = ~pad_mask.astype(bool)
+
+    body = functools.partial(_seqpar_body, axis=axis, impl=attn_impl)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None), P(None, axis)),
+        out_specs=P(None, axis, None),
+        check_vma=False,
+    )
+    def run(params, feat_l, pad_l):
+        return body(params, cfg, feat_l, pad_l)
+
+    with jax.default_matmul_precision(precision):
+        hidden = jax.jit(run)(params, feat, pad)
+    return hidden[:, :t]

@@ -118,6 +118,22 @@ def main():
     check("flash streamed fwd T=5000 vs dense", diff < 2e-2,
           f"max|diff|={diff:.2e}")
 
+    # -- 1d. rectangular streamed forward (sequence-parallel extraction:
+    # local q rows against the full gathered K/V) ---------------------------
+    from speech_ssl_compression_tpu.ops.flash_attention import (
+        flash_attention_kv_full,
+    )
+
+    tq = 512
+    orect = np.asarray(jax.jit(
+        lambda q, k, v: flash_attention_kv_full(
+            q, k, v, key_padding_mask=pads
+        )
+    )(qs[:, :, :tq], ks, vs))
+    diff = np.abs(orect - od[:, :, :tq]).max()
+    check("rect streamed fwd (512 q rows x full T=5000 K/V) vs dense",
+          diff < 2e-2, f"max|diff|={diff:.2e}")
+
     # -- 2. backward parity --------------------------------------------------
     def loss_flash(q, k, v):
         o = flash_attention(q, k, v, key_padding_mask=kpm)
