@@ -199,7 +199,16 @@ def melhubert_extract_seqpar(
         )
     pad = ~pad_mask.astype(bool)
 
-    body = functools.partial(_seqpar_body, axis=axis, impl=attn_impl)
+    run = _build_seqpar_fn(cfg, mesh, axis, attn_impl, precision)
+    hidden = run(params, feat, pad)
+    return hidden[:, :t]
+
+
+@functools.lru_cache(maxsize=32)
+def _build_seqpar_fn(cfg, mesh, axis, impl, precision):
+    """Jitted shard_map forward, cached per (config, mesh, knobs) so a
+    serving loop doesn't re-trace every call (Mesh and the frozen config
+    are both hashable)."""
 
     @functools.partial(
         jax.shard_map,
@@ -209,8 +218,7 @@ def melhubert_extract_seqpar(
         check_vma=False,
     )
     def run(params, feat_l, pad_l):
-        return body(params, cfg, feat_l, pad_l)
+        with jax.default_matmul_precision(precision):
+            return _seqpar_body(params, cfg, feat_l, pad_l, axis, impl)
 
-    with jax.default_matmul_precision(precision):
-        hidden = jax.jit(run)(params, feat, pad)
-    return hidden[:, :t]
+    return jax.jit(run)
