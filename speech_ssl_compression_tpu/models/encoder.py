@@ -197,12 +197,19 @@ def _grouped_conv_samepad(x, w_torch, bias, groups: int, kernel_size: int):
     return out
 
 
+def pos_conv_weight(p):
+    """Materialize the weight-normed pos-conv kernel (D, D//g, K) from the
+    torch decomposition weight_g (1,1,K-normed scale) / weight_v (direction)
+    — the one place this formula lives (streaming.py shares it)."""
+    v = p["weight_v"]
+    norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True))
+    return p["weight_g"] * v / jnp.maximum(norm, 1e-12)
+
+
 def pos_conv_embed(x, p, groups: int, kernel_size: int):
     """Grouped weight-normed Conv1d + SamePad crop + GELU
     (reference module.py:175-188). x: (B, T, D)."""
-    v = p["weight_v"]
-    norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True))
-    w = p["weight_g"] * v / jnp.maximum(norm, 1e-12)  # (D, D//g, K)
+    w = pos_conv_weight(p)  # (D, D//g, K)
     out = _grouped_conv_samepad(x, w, p["bias"], groups, kernel_size)
     return get_activation_fn("gelu")(out)  # tanh-poly erf (ops/activations)
 

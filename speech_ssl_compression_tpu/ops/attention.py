@@ -157,6 +157,29 @@ def dense_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def project_to_heads(x, layer_params, name, num_heads: int, head_dim: int):
+    """One q/k/v input projection + head split: (B, T, D) -> (B, H, T, d).
+
+    The single source of truth for the projection layout (kernel stored
+    (in_features, out_features), reshape-then-transpose head split) shared
+    by the batch forward here, the sequence-parallel path
+    (parallel/seqpar.py), and the streaming KV-cache path (streaming.py).
+    After head pruning, out_features = num_heads * head_dim may be smaller
+    than D (reference hp_utils.py:108-186)."""
+    p = layer_params[name]
+    b, t = x.shape[0], x.shape[1]
+    y = x @ p["kernel"] + p["bias"]
+    return y.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+
+def output_projection(context, layer_params):
+    """Merge heads and apply out_proj: (B, H, T, d) -> (B, T, H*d) @ W."""
+    b, h, t, d = context.shape
+    flat = context.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+    op = layer_params["out_proj"]
+    return flat @ op["kernel"] + op["bias"]
+
+
 def multi_head_self_attention(
     x: jax.Array,  # (B, T, D)
     params: dict,  # {"q_proj","k_proj","v_proj","out_proj"} each {kernel,bias}
@@ -182,13 +205,9 @@ def multi_head_self_attention(
     """
     b, t, d_model = x.shape
 
-    def proj(name):
-        p = params[name]
-        return x @ p["kernel"] + p["bias"]
-
-    q = proj("q_proj").reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
-    k = proj("k_proj").reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
-    v = proj("v_proj").reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
+    q = project_to_heads(x, params, "q_proj", num_heads, head_dim)
+    k = project_to_heads(x, params, "k_proj", num_heads, head_dim)
+    v = project_to_heads(x, params, "v_proj", num_heads, head_dim)
 
     use_flash = impl == "flash" or (
         impl == "auto" and jax.default_backend() == "tpu"
@@ -243,6 +262,5 @@ def multi_head_self_attention(
         # d(loss)/d(head_probe) == d(loss)/d(context): the probe is zeros.
         context = context + head_probe
 
-    ctx = context.transpose(0, 2, 1, 3).reshape(b, t, num_heads * head_dim)
-    out = ctx @ params["out_proj"]["kernel"] + params["out_proj"]["bias"]
+    out = output_projection(context, params)
     return out, context

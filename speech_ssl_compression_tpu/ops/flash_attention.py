@@ -334,21 +334,25 @@ def _fwd_block_plan(t):
     Padded attention FLOPs scale with t_pad^2, so the fixed 512 grid's
     round-up can be expensive: T=1664 (13x128, 13 prime) pads to 2048
     (+51% score FLOPs). Search t_pad upward in 128 steps for the first
-    length admitting a block in [512, 1024] (multiple of 128, dividing
+    length admitting a block in [512, 896] (multiple of 128, dividing
     t_pad): T=1664 runs 896-wide blocks at 1792 (+16% padding, 3.08 ms vs
     3.45 on the v5e at (5,12,1664,64)+segments). Among admissible blocks
     the SMALLEST wins: per-FLOP cost rises steeply below 512 (256-blocks
     4.09 ms) but also climbs above it (equal-padding sweep at T=4096:
-    512 3.79 ms, 1024 4.04 ms), and 1024-wide tiles sit on the 16 MB
-    scoped-VMEM edge once the whole-K/V residency is double-buffered
-    (in-model compile OOM at T=4096 by 364 KB). Blocks stay 128-multiples
-    so the in-kernel lane-dimension bias/segment slices remain aligned.
+    512 3.79 ms, 1024 4.04 ms) — 896 is the effective ceiling, since any
+    t_pad divisible by 1024 is divisible by 512 and returns there first,
+    which also keeps the planner clear of 1024-wide tiles' 16 MB scoped-
+    VMEM edge (in-model compile OOM at T=4096 by 364 KB). Blocks stay
+    128-multiples so the in-kernel lane-dimension bias/segment slices
+    remain aligned.
     """
     t0 = max(-(-t // 128) * 128, 128)
     for extra in range(8):
         t_pad = t0 + extra * 128
         n = t_pad // 128
-        for units in range(4, min(n, 8) + 1):  # block 512 ... 1024
+        # this plan only runs above the whole-tile limit (n >= 13), so
+        # every divisor in [4, 7] is in range; 8+ is unreachable (see above)
+        for units in range(4, 8):  # block 512 ... 896
             if n % units == 0:
                 return t_pad, 128 * units
     # unreachable (within 4 steps t_pad hits a multiple of 512) — fall back
@@ -391,11 +395,22 @@ def _pad_sizes(t, backward=False, use_segments=False):
 def _flash_fwd_impl(q, k, v, bias, seg, seed, causal, dropout_p,
                     use_segments):
     b, h, t, d = q.shape
-    if dropout_p == 0.0 and t > _STREAM_THRESHOLD:
-        # whole-K/V residency no longer fits VMEM — stream k/v through the
-        # grid instead (long-form extraction; the dropout/backward grids
-        # keep the resident layout and their T<=threshold domain)
-        return _flash_fwd_stream(q, k, v, bias, seg, causal, use_segments)
+    if t > _STREAM_THRESHOLD:
+        if dropout_p == 0.0:
+            # whole-K/V residency no longer fits VMEM — stream k/v through
+            # the grid instead (long-form extraction; the dropout/backward
+            # grids keep the resident layout and their T<=threshold domain)
+            return _flash_fwd_stream(q, k, v, bias, seg, causal,
+                                     use_segments)
+        # the dropout forward shares the backward's whole-K/V-resident tile
+        # grid (per-tile PRNG masks must align), so it inherits the same
+        # VMEM ceiling — fail loudly instead of an opaque Mosaic OOM
+        raise NotImplementedError(
+            f"flash_attention with dropout supports T <= {_STREAM_THRESHOLD} "
+            f"(got T={t}); dropout is a training feature — crop or bucket "
+            "training data to at most 4096 frames (long-form extraction "
+            "runs with dropout_p=0)"
+        )
     # with dropout the backward regenerates the per-tile PRNG masks, so the
     # forward must use the SAME tile grid as the backward
     block_q, block_k, t_pad = _pad_sizes(

@@ -38,6 +38,7 @@ from ..models.encoder import (
     layer_norm,
     pos_conv_embed,
 )
+from ..ops.attention import output_projection, project_to_heads
 from ..ops.flash_attention import NEG_INF, flash_attention_kv_full
 
 __all__ = ["melhubert_extract_seqpar"]
@@ -91,29 +92,18 @@ def _rect_attention(q, k_full, v_full, bias_full, impl: str):
 def _make_seqpar_attn(lp, num_heads: int, head_dim: int, bias_full,
                       axis: str, impl: str):
     """Self-attention for one layer: local q/k/v projections, K/V
-    all-gathered over the sequence axis, rectangular attention. Mirrors
-    ops/attention.py::multi_head_self_attention's projection layout
-    (reference fairseq_code/multihead_attention.py q/k/v/out split)."""
+    all-gathered over the sequence axis, rectangular attention. The
+    projection layout is shared with the batch forward via
+    ops/attention.py::project_to_heads / output_projection."""
 
     def attn(h):
-        b, tl, _ = h.shape
-
-        def proj(name):
-            pp = lp[name]
-            return h @ pp["kernel"] + pp["bias"]
-
-        def heads(z):
-            return z.reshape(b, tl, num_heads, head_dim).transpose(0, 2, 1, 3)
-
-        q, k, v = heads(proj("q_proj")), heads(proj("k_proj")), \
-            heads(proj("v_proj"))
+        q = project_to_heads(h, lp, "q_proj", num_heads, head_dim)
+        k = project_to_heads(h, lp, "k_proj", num_heads, head_dim)
+        v = project_to_heads(h, lp, "v_proj", num_heads, head_dim)
         k_full = jax.lax.all_gather(k, axis, axis=2, tiled=True)
         v_full = jax.lax.all_gather(v, axis, axis=2, tiled=True)
         context = _rect_attention(q, k_full, v_full, bias_full, impl)
-        o = context.transpose(0, 2, 1, 3).reshape(b, tl,
-                                                  num_heads * head_dim)
-        op = lp["out_proj"]
-        return o @ op["kernel"] + op["bias"], context
+        return output_projection(context, lp), context
 
     return attn
 

@@ -43,9 +43,15 @@ from .configs import MelHuBERTConfig
 from .models.encoder import (
     encoder_layer_forward,
     layer_norm,
+    pos_conv_weight,
 )
 from .ops.activations import gelu
-from .ops.fbank import kaldi_fbank_np, normalize_fbank, num_frames
+from .ops.fbank import (
+    kaldi_fbank_np,
+    normalize_fbank,
+    num_frames,
+    stack_frame_pairs_np,
+)
 from .ops.grouped_conv import grouped_conv1d
 
 NEG_INF = -1e30
@@ -109,9 +115,7 @@ def _stream_step(cfg, precision, params, feat_win, valid_win, caches, n):
         c = x.shape[1] - k_size + 1
 
         pp = enc["pos_conv"]
-        v = pp["weight_v"]
-        norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True))
-        w = pp["weight_g"] * v / jnp.maximum(norm, 1e-12)  # (D, D//g, K)
+        w = pos_conv_weight(pp)  # (D, D//g, K)
         pos = grouped_conv1d(
             x.astype(w.dtype), w.transpose(2, 1, 0), cfg.conv_pos_groups,
             (0, 0),
@@ -215,6 +219,12 @@ class StreamingCausalExtractor:
         self.fp = fp
         self.chunk = int(chunk_frames)
         self.max_frames = int(max_frames)
+        # cache capacity rounded up to a whole chunk: every step writes a
+        # full C-frame slab at the current offset, and dynamic_update_slice
+        # CLAMPS an out-of-range start (silently overwriting valid rows) —
+        # a chunk-multiple capacity keeps the write in bounds for any
+        # stream up to max_frames real frames
+        self._cap = -(-self.max_frames // self.chunk) * self.chunk
         self.dtype = dtype
         self.get_hidden = get_hidden
         self.fbank_precision = fbank_precision
@@ -245,11 +255,11 @@ class StreamingCausalExtractor:
         self._caches = [
             {
                 "k": jnp.zeros(
-                    (1, cfg.encoder_attention_heads[i], self.max_frames,
+                    (1, cfg.encoder_attention_heads[i], self._cap,
                      cfg.head_dim), d,
                 ),
                 "v": jnp.zeros(
-                    (1, cfg.encoder_attention_heads[i], self.max_frames,
+                    (1, cfg.encoder_attention_heads[i], self._cap,
                      cfg.head_dim), d,
                 ),
             }
@@ -314,17 +324,14 @@ class StreamingCausalExtractor:
         if self.fp == 20:
             mel = np.concatenate([self._mel_carry, mel], axis=0)
             n_pairs = len(mel) // 2
-            stacked = np.concatenate(
-                [mel[: 2 * n_pairs : 2], mel[1 : 2 * n_pairs : 2]], axis=1
-            )
+            stacked = stack_frame_pairs_np(mel[: 2 * n_pairs])
             self._mel_carry = mel[2 * n_pairs:]
             if final and len(self._mel_carry):
-                # odd utterance length: the reference pads the second half
-                # of the last pair with a zero row (extract_feature.py:47-52)
-                last = np.concatenate(
-                    [self._mel_carry, np.zeros_like(self._mel_carry)], axis=1
+                # odd utterance length: stack_frame_pairs_np zero-pads the
+                # second half of the dangling frame (extract_feature.py:47-52)
+                stacked = np.concatenate(
+                    [stacked, stack_frame_pairs_np(self._mel_carry)], axis=0
                 )
-                stacked = np.concatenate([stacked, last], axis=0)
                 self._mel_carry = self._mel_carry[:0]
             feat = stacked
         else:
@@ -350,7 +357,15 @@ class StreamingCausalExtractor:
                     break
             elif len(self._pending) < c + self._right:
                 break
-            if self._emitted + c > self.max_frames:
+            # capacity check against REAL frames: a final partial chunk
+            # whose real tail fits within max_frames must drain even though
+            # the static step spans a full chunk (the cache is chunk-
+            # multiple-sized, so the slab write stays in bounds). The
+            # second clause only fires when pushing past a partial flush
+            # (emitted no longer chunk-aligned).
+            n_next = min(c, self._total - self._emitted)
+            if (self._emitted + n_next > self.max_frames
+                    or self._emitted + c > self._cap):
                 raise ValueError(
                     f"stream exceeds max_frames={self.max_frames}; "
                     "raise max_frames or reset()"
@@ -387,7 +402,7 @@ class StreamingCausalExtractor:
             full_win = feat_win[0]
             self._ctx = full_win[c:c + self._left].copy()
             self._pending = self._pending[c:]
-            self._emitted += c if n_real == c else n_real
+            self._emitted += n_real
         if not outs:
             return _empty_out(cfg, self.get_hidden)
         return functools.reduce(_merge_out, outs)

@@ -208,3 +208,17 @@ def test_flash_backward_beyond_stream_threshold_raises():
     with pltpu.force_tpu_interpret_mode():
         with pytest.raises(NotImplementedError, match="extraction-only"):
             jax.grad(f)(q)
+
+
+def test_flash_dropout_beyond_stream_threshold_raises():
+    """Dropout shares the backward's whole-K/V-resident grid (per-tile PRNG
+    masks must align), so its forward has the same T <= 4096 ceiling — a
+    long-T dropout forward must fail with a clear error, not a Mosaic VMEM
+    OOM (the dropout_p=0 path streams instead and stays unbounded)."""
+    t = 4352  # > _STREAM_THRESHOLD, small enough to trace quickly
+    q, k, v = _qkv(b=1, h=1, t=t, d=8, seed=6)
+    with pltpu.force_tpu_interpret_mode():
+        with pytest.raises(NotImplementedError, match="dropout"):
+            flash_attention(
+                q, k, v, dropout_p=0.1, dropout_rng=jax.random.PRNGKey(0)
+            )

@@ -187,3 +187,36 @@ def test_streaming_rejects_bidirectional_and_overflow():
     # reset() recovers the stream
     s.reset()
     assert s.push_feat(feat[:4])["last_hidden_state"].shape[0] == 0
+
+
+def test_streaming_final_partial_chunk_within_max_frames():
+    """A final partial chunk whose REAL frames fit max_frames must drain —
+    the static chunk step spanning past max_frames is not an overflow
+    (regression: the capacity check used the full chunk size and raised,
+    losing the tail). Also covers a chunk that does not divide max_frames,
+    and parity of the drained tail against the full causal forward."""
+    cfg = _tiny_cfg()
+    rng = np.random.default_rng(7)
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    # chunk 8, max_frames 20 (not a multiple): 18 real frames fit
+    t = 18
+    feat = rng.standard_normal((t, cfg.feat_emb_dim)).astype(np.float32)
+    ref = _full_causal(params, cfg, feat)
+
+    s = StreamingCausalExtractor(
+        params=params, cfg=cfg, chunk_frames=8, max_frames=20
+    )
+    got = np.concatenate([
+        s.push_feat(feat)["last_hidden_state"],
+        s.flush()["last_hidden_state"],
+    ])
+    assert got.shape[0] == t
+    np.testing.assert_allclose(
+        got, np.asarray(ref["hidden"][0]), atol=2e-5, rtol=1e-5
+    )
+
+    # one more real frame than max_frames still raises
+    s.reset()
+    s.push_feat(rng.standard_normal((21, cfg.feat_emb_dim)).astype(np.float32))
+    with pytest.raises(ValueError, match="max_frames"):
+        s.flush()
