@@ -57,14 +57,19 @@ from .ops.grouped_conv import grouped_conv1d
 NEG_INF = -1e30
 
 
-def _cached_self_attn(h, lp, cache, n, *, num_heads, head_dim):
-    """Causal self-attention of a (1, C, D) chunk at global offset ``n``
-    against a (1, H, MAX, d) K/V cache. Returns (out, context, new_cache).
+def _cached_self_attn(h, lp, cache, n, start, *, num_heads, head_dim):
+    """Causal self-attention of a (B, C, D) chunk at global offset ``n``
+    against a (B, H, MAX, d) K/V cache. Returns (out, context, new_cache).
 
     New keys/values are written into the cache first; the causal mask
     kv_pos <= n + q_row then covers everything — unwritten capacity and any
     stale rows beyond the write live at positions > n + C - 1 and are
-    excluded by the same comparison."""
+    excluded by the same comparison. ``start`` (B,) is each row's stream
+    origin: cache positions below it belong to a previous occupant of the
+    slot (batched serving reuses rows for new streams mid-run) and are
+    masked out the same way. The conv positional embedding is relative, so
+    a stream starting at physical offset s behaves identically to one
+    starting at 0."""
     b, c, _ = h.shape
 
     def proj(name):
@@ -79,10 +84,14 @@ def _cached_self_attn(h, lp, cache, n, *, num_heads, head_dim):
     scale = 1.0 / (head_dim ** 0.5)
     s = jnp.einsum(
         "bhqd,bhkd->bhqk", q * scale, ck, preferred_element_type=jnp.float32
-    )  # (1, H, C, MAX)
+    )  # (B, H, C, MAX)
     kv_pos = jnp.arange(ck.shape[2])
-    allowed = kv_pos[None, :] <= n + jnp.arange(c)[:, None]  # (C, MAX)
-    s = jnp.where(allowed[None, None], s, NEG_INF)
+    allowed = (
+        (kv_pos[None, None, :] <= n + jnp.arange(c)[None, :, None])
+        & (kv_pos[None, None, :] >= start[:, None, None])
+    )  # (B, C, MAX); a fully-masked q row softmaxes to uniform (finite),
+    # and its output is dropped on the host
+    s = jnp.where(allowed[:, None], s, NEG_INF)
     p_att = jax.nn.softmax(s, axis=-1)
     ctx = jnp.einsum(
         "bhqk,bhkd->bhqd", p_att.astype(h.dtype), cv,
@@ -94,12 +103,14 @@ def _cached_self_attn(h, lp, cache, n, *, num_heads, head_dim):
     return out, ctx, {"k": ck, "v": cv}
 
 
-def _stream_step(cfg, precision, params, feat_win, valid_win, caches, n):
-    """One streaming step: feat_win (1, C + K - 1, F) raw model-input
-    features around the C frames being emitted, valid_win (1, C + K - 1)
-    bool (False outside the real stream), caches per layer, n = global
-    index of the first emitted frame. Returns (hidden, layer_hiddens,
-    pre_feat, new_caches)."""
+def _stream_step(cfg, precision, params, feat_win, valid_win, caches, n,
+                 start):
+    """One streaming step: feat_win (B, C + K - 1, F) raw model-input
+    features around the C frames being emitted, valid_win (B, C + K - 1)
+    bool (False outside the real stream), caches per layer, n = shared
+    global index of the first emitted frame, start (B,) = each row's
+    stream origin (attention floor for reused slots). Returns (hidden,
+    layer_hiddens, pre_feat, new_caches)."""
     with jax.default_matmul_precision(precision):
         x = feat_win
         if "pre_extract_proj" in params:
@@ -137,7 +148,7 @@ def _stream_step(cfg, precision, params, feat_win, valid_win, caches, n):
 
             def attn_fn(hh, lp=lp, i=i, box=box):
                 out, ctx, box["cache"] = _cached_self_attn(
-                    hh, lp, caches[i], n,
+                    hh, lp, caches[i], n, start,
                     num_heads=cfg.encoder_attention_heads[i],
                     head_dim=cfg.head_dim,
                 )
@@ -164,6 +175,81 @@ def _stream_step(cfg, precision, params, feat_win, valid_win, caches, n):
         final = layer_norm(h, enc["layer_norm"]) if cfg.layer_norm_first \
             else h
         return final, hiddens, pre_feat, new_caches
+
+
+class _StreamFeaturizer:
+    """Host-side streaming Kaldi featurizer: 16 kHz waveform chunks in,
+    normalized model-input frames out (pair-stacked for fp=20). Kaldi
+    fbank ops are strictly per-frame, so chunked output is bit-identical
+    to whole-utterance extraction; ``flush`` zero-pads the dangling half
+    of an odd final pair (extract_feature.py:47-52)."""
+
+    def __init__(self, fp: int, mean, std, precision: str):
+        self.fp = fp
+        self.mean, self.std = mean, std
+        self.precision = precision
+        self.reset()
+
+    def reset(self):
+        self._audio_tail = np.zeros((0,), np.float32)
+        self._mel_carry = np.zeros((0, 40), np.float32)
+
+    @property
+    def feat_dim(self) -> int:
+        return 80 if self.fp == 20 else 40
+
+    def push(self, wav: np.ndarray) -> np.ndarray:
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        buf = np.concatenate([self._audio_tail, wav])
+        m = num_frames(len(buf))
+        if m == 0:
+            self._audio_tail = buf
+            return np.zeros((0, self.feat_dim), np.float32)
+        mel = kaldi_fbank_np(
+            buf.astype(
+                np.float64 if self.precision == "high" else np.float32
+            ) * (2 ** 15),
+            dtype=np.float64 if self.precision == "high" else np.float32,
+        )
+        # frame t covers samples [160t, 160t + 400): keep from sample 160m
+        self._audio_tail = buf[160 * m:]
+        mel = normalize_fbank(mel, self.mean, self.std).astype(np.float32)
+        return self._stack(mel, final=False)
+
+    def flush(self) -> np.ndarray:
+        # remaining audio shorter than one 400-sample window carries no
+        # frame under snip_edges — identical to whole-utterance extraction
+        self._audio_tail = self._audio_tail[:0]
+        return self._stack(np.zeros((0, 40), np.float32), final=True)
+
+    def _stack(self, mel: np.ndarray, final: bool) -> np.ndarray:
+        if self.fp != 20:
+            return mel
+        mel = np.concatenate([self._mel_carry, mel], axis=0)
+        n_pairs = len(mel) // 2
+        stacked = stack_frame_pairs_np(mel[: 2 * n_pairs])
+        self._mel_carry = mel[2 * n_pairs:]
+        if final and len(self._mel_carry):
+            stacked = np.concatenate(
+                [stacked, stack_frame_pairs_np(self._mel_carry)], axis=0
+            )
+            self._mel_carry = self._mel_carry[:0]
+        return stacked
+
+
+def _check_streamable(cfg: MelHuBERTConfig):
+    if cfg.attention_type != "causal":
+        raise ValueError(
+            "streaming requires attention_type: causal (got "
+            f"{cfg.attention_type!r}); a bidirectional model's outputs "
+            "depend on future frames"
+        )
+    if cfg.pos_emb_type != "conv" or getattr(cfg, "pos_conv_depth", 1) != 1:
+        raise NotImplementedError(
+            "streaming supports the depth-1 conv positional embedding"
+        )
+    if cfg.encoder_layers <= 0:
+        raise ValueError("streaming needs at least one encoder layer")
 
 
 class StreamingCausalExtractor:
@@ -202,18 +288,7 @@ class StreamingCausalExtractor:
             params, cfg, _ = load_any_checkpoint(ckpt)
         if params is None or cfg is None:
             raise ValueError("pass either ckpt= or (params= and cfg=)")
-        if cfg.attention_type != "causal":
-            raise ValueError(
-                "streaming requires attention_type: causal (got "
-                f"{cfg.attention_type!r}); a bidirectional model's outputs "
-                "depend on future frames"
-            )
-        if cfg.pos_emb_type != "conv" or getattr(cfg, "pos_conv_depth", 1) != 1:
-            raise NotImplementedError(
-                "streaming supports the depth-1 conv positional embedding"
-            )
-        if cfg.encoder_layers <= 0:
-            raise ValueError("streaming needs at least one encoder layer")
+        _check_streamable(cfg)
 
         self.cfg = cfg
         self.fp = fp
@@ -243,7 +318,8 @@ class StreamingCausalExtractor:
         self._left = k // 2
         self._right = k - 1 - self._left
         step = functools.partial(_stream_step, cfg, matmul_precision)
-        # args after the partial: (params, feat_win, valid_win, caches, n)
+        # args after the partial:
+        # (params, feat_win, valid_win, caches, n, start)
         donate = (3,) if jax.default_backend() == "tpu" else ()
         self._step = jax.jit(step, donate_argnums=donate)
         self.reset()
@@ -270,8 +346,9 @@ class StreamingCausalExtractor:
         self._pending = np.zeros((0, feat_dim), np.float32)
         self._emitted = 0   # frames already run through the encoder
         self._total = 0     # real feature frames received
-        self._audio_tail = np.zeros((0,), np.float32)
-        self._mel_carry = np.zeros((0, 40), np.float32)
+        self._feat = _StreamFeaturizer(
+            self.fp, self.mean, self.std, self.fbank_precision
+        )
 
     # ------------------------------------------------------------------ #
     # feature-level streaming
@@ -293,7 +370,11 @@ class StreamingCausalExtractor:
         """Emit every remaining frame (zero right-context at the stream
         end, matching the full forward's padding) and reset the
         featurizer tail."""
-        out = self._flush_featurizer()
+        feat = self._feat.flush()
+        out = (
+            self.push_feat(feat) if len(feat)
+            else _empty_out(self.cfg, self.get_hidden)
+        )
         tail = self._drain(final=True)
         return _merge_out(out, tail)
 
@@ -302,49 +383,10 @@ class StreamingCausalExtractor:
 
     def push_wav(self, wav: np.ndarray) -> dict:
         """wav: (n,) float32 in [-1, 1] at 16 kHz, any chunk size."""
-        wav = np.asarray(wav, np.float32).reshape(-1)
-        buf = np.concatenate([self._audio_tail, wav])
-        m = num_frames(len(buf))
-        if m == 0:
-            self._audio_tail = buf
-            return _empty_out(self.cfg, self.get_hidden)
-        mel = kaldi_fbank_np(
-            buf.astype(
-                np.float64 if self.fbank_precision == "high" else np.float32
-            ) * (2 ** 15),
-            dtype=np.float64 if self.fbank_precision == "high"
-            else np.float32,
-        )
-        # frame t covers samples [160t, 160t + 400): keep from sample 160m
-        self._audio_tail = buf[160 * m:]
-        mel = normalize_fbank(mel, self.mean, self.std).astype(np.float32)
-        return self._push_mel(mel, final=False)
-
-    def _push_mel(self, mel: np.ndarray, final: bool) -> dict:
-        if self.fp == 20:
-            mel = np.concatenate([self._mel_carry, mel], axis=0)
-            n_pairs = len(mel) // 2
-            stacked = stack_frame_pairs_np(mel[: 2 * n_pairs])
-            self._mel_carry = mel[2 * n_pairs:]
-            if final and len(self._mel_carry):
-                # odd utterance length: stack_frame_pairs_np zero-pads the
-                # second half of the dangling frame (extract_feature.py:47-52)
-                stacked = np.concatenate(
-                    [stacked, stack_frame_pairs_np(self._mel_carry)], axis=0
-                )
-                self._mel_carry = self._mel_carry[:0]
-            feat = stacked
-        else:
-            feat = mel
+        feat = self._feat.push(wav)
         if len(feat) == 0:
             return _empty_out(self.cfg, self.get_hidden)
         return self.push_feat(feat)
-
-    def _flush_featurizer(self) -> dict:
-        # remaining audio shorter than one 400-sample window carries no
-        # frame under snip_edges — identical to whole-utterance extraction
-        self._audio_tail = self._audio_tail[:0]
-        return self._push_mel(np.zeros((0, 40), np.float32), final=True)
 
     # ------------------------------------------------------------------ #
 
@@ -387,6 +429,7 @@ class StreamingCausalExtractor:
                 jnp.asarray(valid[None]),
                 self._caches,
                 jnp.asarray(self._emitted, jnp.int32),
+                jnp.zeros((1,), jnp.int32),
             )
             n_real = min(c, self._total - self._emitted)
             entry = {"last_hidden_state": np.asarray(hidden[0, :n_real])}
@@ -406,6 +449,268 @@ class StreamingCausalExtractor:
         if not outs:
             return _empty_out(cfg, self.get_hidden)
         return functools.reduce(_merge_out, outs)
+
+
+class StreamingCausalBatchExtractor:
+    """N concurrent causal streams served in LOCKSTEP chunk steps.
+
+    One jitted step advances every slot by the same C-frame window against
+    a batched (N, H, MAX, d) KV cache — N realtime streams cost one chunk
+    step instead of N, which matters when the per-step latency is
+    dispatch/RTT-dominated (BASELINE.md: the single-stream push is ~57 ms
+    over the axon tunnel, far above chunk compute). Lockstep is the
+    natural shape for realtime serving: every live audio source produces
+    frames at the same wall rate.
+
+    Semantics per slot are identical to :class:`StreamingCausalExtractor`
+    (same ``_stream_step``, parity-tested): pushes buffer on the host,
+    ``poll()`` runs as many lockstep steps as every UNFINISHED slot's
+    buffered right-context allows (a lagging live stream gates the batch —
+    by design), ``finish(i)`` marks a stream ended so its tail drains with
+    zero right-context, and ``open_stream(i)`` re-arms a finished, fully
+    drained slot for a NEW stream at the current physical offset
+    (continuous batching): the slot's stale cache rows are masked off by
+    the per-row ``start`` attention floor, and since the conv positional
+    embedding is relative, a stream starting at physical offset s is
+    bit-equivalent to one starting at 0.
+
+    The ``max_frames`` capacity bounds the SHARED physical timeline (the
+    longest-running slot), not the per-stream total — reused slots ride
+    the same clock. When the timeline is exhausted, ``reset()`` starts a
+    new one (drain any live streams first).
+    """
+
+    def __init__(
+        self,
+        ckpt: Optional[str] = None,
+        *,
+        params: Optional[dict] = None,
+        cfg: Optional[MelHuBERTConfig] = None,
+        batch: int = 8,
+        fp: int = 20,
+        mean_std_npy_path: Optional[str] = None,
+        chunk_frames: int = 128,
+        max_frames: int = 3072,
+        dtype=jnp.float32,
+        matmul_precision: str = "highest",
+        fbank_precision: str = "fast",
+        get_hidden: bool = False,
+    ):
+        if ckpt is not None:
+            from .extract import load_any_checkpoint
+
+            params, cfg, _ = load_any_checkpoint(ckpt)
+        if params is None or cfg is None:
+            raise ValueError("pass either ckpt= or (params= and cfg=)")
+        _check_streamable(cfg)
+        if batch < 1:
+            raise ValueError(f"batch must be >= 1, got {batch}")
+
+        self.cfg = cfg
+        self.batch = int(batch)
+        self.fp = fp
+        self.chunk = int(chunk_frames)
+        self.max_frames = int(max_frames)
+        self._cap = -(-self.max_frames // self.chunk) * self.chunk
+        self.dtype = dtype
+        self.get_hidden = get_hidden
+        self.fbank_precision = fbank_precision
+        self.params = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype), params,
+            is_leaf=lambda x: not isinstance(x, (dict, list)),
+        )
+        if mean_std_npy_path is not None:
+            from .extract import load_mean_std
+
+            self.mean, self.std = load_mean_std(mean_std_npy_path)
+        else:
+            self.mean, self.std = np.zeros(40), np.ones(40)
+
+        k = cfg.conv_pos
+        self._left = k // 2
+        self._right = k - 1 - self._left
+        step = functools.partial(_stream_step, cfg, matmul_precision)
+        donate = (3,) if jax.default_backend() == "tpu" else ()
+        self._step = jax.jit(step, donate_argnums=donate)
+        self._featurizers = [
+            _StreamFeaturizer(fp, self.mean, self.std, fbank_precision)
+            for _ in range(self.batch)
+        ]
+        self.reset()
+
+    # ------------------------------------------------------------------ #
+
+    def reset(self):
+        cfg, d, nb = self.cfg, self.dtype, self.batch
+        self._caches = [
+            {
+                "k": jnp.zeros(
+                    (nb, cfg.encoder_attention_heads[i], self._cap,
+                     cfg.head_dim), d,
+                ),
+                "v": jnp.zeros(
+                    (nb, cfg.encoder_attention_heads[i], self._cap,
+                     cfg.head_dim), d,
+                ),
+            }
+            for i in range(cfg.encoder_layers)
+        ]
+        feat_dim = cfg.feat_emb_dim
+        self._ctx = np.zeros((nb, self._left, feat_dim), np.float32)
+        self._pending = [
+            np.zeros((0, feat_dim), np.float32) for _ in range(nb)
+        ]
+        self._emitted = 0                        # shared physical offset
+        self._start = np.zeros(nb, np.int64)     # per-slot stream origin
+        self._total = np.zeros(nb, np.int64)     # per-slot physical end
+        self._finished = np.zeros(nb, bool)
+        for f in self._featurizers:
+            f.reset()
+
+    def _check_slot(self, slot: int):
+        if not 0 <= slot < self.batch:
+            raise ValueError(f"slot {slot} out of range [0, {self.batch})")
+
+    # ------------------------------------------------------------------ #
+    # per-slot input
+
+    def push_feat(self, slot: int, feat: np.ndarray) -> None:
+        """Buffer (m, feat_emb_dim) model-input frames for one slot
+        (normalized; already pair-stacked for fp=20). Run ``poll()`` to
+        advance the batch."""
+        self._check_slot(slot)
+        if self._finished[slot]:
+            raise ValueError(
+                f"slot {slot} is finished; open_stream({slot}) first"
+            )
+        feat = np.asarray(feat, np.float32)
+        if feat.ndim != 2 or feat.shape[1] != self.cfg.feat_emb_dim:
+            raise ValueError(
+                f"expected (m, {self.cfg.feat_emb_dim}) features, got "
+                f"{feat.shape}"
+            )
+        self._pending[slot] = np.concatenate(
+            [self._pending[slot], feat], axis=0
+        )
+        self._total[slot] += len(feat)
+
+    def push_wav(self, slot: int, wav: np.ndarray) -> None:
+        """Buffer a 16 kHz float32 waveform chunk for one slot."""
+        self._check_slot(slot)
+        feat = self._featurizers[slot].push(wav)
+        if len(feat):
+            self.push_feat(slot, feat)
+
+    def finish(self, slot: int) -> None:
+        """Mark a slot's stream ended: its featurizer tail is flushed and
+        its remaining frames drain with zero right-context on subsequent
+        ``poll()`` calls (same edge semantics as the full forward)."""
+        self._check_slot(slot)
+        if self._finished[slot]:
+            return
+        feat = self._featurizers[slot].flush()
+        if len(feat):
+            self.push_feat(slot, feat)
+        self._finished[slot] = True
+
+    def open_stream(self, slot: int) -> None:
+        """Re-arm a finished, fully drained slot for a new stream starting
+        at the current physical offset (continuous batching)."""
+        self._check_slot(slot)
+        if not self._finished[slot]:
+            raise ValueError(f"slot {slot} is still streaming; finish() it")
+        if self._total[slot] > self._emitted:
+            raise ValueError(
+                f"slot {slot} has {self._total[slot] - self._emitted} "
+                "undrained frames; poll() until empty before reusing"
+            )
+        self._start[slot] = self._total[slot] = self._emitted
+        self._finished[slot] = False
+        self._pending[slot] = self._pending[slot][:0]
+        self._ctx[slot] = 0.0
+        self._featurizers[slot].reset()
+
+    def slot_finished(self, slot: int) -> bool:
+        """True once a slot is finished AND fully drained (reusable)."""
+        self._check_slot(slot)
+        return bool(
+            self._finished[slot] and self._total[slot] <= self._emitted
+        )
+
+    # ------------------------------------------------------------------ #
+    # lockstep advance
+
+    def _ready(self) -> bool:
+        if not (self._total > self._emitted).any():
+            return False  # nothing new to emit anywhere
+        need = self.chunk + self._right
+        for i in range(self.batch):
+            if (not self._finished[i]
+                    and self._total[i] - self._emitted < need):
+                return False  # a live stream hasn't buffered the window yet
+        return True
+
+    def poll(self) -> list:
+        """Run as many lockstep steps as buffering allows; return one dict
+        per slot with the frames newly emitted for it (possibly 0 rows)."""
+        cfg, c = self.cfg, self.chunk
+        outs = [_empty_out(cfg, self.get_hidden) for _ in range(self.batch)]
+        while self._ready():
+            n_next = int(
+                min(c, int(self._total.max()) - self._emitted)
+            )
+            if (self._emitted + n_next > self.max_frames
+                    or self._emitted + c > self._cap):
+                raise ValueError(
+                    f"shared timeline exceeds max_frames={self.max_frames}; "
+                    "raise max_frames or reset()"
+                )
+            need = c + self._right
+            window = np.zeros(
+                (self.batch, need, cfg.feat_emb_dim), np.float32
+            )
+            for i in range(self.batch):
+                w = self._pending[i][:need]
+                window[i, :len(w)] = w
+            feat_win = np.concatenate([self._ctx, window], axis=1)
+            pos = (self._emitted - self._left) + np.arange(feat_win.shape[1])
+            valid = (
+                (pos[None, :] >= self._start[:, None])
+                & (pos[None, :] < self._total[:, None])
+            )
+
+            hidden, hiddens, pre_feat, self._caches = self._step(
+                self.params,
+                jnp.asarray(feat_win, self.dtype),
+                jnp.asarray(valid),
+                self._caches,
+                jnp.asarray(self._emitted, jnp.int32),
+                jnp.asarray(self._start, jnp.int32),
+            )
+            hidden = np.asarray(hidden)
+            if self.get_hidden:
+                pre_feat = np.asarray(pre_feat)
+                hiddens = [np.asarray(h) for h in hiddens]
+            for i in range(self.batch):
+                n_real = int(
+                    min(c, max(0, int(self._total[i]) - self._emitted))
+                )
+                entry = {"last_hidden_state": hidden[i, :n_real]}
+                if self.get_hidden:
+                    entry["hidden_states"] = [pre_feat[i, :n_real]] + [
+                        h[i, :n_real] for h in hiddens
+                    ]
+                outs[i] = _merge_out(outs[i], entry)
+                self._pending[i] = self._pending[i][c:]
+            self._ctx = feat_win[:, c:c + self._left].copy()
+            self._emitted += c
+        return outs
+
+    def flush(self) -> list:
+        """Finish every slot and drain all remaining frames."""
+        for i in range(self.batch):
+            self.finish(i)
+        return self.poll()
 
 
 def _empty_out(cfg, get_hidden: bool) -> dict:

@@ -220,3 +220,171 @@ def test_streaming_final_partial_chunk_within_max_frames():
     s.push_feat(rng.standard_normal((21, cfg.feat_emb_dim)).astype(np.float32))
     with pytest.raises(ValueError, match="max_frames"):
         s.flush()
+
+
+def test_batch_streaming_matches_full_forward():
+    """N lockstep streams of different lengths, ragged pushes: each slot's
+    concatenated output must match the full causal forward of its own
+    utterance (StreamingCausalBatchExtractor shares _stream_step with the
+    parity-tested single-stream path; this pins the batched masking,
+    per-slot validity, and tail drain)."""
+    from speech_ssl_compression_tpu.streaming import (
+        StreamingCausalBatchExtractor,
+    )
+
+    cfg = _tiny_cfg()
+    rng = np.random.default_rng(11)
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    lengths = [18, 9, 25]
+    feats = [
+        rng.standard_normal((t, cfg.feat_emb_dim)).astype(np.float32)
+        for t in lengths
+    ]
+    refs = [_full_causal(params, cfg, f) for f in feats]
+
+    sb = StreamingCausalBatchExtractor(
+        params=params, cfg=cfg, batch=3, chunk_frames=8, max_frames=64,
+        get_hidden=True,
+    )
+    got = [None, None, None]
+
+    def take(outs):
+        for i, o in enumerate(outs):
+            got[i] = o if got[i] is None else {
+                "last_hidden_state": np.concatenate(
+                    [got[i]["last_hidden_state"], o["last_hidden_state"]]
+                ),
+                "hidden_states": [
+                    np.concatenate([a, b]) for a, b in
+                    zip(got[i]["hidden_states"], o["hidden_states"])
+                ],
+            }
+
+    # ragged pushes; no step can run until every live slot has context
+    cursors = [0, 0, 0]
+    for push in (5, 7, 4, 9, 30):
+        for i in range(3):
+            if cursors[i] < lengths[i]:
+                sb.push_feat(i, feats[i][cursors[i]:cursors[i] + push])
+                cursors[i] = min(cursors[i] + push, lengths[i])
+                if cursors[i] >= lengths[i]:
+                    sb.finish(i)
+        take(sb.poll())
+    take(sb.flush())
+
+    for i in range(3):
+        assert got[i]["last_hidden_state"].shape == (
+            lengths[i], cfg.encoder_embed_dim
+        )
+        np.testing.assert_allclose(
+            got[i]["last_hidden_state"],
+            np.asarray(refs[i]["hidden"][0]),
+            atol=2e-5, rtol=1e-5, err_msg=f"slot {i} last_hidden_state",
+        )
+        for li, (a, b) in enumerate(
+            zip(got[i]["hidden_states"][1:], refs[i]["layer_hiddens"])
+        ):
+            np.testing.assert_allclose(
+                a, np.asarray(b[0]), atol=2e-5, rtol=1e-5,
+                err_msg=f"slot {i} layer {li}",
+            )
+
+
+def test_batch_streaming_slot_reuse():
+    """Continuous batching: after a slot's stream finishes and drains,
+    open_stream() re-arms it at the current physical offset — the NEW
+    stream's output must match a fresh forward (stale cache rows masked by
+    the per-row start floor; conv pos embedding is relative)."""
+    from speech_ssl_compression_tpu.streaming import (
+        StreamingCausalBatchExtractor,
+    )
+
+    cfg = _tiny_cfg()
+    rng = np.random.default_rng(13)
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    a = rng.standard_normal((16, cfg.feat_emb_dim)).astype(np.float32)
+    b_long = rng.standard_normal((40, cfg.feat_emb_dim)).astype(np.float32)
+    c_new = rng.standard_normal((16, cfg.feat_emb_dim)).astype(np.float32)
+
+    sb = StreamingCausalBatchExtractor(
+        params=params, cfg=cfg, batch=2, chunk_frames=8, max_frames=64,
+    )
+    # slot 0: stream A (short); slot 1: stream B (long, keeps running)
+    sb.push_feat(0, a)
+    sb.finish(0)
+    sb.push_feat(1, b_long[:24])
+    outs1 = sb.poll()
+    out_a = outs1[0]["last_hidden_state"]
+    out_b_head = outs1[1]["last_hidden_state"]
+    assert sb.slot_finished(0)
+    with pytest.raises(ValueError, match="finished"):
+        sb.push_feat(0, a)  # finished slot rejects input until reopened
+
+    # reuse slot 0 for stream C while B continues
+    sb.open_stream(0)
+    sb.push_feat(0, c_new)
+    sb.finish(0)
+    sb.push_feat(1, b_long[24:])
+    sb.finish(1)
+    outs = sb.poll()
+    tail = sb.flush()
+    out_a = np.concatenate([out_a, np.zeros((0, cfg.encoder_embed_dim))])
+    out_c = np.concatenate(
+        [outs[0]["last_hidden_state"], tail[0]["last_hidden_state"]]
+    )
+    out_b = np.concatenate(
+        [out_b_head, outs[1]["last_hidden_state"],
+         tail[1]["last_hidden_state"]]
+    )
+
+    for name, got_arr, feat in (
+        ("A", out_a, a), ("B", out_b, b_long), ("C", out_c, c_new)
+    ):
+        ref = np.asarray(_full_causal(params, cfg, feat)["hidden"][0])
+        assert got_arr.shape == ref.shape, name
+        np.testing.assert_allclose(
+            got_arr, ref, atol=2e-5, rtol=1e-5, err_msg=f"stream {name}"
+        )
+
+    # reopening a slot with undrained frames is rejected
+    sb2 = StreamingCausalBatchExtractor(
+        params=params, cfg=cfg, batch=1, chunk_frames=8, max_frames=64,
+    )
+    sb2.push_feat(0, a)
+    sb2.finish(0)
+    with pytest.raises(ValueError, match="undrained"):
+        sb2.open_stream(0)
+
+
+def test_batch_streaming_lockstep_and_overflow():
+    """poll() must not advance while a live slot lacks its buffered
+    right-context window (lockstep), and the shared timeline raises past
+    max_frames."""
+    from speech_ssl_compression_tpu.streaming import (
+        StreamingCausalBatchExtractor,
+    )
+
+    cfg = _tiny_cfg()
+    rng = np.random.default_rng(17)
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+
+    sb = StreamingCausalBatchExtractor(
+        params=params, cfg=cfg, batch=2, chunk_frames=8, max_frames=16,
+    )
+    sb.push_feat(0, rng.standard_normal((16, cfg.feat_emb_dim))
+                 .astype(np.float32))
+    # slot 1 is live with no data: nothing may advance
+    outs = sb.poll()
+    assert all(o["last_hidden_state"].shape[0] == 0 for o in outs)
+
+    sb.finish(1)  # empty stream: slot stops gating the batch
+    outs = sb.poll()
+    assert outs[0]["last_hidden_state"].shape[0] > 0
+    assert outs[1]["last_hidden_state"].shape[0] == 0
+
+    # shared timeline past max_frames raises
+    sb.push_feat(0, rng.standard_normal((9, cfg.feat_emb_dim))
+                 .astype(np.float32))
+    sb.finish(0)
+    with pytest.raises(ValueError, match="max_frames"):
+        sb.poll()

@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--max-frames", type=int, default=3072)
     ap.add_argument("--pushes", type=int, default=20)
+    ap.add_argument(
+        "--batch", type=int, default=0,
+        help="N>0: bench StreamingCausalBatchExtractor with N lockstep "
+        "streams (one poll per chunk of audio across all N)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -32,7 +37,10 @@ def main():
 
     from speech_ssl_compression_tpu.configs import MelHuBERTConfig
     from speech_ssl_compression_tpu.models import init_melhubert_params
-    from speech_ssl_compression_tpu.streaming import StreamingCausalExtractor
+    from speech_ssl_compression_tpu.streaming import (
+        StreamingCausalBatchExtractor,
+        StreamingCausalExtractor,
+    )
 
     cfg = MelHuBERTConfig.from_dict(
         {
@@ -46,6 +54,11 @@ def main():
         }
     )
     params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+
+    if args.batch > 0:
+        bench_batch(args, cfg, params)
+        return
+
     s = StreamingCausalExtractor(
         params=params, cfg=cfg, fp=20, chunk_frames=args.chunk,
         max_frames=args.max_frames,
@@ -82,6 +95,58 @@ def main():
         f"(p90 {np.percentile(lat, 90):.1f}), realtime factor "
         f"{audio_secs * 1e3 / med:.1f}x, algorithmic lookahead "
         f"{lookahead_ms} ms (pos_conv)"
+    )
+
+
+def bench_batch(args, cfg, params):
+    """N lockstep realtime streams: each iteration pushes one chunk of
+    audio into every slot and polls once. The poll is host-synchronous, so
+    wall-clock per poll is the real serving latency for ALL N streams."""
+    from speech_ssl_compression_tpu.streaming import (
+        StreamingCausalBatchExtractor,
+    )
+
+    sb = StreamingCausalBatchExtractor(
+        params=params, cfg=cfg, batch=args.batch, fp=20,
+        chunk_frames=args.chunk, max_frames=args.max_frames,
+    )
+    rng = np.random.default_rng(0)
+    samples_per_push = args.chunk * 2 * 160
+    audio_secs = samples_per_push / 16000.0
+
+    def push_all():
+        for i in range(args.batch):
+            sb.push_wav(
+                i,
+                rng.standard_normal(samples_per_push).astype(np.float32)
+                * 0.1,
+            )
+        return sb.poll()
+
+    # prime: fill conv lookahead + compile
+    for _ in range(4 + (63 // args.chunk + 1)):
+        outs = push_all()
+        if outs[0]["last_hidden_state"].shape[0] > 0:
+            break
+    assert outs[0]["last_hidden_state"].shape[0] > 0
+
+    lat = []
+    for _ in range(args.pushes):
+        t0 = time.time()
+        outs = push_all()
+        lat.append(time.time() - t0)
+        assert all(
+            o["last_hidden_state"].shape[0] == args.chunk for o in outs
+        )
+    lat = np.array(lat) * 1e3
+    med = float(np.median(lat))
+    print(
+        f"batch={args.batch} lockstep streams, chunk={args.chunk} frames "
+        f"({audio_secs:.2f}s audio each), max_frames={args.max_frames}: "
+        f"median {med:.1f} ms/poll (p90 {np.percentile(lat, 90):.1f}) = "
+        f"{med / args.batch:.1f} ms/stream, aggregate realtime "
+        f"{args.batch * audio_secs * 1e3 / med:.1f}x "
+        f"({audio_secs * 1e3 / med:.1f}x per-stream floor needed: 1x)"
     )
 
 
