@@ -478,6 +478,11 @@ class StreamingCausalBatchExtractor:
     longest-running slot), not the per-stream total — reused slots ride
     the same clock. When the timeline is exhausted, ``reset()`` starts a
     new one (drain any live streams first).
+
+    Every slot starts LIVE: with fewer streams than ``batch``, call
+    ``finish(i)`` on the unused slots so they don't gate ``poll()``
+    (an empty finished slot costs nothing and can be ``open_stream``-ed
+    later).
     """
 
     def __init__(

@@ -11,6 +11,8 @@ there. This script runs the load-bearing kernel checks on the REAL chip:
   4. hardware-RNG elementwise dropout keep-rate
   5. segment-packing parity: packed forward == per-utterance forward
   6. fused clip+Adam apply vs the optax chain
+  7. device featurizer, k-means assignment, extended-w2v2 grad
+  8. streaming causal serving (single + batched) vs the full causal forward
 
 Run (needs the TPU; one TPU process at a time):
     python tools/run_tpu_tests.py
@@ -334,6 +336,79 @@ def main():
     check("w2v2 cross/codebook/everywhere + deep VQ + deep pos-conv grad",
           np.isfinite(float(lval)) and np.isfinite(gn) and gn > 0,
           f"loss={float(lval):.4f} gnorm={gn:.3f}")
+
+    # ---- 8. streaming causal serving parity at flagship scale ----------
+    # chunked KV-cache inference (single + batched w/ slot reuse) must
+    # match the full causal forward ON THE CHIP — CI runs this path only
+    # at tiny scale on CPU (tests/test_streaming.py)
+    from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+    from speech_ssl_compression_tpu.models import (
+        init_melhubert_params,
+        melhubert_forward,
+    )
+    from speech_ssl_compression_tpu.streaming import (
+        StreamingCausalBatchExtractor,
+        StreamingCausalExtractor,
+    )
+
+    scfg = MelHuBERTConfig.from_dict({
+        "feat_emb_dim": 80, "encoder_layers": 12,
+        "encoder_embed_dim": 768, "encoder_ffn_embed_dim": 3072,
+        "encoder_attention_heads": 12, "num_cluster": 512,
+        "attention_type": "causal",
+    })
+    sparams = init_melhubert_params(jax.random.PRNGKey(0), scfg)
+    t_stream = 300
+    feats = [
+        np.asarray(rng.standard_normal((n, 80)), np.float32)
+        for n in (t_stream, 211)
+    ]
+    # reference under the SAME precision story as the streaming step
+    # (dense einsums at highest matmul precision) — with the default
+    # flash/bf16-MXU forward the 12-layer accumulated precision gap is
+    # ~2.5e-2 and would mask real regressions
+    refs = []
+    with jax.default_matmul_precision("highest"):
+        for f in feats:
+            o = melhubert_forward(
+                sparams, scfg, jnp.asarray(f[None]), jnp.ones((1, len(f))),
+                no_pred=True, deterministic=True, attn_impl="dense",
+            )
+            refs.append(np.asarray(o["hidden"][0]))
+
+    s1 = StreamingCausalExtractor(
+        params=sparams, cfg=scfg, chunk_frames=128, max_frames=512,
+    )
+    got1 = np.concatenate([
+        s1.push_feat(feats[0][:170])["last_hidden_state"],
+        s1.push_feat(feats[0][170:])["last_hidden_state"],
+        s1.flush()["last_hidden_state"],
+    ])
+    err1 = float(np.abs(got1 - refs[0]).max())
+    check("streaming single-stream vs full causal (12L/768)",
+          got1.shape == refs[0].shape and err1 < 1e-3,
+          f"max|diff|={err1:.2e}")
+
+    sb = StreamingCausalBatchExtractor(
+        params=sparams, cfg=scfg, batch=2, chunk_frames=128, max_frames=512,
+    )
+    sb.push_feat(0, feats[0])
+    sb.finish(0)
+    sb.push_feat(1, feats[1])
+    sb.finish(1)
+    outs = sb.poll()
+    tails = sb.flush()
+    errs = []
+    for i in range(2):
+        got = np.concatenate([
+            outs[i]["last_hidden_state"], tails[i]["last_hidden_state"]
+        ])
+        errs.append(
+            float(np.abs(got - refs[i]).max())
+            if got.shape == refs[i].shape else float("inf")
+        )
+    check("streaming batch=2 lockstep vs full causal (12L/768)",
+          max(errs) < 1e-3, f"max|diff|={max(errs):.2e}")
 
     print(f"\n{'ALL PASS' if not FAILED else 'FAILURES: ' + str(FAILED)}")
     sys.exit(1 if FAILED else 0)
