@@ -57,7 +57,8 @@ from .ops.grouped_conv import grouped_conv1d
 NEG_INF = -1e30
 
 
-def _cached_self_attn(h, lp, cache, n, start, *, num_heads, head_dim):
+def _cached_self_attn(h, lp, cache, n, start, *, num_heads, head_dim,
+                      window=None):
     """Causal self-attention of a (B, C, D) chunk at global offset ``n``
     against a (B, H, MAX, d) K/V cache. Returns (out, context, new_cache).
 
@@ -69,7 +70,18 @@ def _cached_self_attn(h, lp, cache, n, start, *, num_heads, head_dim):
     slot (batched serving reuses rows for new streams mid-run) and are
     masked out the same way. The conv positional embedding is relative, so
     a stream starting at physical offset s behaves identically to one
-    starting at 0."""
+    starting at 0.
+
+    ``window`` (static int) turns the cache into a RING over the last
+    `window` frames for unbounded always-on streams at constant memory:
+    the slab is written at n mod MAX (never wraps — the host advances n
+    by exactly C per step and MAX is a multiple of C with
+    MAX >= window + C), and each slot p's GLOBAL frame index is
+    recovered arithmetically as the largest f <= n + C - 1 with
+    f == p (mod MAX). Queries attend to frames in
+    [max(start, g - window + 1), g] — windowed attention, the standard
+    always-on serving approximation (each deeper layer's effective
+    receptive field grows by `window`, Transformer-XL style)."""
     b, c, _ = h.shape
 
     def proj(name):
@@ -78,19 +90,35 @@ def _cached_self_attn(h, lp, cache, n, start, *, num_heads, head_dim):
         return y.reshape(b, c, num_heads, head_dim).transpose(0, 2, 1, 3)
 
     q = proj("q_proj")
-    ck = jax.lax.dynamic_update_slice(cache["k"], proj("k_proj"), (0, 0, n, 0))
-    cv = jax.lax.dynamic_update_slice(cache["v"], proj("v_proj"), (0, 0, n, 0))
+    cap = cache["k"].shape[2]
+    wr = n if window is None else jax.lax.rem(n, cap)
+    ck = jax.lax.dynamic_update_slice(cache["k"], proj("k_proj"),
+                                      (0, 0, wr, 0))
+    cv = jax.lax.dynamic_update_slice(cache["v"], proj("v_proj"),
+                                      (0, 0, wr, 0))
 
     scale = 1.0 / (head_dim ** 0.5)
     s = jnp.einsum(
         "bhqd,bhkd->bhqk", q * scale, ck, preferred_element_type=jnp.float32
     )  # (B, H, C, MAX)
-    kv_pos = jnp.arange(ck.shape[2])
-    allowed = (
-        (kv_pos[None, None, :] <= n + jnp.arange(c)[None, :, None])
-        & (kv_pos[None, None, :] >= start[:, None, None])
-    )  # (B, C, MAX); a fully-masked q row softmaxes to uniform (finite),
-    # and its output is dropped on the host
+    kv_pos = jnp.arange(cap)
+    g = n + jnp.arange(c)  # global query positions
+    if window is None:
+        allowed = (
+            (kv_pos[None, None, :] <= g[None, :, None])
+            & (kv_pos[None, None, :] >= start[:, None, None])
+        )  # (B, C, MAX); a fully-masked q row softmaxes to uniform
+        # (finite), and its output is dropped on the host
+    else:
+        # slot p holds global frame f(p): the largest f <= n + C - 1
+        # congruent to p mod MAX (every slot below the clock is written
+        # every MAX frames; lockstep has no gaps)
+        f = kv_pos + ((n + c - 1 - kv_pos) // cap) * cap  # (MAX,)
+        allowed = (
+            (f[None, None, :] <= g[None, :, None])
+            & (f[None, None, :] > g[None, :, None] - window)
+            & (f[None, None, :] >= start[:, None, None])
+        )
     s = jnp.where(allowed[:, None], s, NEG_INF)
     p_att = jax.nn.softmax(s, axis=-1)
     ctx = jnp.einsum(
@@ -103,13 +131,14 @@ def _cached_self_attn(h, lp, cache, n, start, *, num_heads, head_dim):
     return out, ctx, {"k": ck, "v": cv}
 
 
-def _stream_step(cfg, precision, params, feat_win, valid_win, caches, n,
-                 start):
+def _stream_step(cfg, precision, window, params, feat_win, valid_win,
+                 caches, n, start):
     """One streaming step: feat_win (B, C + K - 1, F) raw model-input
     features around the C frames being emitted, valid_win (B, C + K - 1)
     bool (False outside the real stream), caches per layer, n = shared
     global index of the first emitted frame, start (B,) = each row's
-    stream origin (attention floor for reused slots). Returns (hidden,
+    stream origin (attention floor for reused slots), window = static
+    ring-attention extent or None (full causal history). Returns (hidden,
     layer_hiddens, pre_feat, new_caches)."""
     with jax.default_matmul_precision(precision):
         x = feat_win
@@ -151,6 +180,7 @@ def _stream_step(cfg, precision, params, feat_win, valid_win, caches, n,
                     hh, lp, caches[i], n, start,
                     num_heads=cfg.encoder_attention_heads[i],
                     head_dim=cfg.head_dim,
+                    window=window,
                 )
                 return out, ctx
 
@@ -317,7 +347,7 @@ class StreamingCausalExtractor:
         k = cfg.conv_pos
         self._left = k // 2
         self._right = k - 1 - self._left
-        step = functools.partial(_stream_step, cfg, matmul_precision)
+        step = functools.partial(_stream_step, cfg, matmul_precision, None)
         # args after the partial:
         # (params, feat_win, valid_win, caches, n, start)
         donate = (3,) if jax.default_backend() == "tpu" else ()
@@ -479,6 +509,15 @@ class StreamingCausalBatchExtractor:
     the same clock. When the timeline is exhausted, ``reset()`` starts a
     new one (drain any live streams first).
 
+    ``window_frames`` switches to UNBOUNDED always-on serving at constant
+    memory: the KV cache becomes a ring over the last ``window_frames``
+    frames and attention is windowed to them (the standard always-on
+    approximation — each deeper layer's effective receptive field grows
+    by one window, Transformer-XL style; with a window no shorter than
+    any stream it is exactly the full causal computation). ``max_frames``
+    is ignored; the shared clock is bounded only by int32 (2^31 frames =
+    ~1.4 years of 20 ms audio — ``reset()`` before that).
+
     Every slot starts LIVE: with fewer streams than ``batch``, call
     ``finish(i)`` on the unused slots so they don't gate ``poll()``
     (an empty finished slot costs nothing and can be ``open_stream``-ed
@@ -496,6 +535,7 @@ class StreamingCausalBatchExtractor:
         mean_std_npy_path: Optional[str] = None,
         chunk_frames: int = 128,
         max_frames: int = 3072,
+        window_frames: Optional[int] = None,
         dtype=jnp.float32,
         matmul_precision: str = "highest",
         fbank_precision: str = "fast",
@@ -515,8 +555,22 @@ class StreamingCausalBatchExtractor:
         self.batch = int(batch)
         self.fp = fp
         self.chunk = int(chunk_frames)
-        self.max_frames = int(max_frames)
-        self._cap = -(-self.max_frames // self.chunk) * self.chunk
+        self.window = None if window_frames is None else int(window_frames)
+        if self.window is None:
+            self.max_frames = int(max_frames)
+            self._cap = -(-self.max_frames // self.chunk) * self.chunk
+        else:
+            if self.window < 1:
+                raise ValueError(
+                    f"window_frames must be >= 1, got {self.window}"
+                )
+            # ring capacity: a chunk multiple holding window + one chunk,
+            # so the slab write never wraps and the oldest frame a query
+            # can attend (g - window + 1) is never yet overwritten
+            self.max_frames = None
+            self._cap = (
+                -(-(self.window + self.chunk) // self.chunk) * self.chunk
+            )
         self.dtype = dtype
         self.get_hidden = get_hidden
         self.fbank_precision = fbank_precision
@@ -534,7 +588,8 @@ class StreamingCausalBatchExtractor:
         k = cfg.conv_pos
         self._left = k // 2
         self._right = k - 1 - self._left
-        step = functools.partial(_stream_step, cfg, matmul_precision)
+        step = functools.partial(_stream_step, cfg, matmul_precision,
+                                 self.window)
         donate = (3,) if jax.default_backend() == "tpu" else ()
         self._step = jax.jit(step, donate_argnums=donate)
         self._featurizers = [
@@ -661,15 +716,17 @@ class StreamingCausalBatchExtractor:
         cfg, c = self.cfg, self.chunk
         outs = [_empty_out(cfg, self.get_hidden) for _ in range(self.batch)]
         while self._ready():
-            n_next = int(
-                min(c, int(self._total.max()) - self._emitted)
-            )
-            if (self._emitted + n_next > self.max_frames
-                    or self._emitted + c > self._cap):
-                raise ValueError(
-                    f"shared timeline exceeds max_frames={self.max_frames}; "
-                    "raise max_frames or reset()"
+            if self.window is None:
+                n_next = int(
+                    min(c, int(self._total.max()) - self._emitted)
                 )
+                if (self._emitted + n_next > self.max_frames
+                        or self._emitted + c > self._cap):
+                    raise ValueError(
+                        "shared timeline exceeds "
+                        f"max_frames={self.max_frames}; raise max_frames, "
+                        "use window_frames=, or reset()"
+                    )
             need = c + self._right
             window = np.zeros(
                 (self.batch, need, cfg.feat_emb_dim), np.float32

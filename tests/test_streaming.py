@@ -425,3 +425,156 @@ def test_batch_streaming_bf16_dtype():
     rel = np.abs(outs["bfloat16"] - outs["float32"]).max() / (scale + 1e-9)
     assert np.isfinite(outs["bfloat16"]).all()
     assert rel < 0.1, rel
+
+
+def _full_windowed(params, cfg, feat, window):
+    """Oracle: full-sequence forward with DENSE windowed attention
+    (kv in (q - window, q]), built from the encoder's own components —
+    what the ring-buffer stream must reproduce incrementally."""
+    from speech_ssl_compression_tpu.models.encoder import (
+        encoder_layer_forward,
+        layer_norm,
+        pos_conv_embed,
+    )
+    from speech_ssl_compression_tpu.ops.attention import (
+        output_projection,
+        project_to_heads,
+    )
+
+    x = jnp.asarray(feat[None])
+    if "pre_extract_proj" in params:
+        p = params["pre_extract_proj"]
+        x = x @ p["kernel"] + p["bias"]
+    enc = params["encoder"]
+    pos = pos_conv_embed(x, enc["pos_conv"], cfg.conv_pos_groups,
+                         cfg.conv_pos)
+    h = x + pos
+    if not cfg.layer_norm_first:
+        h = layer_norm(h, enc["layer_norm"])
+    t = h.shape[1]
+    qpos = np.arange(t)
+    mask = jnp.asarray(
+        (qpos[None, :] <= qpos[:, None])
+        & (qpos[None, :] > qpos[:, None] - window)
+    )  # (Tq, Tk)
+
+    for i, lp in enumerate(enc["layers"]):
+        nh = cfg.encoder_attention_heads[i]
+
+        def attn_fn(hh, lp=lp, nh=nh):
+            q = project_to_heads(hh, lp, "q_proj", nh, cfg.head_dim)
+            k = project_to_heads(hh, lp, "k_proj", nh, cfg.head_dim)
+            v = project_to_heads(hh, lp, "v_proj", nh, cfg.head_dim)
+            s = jnp.einsum(
+                "bhqd,bhkd->bhqk", q / (cfg.head_dim ** 0.5), k,
+                preferred_element_type=jnp.float32,
+            )
+            s = jnp.where(mask[None, None], s, -1e30)
+            p_att = jax.nn.softmax(s, axis=-1)
+            ctx = jnp.einsum(
+                "bhqk,bhkd->bhqd", p_att.astype(hh.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(hh.dtype)
+            return output_projection(ctx, lp), ctx
+
+        h, _ = encoder_layer_forward(
+            h, lp, num_heads=nh, head_dim=cfg.head_dim,
+            layer_norm_first=cfg.layer_norm_first, key_padding_mask=None,
+            causal=False, dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0, rng=None, deterministic=True,
+            attn_fn=attn_fn, activation_fn=cfg.activation_fn,
+        )
+    final = layer_norm(h, enc["layer_norm"]) if cfg.layer_norm_first else h
+    return np.asarray(final[0])
+
+
+def _ring_stream(params, cfg, feat, window, chunk):
+    from speech_ssl_compression_tpu.streaming import (
+        StreamingCausalBatchExtractor,
+    )
+
+    sb = StreamingCausalBatchExtractor(
+        params=params, cfg=cfg, batch=1, chunk_frames=chunk,
+        window_frames=window,
+    )
+    sb.push_feat(0, feat)
+    sb.finish(0)
+    return np.concatenate([
+        sb.poll()[0]["last_hidden_state"],
+        sb.flush()[0]["last_hidden_state"],
+    ])
+
+
+def test_windowed_streaming_matches_dense_windowed_oracle():
+    """Ring-buffer windowed streaming (unbounded always-on serving) must
+    equal the full-sequence dense windowed-attention forward — including
+    many ring wraps (stream 4x the window) and two different chunk sizes
+    (different ring capacities, different wrap timings)."""
+    cfg = _tiny_cfg()
+    rng = np.random.default_rng(31)
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    window, t = 24, 100
+    feat = rng.standard_normal((t, cfg.feat_emb_dim)).astype(np.float32)
+    ref = _full_windowed(params, cfg, feat, window)
+
+    for chunk in (8, 4):  # ring caps 32 and 28
+        got = _ring_stream(params, cfg, feat, window, chunk)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(
+            got, ref, atol=3e-5, rtol=1e-5,
+            err_msg=f"chunk={chunk}",
+        )
+
+
+def test_windowed_streaming_degenerates_to_full_causal():
+    """With a window no shorter than the stream, ring mode is exactly the
+    full causal computation."""
+    cfg = _tiny_cfg()
+    rng = np.random.default_rng(37)
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    t = 30
+    feat = rng.standard_normal((t, cfg.feat_emb_dim)).astype(np.float32)
+    ref = _full_causal(params, cfg, feat)
+    got = _ring_stream(params, cfg, feat, window=64, chunk=8)
+    np.testing.assert_allclose(
+        got, np.asarray(ref["hidden"][0]), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_windowed_streaming_slot_reuse_past_wrap():
+    """Slot reuse in ring mode: a stream opened after the clock has
+    wrapped several times must match the same utterance streamed fresh
+    (per-row start floor + relative positions make the physical offset
+    invisible)."""
+    from speech_ssl_compression_tpu.streaming import (
+        StreamingCausalBatchExtractor,
+    )
+
+    cfg = _tiny_cfg()
+    rng = np.random.default_rng(41)
+    params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+    window, chunk = 16, 8
+    a = rng.standard_normal((80, cfg.feat_emb_dim)).astype(np.float32)
+    c_new = rng.standard_normal((40, cfg.feat_emb_dim)).astype(np.float32)
+
+    sb = StreamingCausalBatchExtractor(
+        params=params, cfg=cfg, batch=2, chunk_frames=chunk,
+        window_frames=window,
+    )
+    sb.push_feat(0, a[:48])
+    sb.finish(1)               # slot 1 idle first
+    sb.poll()                  # clock advances past several wraps
+    sb.push_feat(0, a[48:])
+    sb.finish(0)
+    sb.open_stream(1)          # slot 1 joins mid-timeline
+    sb.push_feat(1, c_new)
+    sb.finish(1)
+    outs = sb.poll()
+    tails = sb.flush()
+    got_c = np.concatenate([
+        outs[1]["last_hidden_state"], tails[1]["last_hidden_state"]
+    ])
+
+    ref_c = _ring_stream(params, cfg, c_new, window, chunk)
+    assert got_c.shape == ref_c.shape
+    np.testing.assert_allclose(got_c, ref_c, atol=3e-5, rtol=1e-5)

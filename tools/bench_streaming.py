@@ -28,6 +28,15 @@ def main():
         help="N>0: bench StreamingCausalBatchExtractor with N lockstep "
         "streams (one poll per chunk of audio across all N)",
     )
+    ap.add_argument(
+        "--window", type=int, default=0,
+        help="W>0: ring-buffer windowed attention (unbounded always-on "
+        "streams at constant memory; requires --batch)",
+    )
+    ap.add_argument(
+        "--bf16", action="store_true",
+        help="bf16 serving mode (halved KV caches, ~2x step speed)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -106,9 +115,14 @@ def bench_batch(args, cfg, params):
         StreamingCausalBatchExtractor,
     )
 
+    import jax.numpy as jnp
+
     sb = StreamingCausalBatchExtractor(
         params=params, cfg=cfg, batch=args.batch, fp=20,
         chunk_frames=args.chunk, max_frames=args.max_frames,
+        window_frames=args.window or None,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        matmul_precision="default" if args.bf16 else "highest",
     )
     rng = np.random.default_rng(0)
     samples_per_push = args.chunk * 2 * 160
@@ -140,9 +154,14 @@ def bench_batch(args, cfg, params):
         )
     lat = np.array(lat) * 1e3
     med = float(np.median(lat))
+    extent = (
+        f"window={args.window} (unbounded ring)" if args.window
+        else f"max_frames={args.max_frames}"
+    )
     print(
-        f"batch={args.batch} lockstep streams, chunk={args.chunk} frames "
-        f"({audio_secs:.2f}s audio each), max_frames={args.max_frames}: "
+        f"batch={args.batch} lockstep streams "
+        f"({'bf16' if args.bf16 else 'f32'}), chunk={args.chunk} frames "
+        f"({audio_secs:.2f}s audio each), {extent}: "
         f"median {med:.1f} ms/poll (p90 {np.percentile(lat, 90):.1f}) = "
         f"{med / args.batch:.1f} ms/stream, aggregate realtime "
         f"{args.batch * audio_secs * 1e3 / med:.1f}x "
