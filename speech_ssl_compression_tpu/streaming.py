@@ -267,6 +267,47 @@ class _StreamFeaturizer:
         return stacked
 
 
+def _init_stream_common(self, ckpt, params, cfg, fp, mean_std_npy_path,
+                        chunk_frames, dtype, matmul_precision,
+                        fbank_precision, get_hidden, window):
+    """Constructor body shared by the single-stream and batch extractors:
+    checkpoint/param resolution, streamability validation, dtype cast,
+    mean/std, conv split, and the jitted step (window statically bound)."""
+    if ckpt is not None:
+        from .extract import load_any_checkpoint
+
+        params, cfg, _ = load_any_checkpoint(ckpt)
+    if params is None or cfg is None:
+        raise ValueError("pass either ckpt= or (params= and cfg=)")
+    _check_streamable(cfg)
+
+    self.cfg = cfg
+    self.fp = fp
+    self.chunk = int(chunk_frames)
+    self.dtype = dtype
+    self.get_hidden = get_hidden
+    self.fbank_precision = fbank_precision
+    self.params = jax.tree.map(
+        lambda x: jnp.asarray(x, dtype), params,
+        is_leaf=lambda x: not isinstance(x, (dict, list)),
+    )
+    if mean_std_npy_path is not None:
+        from .extract import load_mean_std
+
+        self.mean, self.std = load_mean_std(mean_std_npy_path)
+    else:
+        self.mean, self.std = np.zeros(40), np.ones(40)
+
+    k = cfg.conv_pos
+    self._left = k // 2
+    self._right = k - 1 - self._left
+    step = functools.partial(_stream_step, cfg, matmul_precision, window)
+    # args after the partial: (params, feat_win, valid_win, caches, n,
+    # start); caches donated so each step updates the KV buffers in place
+    donate = (3,) if jax.default_backend() == "tpu" else ()
+    self._step = jax.jit(step, donate_argnums=donate)
+
+
 def _check_streamable(cfg: MelHuBERTConfig):
     if cfg.attention_type != "causal":
         raise ValueError(
@@ -293,8 +334,11 @@ class StreamingCausalExtractor:
     ``push_wav`` / ``push_feat`` buffer input and run as many C-frame steps
     as the conv lookahead allows, returning newly emitted frames;
     ``flush`` drains the tail (zero right-context, as in the full
-    forward). Outputs are bitwise-stable against chunk boundaries and
-    match the full causal forward to float tolerance.
+    forward) and FINALIZES the stream — further pushes raise until
+    ``reset()`` (the post-flush offset may sit mid-chunk, where a resumed
+    step would overlap the stale cache slab). Outputs are bitwise-stable
+    against chunk boundaries and match the full causal forward to float
+    tolerance.
     """
 
     def __init__(
@@ -312,17 +356,10 @@ class StreamingCausalExtractor:
         fbank_precision: str = "fast",
         get_hidden: bool = False,
     ):
-        if ckpt is not None:
-            from .extract import load_any_checkpoint
-
-            params, cfg, _ = load_any_checkpoint(ckpt)
-        if params is None or cfg is None:
-            raise ValueError("pass either ckpt= or (params= and cfg=)")
-        _check_streamable(cfg)
-
-        self.cfg = cfg
-        self.fp = fp
-        self.chunk = int(chunk_frames)
+        _init_stream_common(
+            self, ckpt, params, cfg, fp, mean_std_npy_path, chunk_frames,
+            dtype, matmul_precision, fbank_precision, get_hidden, None,
+        )
         self.max_frames = int(max_frames)
         # cache capacity rounded up to a whole chunk: every step writes a
         # full C-frame slab at the current offset, and dynamic_update_slice
@@ -330,28 +367,6 @@ class StreamingCausalExtractor:
         # a chunk-multiple capacity keeps the write in bounds for any
         # stream up to max_frames real frames
         self._cap = -(-self.max_frames // self.chunk) * self.chunk
-        self.dtype = dtype
-        self.get_hidden = get_hidden
-        self.fbank_precision = fbank_precision
-        self.params = jax.tree.map(
-            lambda x: jnp.asarray(x, dtype), params,
-            is_leaf=lambda x: not isinstance(x, (dict, list)),
-        )
-        if mean_std_npy_path is not None:
-            from .extract import load_mean_std
-
-            self.mean, self.std = load_mean_std(mean_std_npy_path)
-        else:
-            self.mean, self.std = np.zeros(40), np.ones(40)
-
-        k = cfg.conv_pos
-        self._left = k // 2
-        self._right = k - 1 - self._left
-        step = functools.partial(_stream_step, cfg, matmul_precision, None)
-        # args after the partial:
-        # (params, feat_win, valid_win, caches, n, start)
-        donate = (3,) if jax.default_backend() == "tpu" else ()
-        self._step = jax.jit(step, donate_argnums=donate)
         self.reset()
 
     # ------------------------------------------------------------------ #
@@ -376,6 +391,7 @@ class StreamingCausalExtractor:
         self._pending = np.zeros((0, feat_dim), np.float32)
         self._emitted = 0   # frames already run through the encoder
         self._total = 0     # real feature frames received
+        self._finished = False
         self._feat = _StreamFeaturizer(
             self.fp, self.mean, self.std, self.fbank_precision
         )
@@ -386,11 +402,22 @@ class StreamingCausalExtractor:
     def push_feat(self, feat: np.ndarray) -> dict:
         """feat: (m, feat_emb_dim) final model-input frames (normalized;
         already pair-stacked for fp=20)."""
+        if self._finished:
+            raise ValueError(
+                "stream was flushed; reset() to start a new one"
+            )
         feat = np.asarray(feat, np.float32)
         if feat.ndim != 2 or feat.shape[1] != self.cfg.feat_emb_dim:
             raise ValueError(
                 f"expected (m, {self.cfg.feat_emb_dim}) features, got "
                 f"{feat.shape}"
+            )
+        # validate at buffer time: nothing is consumed on failure, and the
+        # drain loop can never raise after emitting part of a poll
+        if self._total + len(feat) > self.max_frames:
+            raise ValueError(
+                f"stream ({self._total + len(feat)} frames) exceeds "
+                f"max_frames={self.max_frames}; raise max_frames or reset()"
             )
         self._pending = np.concatenate([self._pending, feat], axis=0)
         self._total += len(feat)
@@ -398,14 +425,17 @@ class StreamingCausalExtractor:
 
     def flush(self) -> dict:
         """Emit every remaining frame (zero right-context at the stream
-        end, matching the full forward's padding) and reset the
-        featurizer tail."""
+        end, matching the full forward's padding) and FINALIZE the
+        stream (idempotent; reset() starts a new one)."""
+        if self._finished:
+            return _empty_out(self.cfg, self.get_hidden)
         feat = self._feat.flush()
         out = (
             self.push_feat(feat) if len(feat)
             else _empty_out(self.cfg, self.get_hidden)
         )
         tail = self._drain(final=True)
+        self._finished = True
         return _merge_out(out, tail)
 
     # ------------------------------------------------------------------ #
@@ -413,6 +443,10 @@ class StreamingCausalExtractor:
 
     def push_wav(self, wav: np.ndarray) -> dict:
         """wav: (n,) float32 in [-1, 1] at 16 kHz, any chunk size."""
+        if self._finished:
+            raise ValueError(
+                "stream was flushed; reset() to start a new one"
+            )
         feat = self._feat.push(wav)
         if len(feat) == 0:
             return _empty_out(self.cfg, self.get_hidden)
@@ -429,19 +463,14 @@ class StreamingCausalExtractor:
                     break
             elif len(self._pending) < c + self._right:
                 break
-            # capacity check against REAL frames: a final partial chunk
-            # whose real tail fits within max_frames must drain even though
-            # the static step spans a full chunk (the cache is chunk-
-            # multiple-sized, so the slab write stays in bounds). The
-            # second clause only fires when pushing past a partial flush
-            # (emitted no longer chunk-aligned).
-            n_next = min(c, self._total - self._emitted)
-            if (self._emitted + n_next > self.max_frames
-                    or self._emitted + c > self._cap):
-                raise ValueError(
-                    f"stream exceeds max_frames={self.max_frames}; "
-                    "raise max_frames or reset()"
-                )
+            # invariant, not a user-facing check (push_feat validates at
+            # buffer time so this loop never raises after emitting): total
+            # <= max_frames and flush-finalization keep emitted chunk-
+            # aligned while draining, so the slab write [emitted,
+            # emitted + c) stays within the chunk-multiple capacity
+            assert self._emitted + c <= self._cap, (
+                self._emitted, c, self._cap
+            )
             need = c + self._right
             window = self._pending[:need]
             if len(window) < need:
@@ -541,29 +570,23 @@ class StreamingCausalBatchExtractor:
         fbank_precision: str = "fast",
         get_hidden: bool = False,
     ):
-        if ckpt is not None:
-            from .extract import load_any_checkpoint
-
-            params, cfg, _ = load_any_checkpoint(ckpt)
-        if params is None or cfg is None:
-            raise ValueError("pass either ckpt= or (params= and cfg=)")
-        _check_streamable(cfg)
         if batch < 1:
             raise ValueError(f"batch must be >= 1, got {batch}")
-
-        self.cfg = cfg
-        self.batch = int(batch)
-        self.fp = fp
-        self.chunk = int(chunk_frames)
         self.window = None if window_frames is None else int(window_frames)
+        if self.window is not None and self.window < 1:
+            raise ValueError(
+                f"window_frames must be >= 1, got {self.window}"
+            )
+        _init_stream_common(
+            self, ckpt, params, cfg, fp, mean_std_npy_path, chunk_frames,
+            dtype, matmul_precision, fbank_precision, get_hidden,
+            self.window,
+        )
+        self.batch = int(batch)
         if self.window is None:
             self.max_frames = int(max_frames)
             self._cap = -(-self.max_frames // self.chunk) * self.chunk
         else:
-            if self.window < 1:
-                raise ValueError(
-                    f"window_frames must be >= 1, got {self.window}"
-                )
             # ring capacity: a chunk multiple holding window + one chunk,
             # so the slab write never wraps and the oldest frame a query
             # can attend (g - window + 1) is never yet overwritten
@@ -571,27 +594,6 @@ class StreamingCausalBatchExtractor:
             self._cap = (
                 -(-(self.window + self.chunk) // self.chunk) * self.chunk
             )
-        self.dtype = dtype
-        self.get_hidden = get_hidden
-        self.fbank_precision = fbank_precision
-        self.params = jax.tree.map(
-            lambda x: jnp.asarray(x, dtype), params,
-            is_leaf=lambda x: not isinstance(x, (dict, list)),
-        )
-        if mean_std_npy_path is not None:
-            from .extract import load_mean_std
-
-            self.mean, self.std = load_mean_std(mean_std_npy_path)
-        else:
-            self.mean, self.std = np.zeros(40), np.ones(40)
-
-        k = cfg.conv_pos
-        self._left = k // 2
-        self._right = k - 1 - self._left
-        step = functools.partial(_stream_step, cfg, matmul_precision,
-                                 self.window)
-        donate = (3,) if jax.default_backend() == "tpu" else ()
-        self._step = jax.jit(step, donate_argnums=donate)
         self._featurizers = [
             _StreamFeaturizer(fp, self.mean, self.std, fbank_precision)
             for _ in range(self.batch)
@@ -648,6 +650,17 @@ class StreamingCausalBatchExtractor:
             raise ValueError(
                 f"expected (m, {self.cfg.feat_emb_dim}) features, got "
                 f"{feat.shape}"
+            )
+        # validate at buffer time: nothing is consumed on failure, and
+        # poll() never raises after running part of its lockstep steps
+        # (window mode is unbounded — no check)
+        if (self.window is None
+                and self._total[slot] + len(feat) > self.max_frames):
+            raise ValueError(
+                f"slot {slot} would end at frame "
+                f"{self._total[slot] + len(feat)} > "
+                f"max_frames={self.max_frames} (the SHARED timeline); "
+                "raise max_frames, use window_frames=, or reset()"
             )
         self._pending[slot] = np.concatenate(
             [self._pending[slot], feat], axis=0
@@ -717,16 +730,13 @@ class StreamingCausalBatchExtractor:
         outs = [_empty_out(cfg, self.get_hidden) for _ in range(self.batch)]
         while self._ready():
             if self.window is None:
-                n_next = int(
-                    min(c, int(self._total.max()) - self._emitted)
+                # invariant, not a user-facing check (push_feat bounds
+                # every total at buffer time): emitted stays chunk-aligned
+                # and below some total <= max_frames <= cap, so the slab
+                # write [emitted, emitted + c) is in capacity
+                assert self._emitted + c <= self._cap, (
+                    self._emitted, c, self._cap
                 )
-                if (self._emitted + n_next > self.max_frames
-                        or self._emitted + c > self._cap):
-                    raise ValueError(
-                        "shared timeline exceeds "
-                        f"max_frames={self.max_frames}; raise max_frames, "
-                        "use window_frames=, or reset()"
-                    )
             need = c + self._right
             window = np.zeros(
                 (self.batch, need, cfg.feat_emb_dim), np.float32

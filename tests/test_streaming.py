@@ -215,11 +215,30 @@ def test_streaming_final_partial_chunk_within_max_frames():
         got, np.asarray(ref["hidden"][0]), atol=2e-5, rtol=1e-5
     )
 
-    # one more real frame than max_frames still raises
+    # one more real frame than max_frames raises AT PUSH TIME (nothing is
+    # consumed; review finding — a mid-drain raise would discard the
+    # frames already emitted in the same call)
     s.reset()
-    s.push_feat(rng.standard_normal((21, cfg.feat_emb_dim)).astype(np.float32))
     with pytest.raises(ValueError, match="max_frames"):
-        s.flush()
+        s.push_feat(
+            rng.standard_normal((21, cfg.feat_emb_dim)).astype(np.float32)
+        )
+    # the rejected push left no state behind: the full 18-frame stream
+    # still extracts
+    got2 = np.concatenate([
+        s.push_feat(feat)["last_hidden_state"],
+        s.flush()["last_hidden_state"],
+    ])
+    np.testing.assert_array_equal(got, got2)
+
+    # flush() finalizes: pushes now raise (review finding: continuing a
+    # partially-flushed stream silently corrupted the cache overlap),
+    # flush is idempotent, reset() re-arms
+    with pytest.raises(ValueError, match="flushed"):
+        s.push_feat(feat[:4])
+    assert s.flush()["last_hidden_state"].shape[0] == 0
+    s.reset()
+    assert s.push_feat(feat[:4])["last_hidden_state"].shape[0] == 0
 
 
 def test_batch_streaming_matches_full_forward():
@@ -382,12 +401,16 @@ def test_batch_streaming_lockstep_and_overflow():
     assert outs[0]["last_hidden_state"].shape[0] > 0
     assert outs[1]["last_hidden_state"].shape[0] == 0
 
-    # shared timeline past max_frames raises
-    sb.push_feat(0, rng.standard_normal((9, cfg.feat_emb_dim))
-                 .astype(np.float32))
-    sb.finish(0)
+    # shared timeline past max_frames raises AT PUSH TIME (buffer-time
+    # validation: poll() can then never raise after running part of its
+    # lockstep steps and discarding their outputs — review finding)
     with pytest.raises(ValueError, match="max_frames"):
-        sb.poll()
+        sb.push_feat(0, rng.standard_normal((9, cfg.feat_emb_dim))
+                     .astype(np.float32))
+    # the rejected push consumed nothing: the slot still drains cleanly
+    sb.finish(0)
+    outs = sb.flush()
+    assert sum(o["last_hidden_state"].shape[0] for o in outs) == 16 - 8
 
 
 def test_batch_streaming_bf16_dtype():

@@ -38,6 +38,8 @@ def main():
         help="bf16 serving mode (halved KV caches, ~2x step speed)",
     )
     args = ap.parse_args()
+    if (args.window or args.bf16) and args.batch <= 0:
+        ap.error("--window/--bf16 require --batch N (the batch extractor)")
 
     import jax
 
