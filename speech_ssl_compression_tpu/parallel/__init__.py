@@ -7,3 +7,10 @@ from .mesh import (
     shard_batch,
 )
 from .seqpar import melhubert_extract_seqpar
+from .pipeline import (
+    pipeline_mesh,
+    split_pipeline_params,
+    merge_pipeline_params,
+    shard_pipeline_params,
+    make_melhubert_pipeline_grad_step,
+)
