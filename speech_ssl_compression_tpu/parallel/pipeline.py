@@ -54,6 +54,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.encoder import encoder_layer_forward, encoder_prologue, layer_norm
 from ..models.melhubert import _apply_mask
 from ..ops.masking import compute_span_mask
+from ..train.steps import cast_for_compute as _cast
 
 __all__ = [
     "pipeline_mesh",
@@ -140,14 +141,6 @@ def pipeline_param_shardings(pp_params: dict, mesh: Mesh):
 def shard_pipeline_params(pp_params: dict, mesh: Mesh):
     return jax.tree.map(
         jax.device_put, pp_params, pipeline_param_shardings(pp_params, mesh)
-    )
-
-
-def _cast(tree, dtype):
-    return jax.tree.map(
-        lambda x: x.astype(dtype)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x,
-        tree,
     )
 
 
@@ -267,8 +260,9 @@ def make_melhubert_pipeline_grad_step(
             pad_mb = (~valid_l).reshape(M, mb, t)
             ticks = M + S - 1
 
-            def tick(buf, ti):
+            def tick(carry, ti):
                 # at tick ti, stage s processes microbatch (ti - s)
+                buf, acc = carry
                 mb_idx = jnp.clip(ti - s_idx, 0, M - 1)
                 inp = jnp.where(
                     s_idx == 0, x_mb[jnp.clip(ti, 0, M - 1)], buf
@@ -283,6 +277,13 @@ def make_melhubert_pipeline_grad_step(
                 if remat:
                     run = jax.checkpoint(run)
                 out = run(sp_c, inp)
+                # keep only the LAST M ticks' outputs (the last stage emits
+                # microbatch m at tick m + S - 1). Fill-phase ticks (ti <
+                # S - 1) clip to slot 0 and are overwritten by the real
+                # write at ti == S - 1, so the store needs no predicate.
+                acc = jax.lax.dynamic_update_index_in_dim(
+                    acc, out, jnp.clip(ti - (S - 1), 0, M - 1), 0
+                )
                 if S > 1:
                     # hand to the next stage; stage S-1's send is dropped,
                     # stage 0 receives zeros (never read: it selects x_mb)
@@ -291,19 +292,17 @@ def make_melhubert_pipeline_grad_step(
                     )
                 else:
                     nxt = out
-                return nxt, out
+                return (nxt, acc), None
 
-            _, outs = jax.lax.scan(
-                tick, jnp.zeros_like(x_mb[0]), jnp.arange(ticks)
+            (_, outs), _ = jax.lax.scan(
+                tick,
+                (jnp.zeros_like(x_mb[0]), jnp.zeros_like(x_mb)),
+                jnp.arange(ticks),
             )
-            # the LAST stage emits microbatch m's encoder output at tick
-            # m + S - 1; on other stages this is an intermediate (its loss
-            # contribution is zeroed below)
-            enc = outs[S - 1:].reshape(b_l, t, d)
-            if cfg.layer_norm_first:
-                enc = layer_norm(enc, rep_c["encoder"]["layer_norm"])
-            fp = rep_c["final_proj"]
-            logits = enc @ fp["kernel"] + fp["bias"]
+            # on the last stage, outs[m] = microbatch m's encoder output;
+            # on other stages it holds intermediates that the head below
+            # never reads (lax.cond skips the head entirely off-stage)
+            enc = outs.reshape(b_l, t, d)
 
             # masked CE against GLOBAL counts. AD RULE (shard_map with
             # check_vma=False): the transpose of psum is psum, so a psum
@@ -314,30 +313,54 @@ def make_melhubert_pipeline_grad_step(
             # per-device partial grads and the loss value OUTSIDE the
             # grad. The psum'd local losses sum to exactly the
             # single-device melhubert_pretrain_loss batch means.
-            on_last = (s_idx == S - 1).astype(jnp.float32)
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            #
+            # The head (final layer_norm, final_proj matmul, fp32
+            # log_softmax, CE sums) runs ONLY on the last stage: lax.cond
+            # picks the zero branch elsewhere, so non-last stages spend no
+            # FLOPs on it and no garbage fill/drain value can leak into
+            # the global sums (the psums sit OUTSIDE the cond — every
+            # device participates in the collective).
+            def head(enc_in):
+                if cfg.layer_norm_first:
+                    enc_in = layer_norm(enc_in, rep_c["encoder"]["layer_norm"])
+                fp = rep_c["final_proj"]
+                logits = enc_in @ fp["kernel"] + fp["bias"]
+                logp = jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1
+                )
 
-            def ce_sums(select):
-                sel = select & (label_l != -100)
-                safe = jnp.where(sel, label_l, 0)
-                nll = -jnp.take_along_axis(
-                    logp, safe[..., None], axis=-1
-                )[..., 0]
-                s_local = jnp.sum(jnp.where(sel, nll, 0.0)) * on_last
-                c = jnp.sum(sel).astype(jnp.float32) * on_last
-                c = jax.lax.psum(c, ("pipe", "data"))  # grad-free
-                return s_local, c
+                def ce_sums(select):
+                    sel = select & (label_l != -100)
+                    safe = jnp.where(sel, label_l, 0)
+                    nll = -jnp.take_along_axis(
+                        logp, safe[..., None], axis=-1
+                    )[..., 0]
+                    return (
+                        jnp.sum(jnp.where(sel, nll, 0.0)),
+                        jnp.sum(sel).astype(jnp.float32),
+                    )
+
+                s_m, c_m = ce_sums(valid_l & maskidx_l)
+                s_u, c_u = ce_sums(valid_l & ~maskidx_l)
+                return s_m, c_m, s_u, c_u
+
+            s_m, c_m, s_u, c_u = jax.lax.cond(
+                s_idx == S - 1,
+                head,
+                lambda _: (jnp.float32(0.0),) * 4,
+                enc,
+            )
+            c_m = jax.lax.psum(c_m, ("pipe", "data"))  # grad-free
+            c_u = jax.lax.psum(c_u, ("pipe", "data"))
 
             loss = 0.0
             logs = {}
             if not cfg.skip_masked and cfg.pred_masked_weight > 0:
-                s_m, c_m = ce_sums(valid_l & maskidx_l)
                 l_m = s_m / jnp.maximum(c_m, 1.0)
                 loss = loss + cfg.pred_masked_weight * l_m
                 logs["loss_masked"] = l_m  # local; globalized below
                 logs["n_masked"] = c_m
             if not cfg.skip_nomask and cfg.pred_nomask_weight > 0:
-                s_u, c_u = ce_sums(valid_l & ~maskidx_l)
                 l_u = s_u / jnp.maximum(c_u, 1.0)
                 loss = loss + cfg.pred_nomask_weight * l_u
                 logs["loss_nomask"] = l_u
