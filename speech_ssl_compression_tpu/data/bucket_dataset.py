@@ -43,6 +43,8 @@ class MelFeatBuckets:
         max_timestep: int = 0,
         pad_multiple: int = 128,
         seed: int = 0,
+        process_index: Optional[int] = 0,
+        process_count: int = 1,
     ):
         import pandas as pd
 
@@ -50,7 +52,25 @@ class MelFeatBuckets:
         self.sample_length = sequence_length
         self.bucket_size = bucket_size
         self.pad_multiple = pad_multiple
-        self.rng = np.random.default_rng(seed)
+        # Multi-process sharding (SURVEY §2.8's multi-host path): every
+        # process builds the SAME global bucket list; an epoch serves
+        # buckets in pc-sized groups — process p loads group member p —
+        # so the processes' local batches concatenate into one global
+        # batch. process_index=None serves the whole group concatenated
+        # on a single process (the exact global-stream replay used by the
+        # multi-process equivalence test).
+        self.process_index = process_index
+        self.process_count = max(1, int(process_count))
+        if self.process_count > 1 or process_index is None:
+            # the shuffle order must be identical on every process, so it
+            # gets its own stream; crops are per-process data augmentation
+            self._order_rng = np.random.default_rng(seed)
+            self.rng = np.random.default_rng(
+                seed + 1000003 * ((process_index or 0) + 1)
+            )
+        else:
+            self._order_rng = None
+            self.rng = np.random.default_rng(seed)
 
         tables = [pd.read_csv(s) for s in sets]
         table = pd.concat(tables, ignore_index=True).sort_values(
@@ -65,22 +85,46 @@ class MelFeatBuckets:
 
         x = table["file_path"].tolist()
         y = table["label_path"].tolist()
+        lens = [int(v) for v in table["length"].tolist()]
 
         self.buckets: List[tuple] = []
-        bx, by = [], []
-        for xi, yi in zip(x, y):
+        bx, by, bl = [], [], []
+        for xi, yi, li in zip(x, y, lens):
             bx.append(xi)
             by.append(yi)
+            bl.append(li)
             if len(bx) == bucket_size:
                 self.buckets.append((bx, by))
-                bx, by = [], []
-        if len(bx) > 1:  # reference drops a trailing singleton (:59)
+                bx, by, bl = [], [], []
+        if len(bx) > 1 and (
+            self.process_count <= 1 and process_index is not None
+        ):
+            # reference drops a trailing singleton (:59); multi-process
+            # lockstep additionally needs every bucket batch-dim-equal, so
+            # the trailing partial bucket is dropped there entirely
             self.buckets.append((bx, by))
         # count only the samples actually served (after singleton drop)
         self.num_samples = sum(len(b[0]) for b in self.buckets)
+        # per-bucket padded length derived from the manifest alone, so
+        # every process computes each step's batch shape without
+        # communication (lockstep shapes are what make
+        # jax.make_array_from_process_local_data assembly legal)
+        self._bucket_tpad = []
+        pos = 0
+        for bx2, _ in self.buckets:
+            ls = lens[pos : pos + len(bx2)]
+            pos += len(bx2)
+            eff = max(
+                -(-l // 2) if frame_period == 20 else l for l in ls
+            )
+            if self.sample_length > 0:
+                eff = min(eff, self.sample_length)
+            self._bucket_tpad.append(_round_up(eff, pad_multiple))
 
     def __len__(self):
-        return len(self.buckets)
+        # in multi-process mode an epoch advances in lockstep groups of
+        # process_count buckets (trailing partial group dropped)
+        return len(self.buckets) // self.process_count
 
     def _load_feat(self, path: str) -> np.ndarray:
         feat = np.load(path)
@@ -103,7 +147,7 @@ class MelFeatBuckets:
             label[idx : idx + self.sample_length],
         )
 
-    def get_batch(self, index: int) -> dict:
+    def get_batch(self, index: int, pad_to: Optional[int] = None) -> dict:
         bx, by = self.buckets[index]
         feats, labels = [], []
         for xp, yp in zip(bx, by):
@@ -115,6 +159,12 @@ class MelFeatBuckets:
 
         lengths = np.array([len(f) for f in feats], np.int32)
         t = _round_up(int(lengths.max()), self.pad_multiple)
+        if pad_to is not None:
+            assert pad_to >= t, (
+                f"lockstep pad target {pad_to} < actual bucket length {t} "
+                "(manifest lengths disagree with the stored features)"
+            )
+            t = pad_to
         b = len(feats)
         d = feats[0].shape[1]
         feat_pad = np.zeros((b, t, d), np.float32)
@@ -133,10 +183,32 @@ class MelFeatBuckets:
 
     def epoch(self, shuffle: bool = True) -> Iterator[dict]:
         order = np.arange(len(self.buckets))
+        pc = self.process_count
+        if pc <= 1 and self.process_index is not None:
+            if shuffle:
+                self.rng.shuffle(order)
+            for i in order:
+                yield self.get_batch(int(i))
+            return
+
+        # multi-process lockstep: identical order on every process (shared
+        # stream), step s serves the pc buckets order[s*pc:(s+1)*pc] — one
+        # per process — all padded to the group's manifest-derived length
         if shuffle:
-            self.rng.shuffle(order)
-        for i in order:
-            yield self.get_batch(int(i))
+            self._order_rng.shuffle(order)
+        steps = len(self.buckets) // pc
+        for s in range(steps):
+            group = [int(i) for i in order[s * pc : (s + 1) * pc]]
+            tpad = max(self._bucket_tpad[g] for g in group)
+            if self.process_index is None:
+                # global-stream replay: concatenate the whole group
+                parts = [self.get_batch(g, pad_to=tpad) for g in group]
+                yield {
+                    k: np.concatenate([p[k] for p in parts], axis=0)
+                    for k in parts[0]
+                }
+            else:
+                yield self.get_batch(group[self.process_index], pad_to=tpad)
 
 
 class PrefetchIterator:

@@ -17,7 +17,9 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -46,3 +48,42 @@ def initialize(coordinator_address: Optional[str] = None,
 def is_primary() -> bool:
     """True on the process that should write checkpoints/logs."""
     return jax.process_index() == 0
+
+
+def process_info() -> tuple:
+    """(process_index, process_count) — (0, 1) in single-process mode."""
+    return jax.process_index(), jax.process_count()
+
+
+def global_batch(batch: dict, mesh: Mesh) -> dict:
+    """Assemble each process's host-local batch into GLOBAL jax.Arrays
+    sharded over the mesh's "data" axis.
+
+    This is the multi-process replacement for the runners' device_put path
+    (and the TPU-native analog of the data scatter the reference's
+    DataParallel did inside one process, runner.py:372-373): every process
+    holds a disjoint slice of the global batch — produced by the datasets'
+    per-process manifest sharding — and
+    ``jax.make_array_from_process_local_data`` stitches them into one
+    logical array without any host-side gather. All processes must call
+    this with identically-shaped local batches (the datasets guarantee
+    lockstep shapes by computing each step's padded length from the
+    manifest alone).
+
+    Leaves without a leading batch dimension (scalars) are replicated.
+    Lists are mapped elementwise (HuBERT's target_list).
+    """
+    pc = jax.process_count()
+
+    def put(v):
+        if isinstance(v, (list, tuple)):
+            return type(v)(put(x) for x in v)
+        arr = np.asarray(v)
+        if arr.ndim == 0:
+            sh = NamedSharding(mesh, P())
+            return jax.make_array_from_process_local_data(sh, arr, arr.shape)
+        sh = NamedSharding(mesh, P("data", *([None] * (arr.ndim - 1))))
+        gshape = (arr.shape[0] * pc,) + arr.shape[1:]
+        return jax.make_array_from_process_local_data(sh, arr, gshape)
+
+    return {k: put(v) for k, v in batch.items()}

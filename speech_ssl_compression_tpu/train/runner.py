@@ -63,9 +63,18 @@ class Runner(OptimizerScheduleMixin):
         self.upstream_config = upstream_config
         self.mode = args.mode
 
+        # multi-process (multi-host) awareness: the same program runs on
+        # every host after parallel.multihost.initialize(); datasets shard
+        # per process, batches assemble into global arrays, and only the
+        # primary process writes checkpoints/TensorBoard (replaces the
+        # reference's single-process DataParallel, SURVEY §2.8)
+        self.proc_id = jax.process_index()
+        self.proc_count = jax.process_count()
+        self.primary = self.proc_id == 0
+
         self.expdir = args.expdir
         os.makedirs(self.expdir, exist_ok=True)
-        self.logger = TBLogger(self.expdir)
+        self.logger = TBLogger(self.expdir if self.primary else None)
 
         self.rng = jax.random.PRNGKey(getattr(args, "seed", 1337))
         self.compute_dtype = (
@@ -100,13 +109,28 @@ class Runner(OptimizerScheduleMixin):
 
         set_attention_mesh(self.mesh if self.n_devices > 1 else None)
         if self.n_devices > 1:
-            print(f"[Runner] - Device mesh: {dict(self.mesh.shape)}")
+            if self.primary:
+                print(f"[Runner] - Device mesh: {dict(self.mesh.shape)} "
+                      f"across {self.proc_count} process(es)")
+            if self.proc_count > 1:
+                # device arrays committed to one local device can't feed a
+                # multi-process sharding; go through host memory (identical
+                # on every process: same seed / same checkpoint)
+                self.params = jax.tree.map(np.asarray, self.params)
+                if self.teacher_params is not None:
+                    self.teacher_params = jax.tree.map(
+                        np.asarray, self.teacher_params
+                    )
+                if self.masks is not None:
+                    self.masks = jax.tree.map(np.asarray, self.masks)
             self.params = shard_params(self.params, self.mesh,
                                        tensor_parallel=tp > 1)
             if self.teacher_params is not None:
                 self.teacher_params = shard_params(
                     self.teacher_params, self.mesh, tensor_parallel=tp > 1
                 )
+            if self.masks is not None and self.proc_count > 1:
+                self.masks = shard_params(self.masks, self.mesh)
 
         # frame-period sanity (reference runner.py:48-52)
         fp = getattr(args, "frame_period", 20)
@@ -204,6 +228,12 @@ class Runner(OptimizerScheduleMixin):
     # ------------------------------------------------------------------
     def _log_scalar(self, tag, value, step):
         self.logger.scalar(tag, value, step)
+
+    def _key(self, k):
+        """RNG key as a jit input: committed-to-one-local-device arrays
+        can't feed a multi-process computation — pass host bytes instead
+        (identical on every process: the key chain is seed-deterministic)."""
+        return np.asarray(k) if self.proc_count > 1 else k
 
     # ------------------------------------------------------------------
     def _init_melhubert(self):
@@ -346,12 +376,22 @@ class Runner(OptimizerScheduleMixin):
             sets=datarc["sets"],
             max_timestep=int(datarc.get("max_timestep", 0)),
             seed=getattr(self.args, "seed", 1337),
+            process_index=self.proc_id,
+            process_count=self.proc_count,
         )
 
     # ------------------------------------------------------------------
     def _device_batch(self, batch: dict) -> dict:
         """Shard the batch over the mesh's data axis (grads are psum'd by
-        XLA automatically); replicate when the batch doesn't divide."""
+        XLA automatically); replicate when the batch doesn't divide.
+
+        Multi-process: every process holds a disjoint local batch (the
+        dataset shards per process in lockstep shapes); assemble them into
+        global arrays so the SAME jitted step runs across all hosts."""
+        if self.proc_count > 1:
+            from ..parallel.multihost import global_batch
+
+            return global_batch(batch, self.mesh)
         dp = self.mesh.shape.get("data", 1)
         out = {}
         for k2, v in batch.items():
@@ -363,6 +403,8 @@ class Runner(OptimizerScheduleMixin):
 
     # ------------------------------------------------------------------
     def save(self, global_step: int, name: str, total_step: Optional[int] = None):
+        if not self.primary:
+            return  # one writer per expdir (multi-process runs would race)
         meta = {
             "Step": global_step,
             "Args": vars(self.args) if hasattr(self.args, "__dict__") else dict(self.args),
@@ -510,10 +552,12 @@ class Runner(OptimizerScheduleMixin):
             self.rng, k = jax.random.split(self.rng)
             _, per_layer = score_step(
                 self.params, hp.make_head_probes(
-                    cfg, batch["feat"].shape[0], batch["feat"].shape[1]
+                    cfg,
+                    batch["feat"].shape[0] * self.proc_count,
+                    batch["feat"].shape[1],
                 ),
-                {k2: jnp.asarray(v) for k2, v in batch.items()},
-                k,
+                self._device_batch(batch),
+                self._key(k),
             )
             for i, s in enumerate(per_layer):
                 scores[i] += np.asarray(s, np.float64) / total_steps
@@ -605,11 +649,11 @@ class Runner(OptimizerScheduleMixin):
                 try:
                     if self.mode == "distillation":
                         loss, grads, logs = self.grad_step(
-                            self.params, self.teacher_params, jb, k
+                            self.params, self.teacher_params, jb, self._key(k)
                         )
                     else:
                         loss, grads, logs = self.grad_step(
-                            self.params, self.masks, jb, k
+                            self.params, self.masks, jb, self._key(k)
                         )
                 except Exception as e:  # noqa: BLE001
                     # OOM-recovery parity (reference runner.py:379-386):
@@ -658,7 +702,7 @@ class Runner(OptimizerScheduleMixin):
 
                 self.params, self.opt_state, grad_norm = self.apply_step(
                     self.params, self.opt_state, grads_acc,
-                    jnp.asarray(float(all_sample_size)),
+                    np.asarray(float(all_sample_size), np.float32),
                 )
                 grads_acc = None
 
@@ -672,11 +716,13 @@ class Runner(OptimizerScheduleMixin):
                     if lr_now is not None:
                         self._log_scalar(f"{prefix}lr", lr_now, global_step)
                     steps_per_sec = global_step / (time.time() - t_start)
-                    print(
-                        f"[Runner] step {global_step}/{pbar['total']} "
-                        f"loss={norm_loss:.4f} gnorm={float(grad_norm):.3f} "
-                        f"({steps_per_sec:.2f} steps/s)"
-                    )
+                    if self.primary:
+                        print(
+                            f"[Runner] step {global_step}/{pbar['total']} "
+                            f"loss={norm_loss:.4f} "
+                            f"gnorm={float(grad_norm):.3f} "
+                            f"({steps_per_sec:.2f} steps/s)"
+                        )
                     window_loss = 0.0
                     window_count = 0
                 all_sample_size = 0

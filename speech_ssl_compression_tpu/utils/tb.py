@@ -10,7 +10,12 @@ from __future__ import annotations
 
 
 class TBLogger:
-    def __init__(self, logdir: str):
+    def __init__(self, logdir):
+        # logdir=None -> disabled (non-primary processes in a multi-process
+        # run pass None so only one host writes event files)
+        if logdir is None:
+            self._writer = None
+            return
         try:
             from tensorboardX import SummaryWriter
         except ImportError:

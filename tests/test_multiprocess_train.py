@@ -1,0 +1,209 @@
+"""Multi-process (multi-host) training integration test (VERDICT r3 #1).
+
+Runs Runner.train() end-to-end across 2 jax.distributed processes x 2
+virtual CPU devices each, and checks the three integration properties the
+primitive-only round-3 state lacked:
+
+  1. the processes consume DISJOINT data (per-process manifest sharding);
+  2. exactly ONE process writes checkpoints/TB (primary-gated writes);
+  3. the trained result equals a single-process run over the SAME global
+     batch stream (the dataset's process_index=None replay mode serves the
+     concatenated group batches), step-for-step in loss and final params.
+
+Reference anchor: this replaces the reference's only multi-device path,
+single-process torch.nn.DataParallel (upstream/melhubert/pretrain_expert.py
+:28-30, loss-sum at runner.py:372-373).
+"""
+
+import os
+import pathlib
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+_WORKER = '''
+import os, sys, types, json
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count={ndev}"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, {repo!r})
+
+import numpy as np
+from speech_ssl_compression_tpu.parallel.multihost import initialize
+
+pid = int(sys.argv[1])
+replay = {replay!r}
+if not replay:
+    initialize(coordinator_address={coord!r}, num_processes=2, process_id=pid)
+    assert jax.process_count() == 2
+
+from speech_ssl_compression_tpu.data.bucket_dataset import MelFeatBuckets
+from speech_ssl_compression_tpu.train.runner import Runner
+
+# record which feature files this process actually reads
+loaded = []
+_orig_load = MelFeatBuckets._load_feat
+def _spy_load(self, path):
+    loaded.append(os.path.basename(path))
+    return _orig_load(self, path)
+MelFeatBuckets._load_feat = _spy_load
+
+model_cfg = {{
+    "melhubert": {{
+        "feat_emb_dim": 80,
+        "encoder_layers": 2,
+        "encoder_embed_dim": 64,
+        "encoder_ffn_embed_dim": 128,
+        "encoder_attention_heads": 4,
+        "head_dim": 16,
+        "num_cluster": 10,
+        "conv_pos": 16,
+        "conv_pos_groups": 4,
+        "mask_prob": 0.65,
+        "mask_length": 4,
+        "dropout": 0.0,
+        "attention_dropout": 0.0,
+        "activation_dropout": 0.0,
+    }},
+    "task": {{"sequence_length": 0}},
+}}
+runner_cfg = {{
+    "runner": {{
+        "n_epochs": 0,
+        "total_steps": 4,
+        "gradient_clipping": 10.0,
+        "gradient_accumulate_steps": 1,
+        "log_step": 1,
+        "save_every_x_epochs": 100,
+        "bf16": False,
+    }},
+    "optimizer": {{"lr": 1.0e-4, "betas": [0.9, 0.999], "eps": 1.0e-8,
+                  "weight_decay": 0}},
+    "datarc": {{"num_workers": 0, "train_batch_size": 2, "max_timestep": 0,
+               "sets": [{csv!r}]}},
+}}
+args = types.SimpleNamespace(
+    mode="melhubert", upstream="melhubert", expdir={expdir!r},
+    initial_weight=None, init_optimizer_from_initial_weight=False,
+    frame_period=20, seed=0,
+)
+
+if replay:
+    # single-process replay of the 2-process run's GLOBAL batch stream
+    class ReplayRunner(Runner):
+        def _get_dataloader(self):
+            datarc = self.runner_config["datarc"]
+            return MelFeatBuckets(
+                frame_period=20, sequence_length=0,
+                bucket_size=int(datarc["train_batch_size"]),
+                sets=datarc["sets"], seed=0,
+                process_index=None, process_count=2,
+            )
+    runner = ReplayRunner(args, runner_cfg, model_cfg)
+else:
+    runner = Runner(args, runner_cfg, model_cfg)
+
+runner.train()
+with open(os.path.join({expdir!r}, f"loaded_{{pid}}.json"), "w") as f:
+    json.dump(loaded, f)  # ordered: bucket_size files per step
+print(f"[worker {{pid}}] done")
+'''
+
+
+def _make_dataset(tmp_path, n_utts=8, feat_dim=40, n_cluster=10, seed=0):
+    rng = np.random.default_rng(seed)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir(exist_ok=True)
+    rows = []
+    for i in range(n_utts):
+        n = int(rng.integers(30, 60))
+        np.save(data_dir / f"feat_{i}.npy",
+                rng.standard_normal((n, feat_dim)).astype(np.float32))
+        np.save(data_dir / f"label_{i}.npy",
+                rng.integers(0, n_cluster, (n,)).astype(np.int64))
+        rows.append((str(data_dir / f"feat_{i}.npy"),
+                     str(data_dir / f"label_{i}.npy"), n))
+    csv = tmp_path / "train.csv"
+    with open(csv, "w") as f:
+        f.write("file_path,label_path,length\n")
+        for fp, lp, n in rows:
+            f.write(f"{fp},{lp},{n}\n")
+    return str(csv)
+
+
+def _losses(stdout: str):
+    return [float(m) for m in re.findall(r"loss=([0-9.]+)", stdout)]
+
+
+def _run(code_args, env):
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code, str(pid)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True, env=env, cwd=REPO)
+        for code, pid in code_args
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"rc={p.returncode}\n{err[-4000:]}\n{out[-2000:]}"
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_train_end_to_end(tmp_path):
+    csv = _make_dataset(tmp_path)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+
+    mp_expdir = str(tmp_path / "exp_mp")
+    code = _WORKER.format(repo=str(REPO), coord=coord, csv=csv,
+                          expdir=mp_expdir, ndev=2, replay=False)
+    outs = _run([(code, 0), (code, 1)], env)
+
+    # 1. disjoint data: at every STEP the two processes read
+    # non-overlapping feature files (each epoch reshuffles which process
+    # gets which bucket, so only per-step disjointness is meaningful —
+    # the global stream per step is what must not duplicate)
+    import json
+    loaded = [json.load(open(os.path.join(mp_expdir, f"loaded_{p}.json")))
+              for p in (0, 1)]
+    assert len(loaded[0]) == len(loaded[1]) == 8  # 4 steps x bucket_size 2
+    for s in range(4):
+        a = set(loaded[0][2 * s : 2 * s + 2])
+        b = set(loaded[1][2 * s : 2 * s + 2])
+        assert a and b and not (a & b), f"step {s} data overlap: {a & b}"
+
+    # 2. one writer: only the primary saved checkpoints / printed steps
+    assert "Saved checkpoint" in outs[0][0]
+    assert "Saved checkpoint" not in outs[1][0]
+    assert os.path.exists(os.path.join(mp_expdir, "last-step.npz"))
+
+    # 3. equals the single-process run over the same global stream
+    rp_expdir = str(tmp_path / "exp_replay")
+    code_rp = _WORKER.format(repo=str(REPO), coord="", csv=csv,
+                             expdir=rp_expdir, ndev=4, replay=True)
+    (out_rp, _), = _run([(code_rp, 0)], env)
+
+    l_mp, l_rp = _losses(outs[0][0]), _losses(out_rp)
+    assert len(l_mp) == len(l_rp) == 4, (l_mp, l_rp)
+    np.testing.assert_allclose(l_mp, l_rp, rtol=2e-4)
+
+    from speech_ssl_compression_tpu.utils.checkpoint import load_checkpoint
+    p_mp = load_checkpoint(os.path.join(mp_expdir, "last-step.npz"))["params"]
+    p_rp = load_checkpoint(os.path.join(rp_expdir, "last-step.npz"))["params"]
+    import jax
+    for a, b in zip(jax.tree.leaves(p_mp), jax.tree.leaves(p_rp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
