@@ -68,6 +68,12 @@ class MelFeatBuckets:
             self.rng = np.random.default_rng(
                 seed + 1000003 * ((process_index or 0) + 1)
             )
+            if process_index is None:
+                # replay mode reproduces every process's crop stream
+                self._member_rngs = [
+                    np.random.default_rng(seed + 1000003 * (m + 1))
+                    for m in range(self.process_count)
+                ]
         else:
             self._order_rng = None
             self.rng = np.random.default_rng(seed)
@@ -201,8 +207,12 @@ class MelFeatBuckets:
             group = [int(i) for i in order[s * pc : (s + 1) * pc]]
             tpad = max(self._bucket_tpad[g] for g in group)
             if self.process_index is None:
-                # global-stream replay: concatenate the whole group
-                parts = [self.get_batch(g, pad_to=tpad) for g in group]
+                # global-stream replay: concatenate the whole group, each
+                # member loaded under its own process's crop-rng stream
+                parts = []
+                for m, g in enumerate(group):
+                    self.rng = self._member_rngs[m]
+                    parts.append(self.get_batch(g, pad_to=tpad))
                 yield {
                     k: np.concatenate([p[k] for p in parts], axis=0)
                     for k in parts[0]

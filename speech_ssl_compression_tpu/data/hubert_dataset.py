@@ -108,6 +108,8 @@ class HubertWaveDataset:
         pad_multiple: int = 2000,
         seed: int = 0,
         label_processors: Optional[List] = None,
+        process_index: Optional[int] = 0,
+        process_count: int = 1,
     ):
         self.root, self.names, inds, self.sizes, tot = load_manifest(
             manifest_path, max_keep_sample_size, min_keep_sample_size
@@ -123,7 +125,25 @@ class HubertWaveDataset:
         self.random_crop = random_crop
         self.single_target = single_target
         self.pad_multiple = pad_multiple
-        self.rng = np.random.default_rng(seed)
+        # multi-process lockstep sharding (see MelFeatBuckets): shared
+        # shuffle stream, per-process crop stream, equal-size buckets only
+        self.process_index = process_index
+        self.process_count = max(1, int(process_count))
+        self._multi = self.process_count > 1 or process_index is None
+        if self._multi:
+            self._order_rng = np.random.default_rng(seed)
+            self.rng = np.random.default_rng(
+                seed + 1000003 * ((process_index or 0) + 1)
+            )
+            if process_index is None:
+                # replay mode reproduces every process's crop stream
+                self._member_rngs = [
+                    np.random.default_rng(seed + 1000003 * (m + 1))
+                    for m in range(self.process_count)
+                ]
+        else:
+            self._order_rng = None
+            self.rng = np.random.default_rng(seed)
         # per-label-set line -> int-array encoders (reference's
         # label_processors / LabelEncoder, runner.py:25-34); default =
         # whitespace-separated integers (the .km format)
@@ -145,9 +165,24 @@ class HubertWaveDataset:
             # shapes); batch_size == 1 legitimately produces singletons
             logger.info("dropping a trailing single-utterance bucket")
             self.buckets.pop()
+        if self._multi:
+            # lockstep assembly needs every bucket batch-dim-equal
+            self.buckets = [
+                b for b in self.buckets if len(b) == batch_size
+            ]
 
     def __len__(self):
-        return len(self.buckets)
+        return len(self.buckets) // self.process_count
+
+    def _bucket_tpad(self, bucket_idx: int) -> int:
+        """Padded source length of a bucket, from the manifest alone —
+        every process computes each lockstep step's batch shape without
+        communication."""
+        szs = [self.sizes[j] for j in self.buckets[bucket_idx]]
+        target = max(szs) if self.pad_audio else min(szs)
+        if np.isfinite(self.max_sample_size):
+            target = min(target, int(self.max_sample_size))
+        return _round_up(int(target), self.pad_multiple)
 
     def _get_audio(self, index: int) -> np.ndarray:
         path = os.path.join(self.root, self.names[index])
@@ -176,7 +211,7 @@ class HubertWaveDataset:
                 out.append(np.array(list(map(int, line.split()))))
         return out
 
-    def get_batch(self, bucket_idx: int) -> dict:
+    def get_batch(self, bucket_idx: int, pad_to: Optional[int] = None) -> dict:
         idxs = self.buckets[bucket_idx]
         wavs = [self._get_audio(i) for i in idxs]
         labels = [self._get_labels(i) for i in idxs]
@@ -202,6 +237,11 @@ class HubertWaveDataset:
             cropped.append(w[start : start + target])
 
         t_pad = _round_up(target, self.pad_multiple)
+        if pad_to is not None:
+            assert pad_to >= t_pad, (
+                f"lockstep pad target {pad_to} < bucket length {t_pad}"
+            )
+            t_pad = pad_to
         b = len(idxs)
         source = np.zeros((b, t_pad), np.float32)
         lengths = np.zeros((b,), np.int32)
@@ -235,7 +275,41 @@ class HubertWaveDataset:
 
     def epoch(self, shuffle: bool = True) -> Iterator[dict]:
         order = np.arange(len(self.buckets))
+        if not self._multi:
+            if shuffle:
+                self.rng.shuffle(order)
+            for i in order:
+                yield self.get_batch(int(i))
+            return
+
+        # lockstep groups of process_count buckets, one per process, all
+        # padded to the group's manifest-derived source length
         if shuffle:
-            self.rng.shuffle(order)
-        for i in order:
-            yield self.get_batch(int(i))
+            self._order_rng.shuffle(order)
+        pc = self.process_count
+        for s in range(len(self.buckets) // pc):
+            group = [int(i) for i in order[s * pc : (s + 1) * pc]]
+            tpad = max(self._bucket_tpad(g) for g in group)
+            if self.process_index is None:
+                # global-stream replay: concatenate the whole group, each
+                # member loaded under its own process's crop-rng stream
+                parts = []
+                for m, g in enumerate(group):
+                    self.rng = self._member_rngs[m]
+                    parts.append(self.get_batch(g, pad_to=tpad))
+                yield {
+                    "source": np.concatenate(
+                        [p["source"] for p in parts], axis=0
+                    ),
+                    "length": np.concatenate(
+                        [p["length"] for p in parts], axis=0
+                    ),
+                    "target_lists": [
+                        sum((p["target_lists"][li] for p in parts), [])
+                        for li in range(len(parts[0]["target_lists"]))
+                    ],
+                    "starts": sum((list(p["starts"]) for p in parts), []),
+                    "crop_size": max(p["crop_size"] for p in parts),
+                }
+            else:
+                yield self.get_batch(group[self.process_index], pad_to=tpad)

@@ -50,8 +50,26 @@ class Wav2Vec2AudioDataset:
         seed: int = 0,
         precompute_mask_config: Optional[dict] = None,
         frames_fn=None,  # samples -> conv frames (required with mask config)
+        process_index: Optional[int] = 0,
+        process_count: int = 1,
     ):
         self.sample_rate = sample_rate
+        # multi-process lockstep sharding (see MelFeatBuckets): shared
+        # shuffle stream, per-process crop/mask stream
+        self.process_index = process_index
+        self.process_count = max(1, int(process_count))
+        self._multi = self.process_count > 1 or process_index is None
+        if self._multi:
+            self._order_rng = np.random.default_rng(seed)
+            if process_index is None:
+                # replay mode reproduces every process's crop/mask stream
+                self._member_rngs = [
+                    np.random.default_rng(seed + 1000003 * (m + 1))
+                    for m in range(self.process_count)
+                ]
+            seed = seed + 1000003 * ((process_index or 0) + 1)
+        else:
+            self._order_rng = None
         # int sentinel, not np.inf: every consumer calls int(...) on this
         # (int(np.inf) raises OverflowError)
         self.max_sample_size = (
@@ -132,9 +150,35 @@ class Wav2Vec2AudioDataset:
         if batch_size > 1 and self.batches and len(self.batches[-1]) < 2:
             # batch_size == 1 legitimately produces singletons
             self.batches.pop()
+        if self._multi:
+            # lockstep assembly needs every batch batch-dim-equal
+            self.batches = [
+                b for b in self.batches if len(b) == batch_size
+            ]
 
     def __len__(self):
-        return len(self.batches)
+        return len(self.batches) // self.process_count
+
+    def _batch_target(self, batch_idx: int) -> int:
+        """The batch's static source length, from the manifest alone (the
+        decoded audio lengths equal the manifest's num_samples column) —
+        every process computes each lockstep step's shape without
+        communication. Mirrors get_batch's target arithmetic exactly."""
+        idxs = self.batches[batch_idx]
+        szs = self.sizes[idxs]
+        if self.pad:
+            target = min(int(szs.max()), int(self.max_sample_size))
+            target = int(max(self.padded_sizes[idxs].max(), target))
+        else:
+            target = min(int(szs.min()), int(self.max_sample_size))
+            if len(self.bucket_bounds):
+                bi = int(np.searchsorted(self.bucket_bounds, target,
+                                         side="right")) - 1
+                if bi >= 0:
+                    target = int(self.bucket_bounds[bi])
+        from ..models.wav2vec2 import crop_to_multiple
+
+        return max(crop_to_multiple(target, self.crop_seq_to_multiple), 1)
 
     def _get_audio(self, index: int) -> np.ndarray:
         path = os.path.join(self.root, self.names[index])
@@ -145,34 +189,25 @@ class Wav2Vec2AudioDataset:
             wav = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-5)
         return wav.astype(np.float32)
 
-    def get_batch(self, batch_idx: int) -> dict:
+    def get_batch(self, batch_idx: int, pad_to: Optional[int] = None) -> dict:
         idxs = self.batches[batch_idx]
         wavs = [self._get_audio(i) for i in idxs]
-        if self.pad:
-            target = min(
-                max(len(w) for w in wavs), int(self.max_sample_size)
+        # The crop target snaps the raw batch minimum DOWN to a bucket
+        # bound: a near-continuous value would recompile the jitted train
+        # step for virtually every batch on TPU. Cropping a little more
+        # than the reference's exact batch-min is the static-shape trade
+        # (reference crops to min anyway; crop_seq_to_multiple per
+        # model.py:757-762 is applied at the same boundary).
+        target = self._batch_target(batch_idx)
+        t_total = target
+        if pad_to is not None:
+            assert pad_to >= target, (
+                f"lockstep pad target {pad_to} < batch target {target}"
             )
-            target = int(max(self.padded_sizes[idxs].max(), target))
-        else:
-            target = min(min(len(w) for w in wavs), int(self.max_sample_size))
-            # Snap the crop target DOWN to a bucket bound: the raw batch
-            # minimum is a near-continuous value, so the jitted train step
-            # would recompile for virtually every batch on TPU. Cropping a
-            # little more than the reference's exact batch-min is the
-            # static-shape trade (reference crops to min anyway).
-            if len(self.bucket_bounds):
-                bi = int(np.searchsorted(self.bucket_bounds, target,
-                                         side="right")) - 1
-                if bi >= 0:
-                    target = int(self.bucket_bounds[bi])
-        # reference crop_seq_to_multiple (model.py:757-762), applied at the
-        # static-shape boundary
-        from ..models.wav2vec2 import crop_to_multiple
-
-        target = max(crop_to_multiple(target, self.crop_seq_to_multiple), 1)
+            t_total = pad_to
 
         b = len(idxs)
-        source = np.zeros((b, target), np.float32)
+        source = np.zeros((b, t_total), np.float32)
         lengths = np.zeros((b,), np.int32)
         for i, w in enumerate(wavs):
             if len(w) > target:
@@ -185,15 +220,44 @@ class Wav2Vec2AudioDataset:
         if self.precompute_mask_config is not None:
             from ..ops.block_masking import compute_block_mask_1d
 
-            t_frames = int(self.frames_fn(target))
-            batch["precomputed_mask"] = compute_block_mask_1d(
+            # masks live at the PADDED frame resolution so the jitted step
+            # sees one shape; frames past the batch's own crop target are
+            # padding for every item -> never maskable
+            t_frames = int(self.frames_fn(t_total))
+            mask = compute_block_mask_1d(
                 (b, t_frames), rng=self.rng, **self.precompute_mask_config
             )
+            if t_total > target:
+                mask[:, int(self.frames_fn(target)):] = False
+            batch["precomputed_mask"] = mask
         return batch
 
     def epoch(self, shuffle: bool = True) -> Iterator[dict]:
         order = np.arange(len(self.batches))
+        if not self._multi:
+            if shuffle:
+                self.rng.shuffle(order)
+            for i in order:
+                yield self.get_batch(int(i))
+            return
+
+        # lockstep groups of process_count batches, one per process, all
+        # padded to the group's manifest-derived source length
         if shuffle:
-            self.rng.shuffle(order)
-        for i in order:
-            yield self.get_batch(int(i))
+            self._order_rng.shuffle(order)
+        pc = self.process_count
+        for s in range(len(self.batches) // pc):
+            group = [int(i) for i in order[s * pc : (s + 1) * pc]]
+            tpad = max(self._batch_target(g) for g in group)
+            if self.process_index is None:
+                # each member loaded under its own process's rng stream
+                parts = []
+                for m, g in enumerate(group):
+                    self.rng = self._member_rngs[m]
+                    parts.append(self.get_batch(g, pad_to=tpad))
+                yield {
+                    k: np.concatenate([p[k] for p in parts], axis=0)
+                    for k in parts[0]
+                }
+            else:
+                yield self.get_batch(group[self.process_index], pad_to=tpad)

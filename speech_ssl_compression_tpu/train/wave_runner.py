@@ -84,7 +84,13 @@ class WaveRunner(OptimizerScheduleMixin):
             else jnp.float32
         )
 
-        self.logger = TBLogger(self.expdir)
+        # multi-process awareness (see Runner): per-process data shards,
+        # global batch assembly, primary-gated writes
+        self.proc_id = jax.process_index()
+        self.proc_count = jax.process_count()
+        self.primary = self.proc_id == 0
+
+        self.logger = TBLogger(self.expdir if self.primary else None)
 
         self.masks = None
         self.pruned_heads: list = []
@@ -138,9 +144,20 @@ class WaveRunner(OptimizerScheduleMixin):
 
         set_attention_mesh(self.mesh if self.n_devices > 1 else None)
         if self.n_devices > 1:
-            print(f"[WaveRunner] - Device mesh: {dict(self.mesh.shape)}")
+            if self.primary:
+                print(f"[WaveRunner] - Device mesh: {dict(self.mesh.shape)} "
+                      f"across {self.proc_count} process(es)")
+            if self.proc_count > 1:
+                # committed local device arrays can't feed a multi-process
+                # sharding; go through host memory (identical everywhere:
+                # same seed / same checkpoint)
+                self.params = jax.tree.map(np.asarray, self.params)
+                if self.masks is not None:
+                    self.masks = jax.tree.map(np.asarray, self.masks)
             self.params = shard_params(self.params, self.mesh,
                                        tensor_parallel=tp > 1)
+            if self.masks is not None and self.proc_count > 1:
+                self.masks = shard_params(self.masks, self.mesh)
 
         # compression on the shared encoder structure (the reference ships
         # weight/row-pruning configs for hubert and wav2vec2 too:
@@ -391,6 +408,8 @@ class WaveRunner(OptimizerScheduleMixin):
                 random_crop=task.random_crop,
                 single_target=task.single_target,
                 seed=getattr(self.args, "seed", 1337),
+                process_index=self.proc_id,
+                process_count=self.proc_count,
             )
         conv_layers = self.cfg.conv_feature_layers
         return Wav2Vec2AudioDataset(
@@ -408,26 +427,20 @@ class WaveRunner(OptimizerScheduleMixin):
             seed=getattr(self.args, "seed", 1337),
             precompute_mask_config=task.precompute_mask_config,
             frames_fn=lambda n: conv_output_length(n, conv_layers),
+            process_index=self.proc_id,
+            process_count=self.proc_count,
         )
 
     def _collate_device_batch(self, batch):
-        """Pad labels to conv-frame length + encode through dictionaries."""
-        dp = self.mesh.shape.get("data", 1)
-
-        def put(arr):
-            arr = jnp.asarray(arr)
-            if self.n_devices > 1 and arr.shape[0] % dp == 0:
-                return jax.device_put(
-                    arr, batch_sharding(self.mesh, arr.ndim)
-                )
-            return arr
-
+        """Pad labels to conv-frame length + encode through dictionaries,
+        then move to device: data-axis sharded single-process, global-array
+        assembly (jax.make_array_from_process_local_data) multi-process."""
         out = {
-            "source": put(batch["source"]),
-            "length": put(batch["length"]),
+            "source": batch["source"],
+            "length": batch["length"],
         }
         if "precomputed_mask" in batch:
-            out["precomputed_mask"] = put(batch["precomputed_mask"])
+            out["precomputed_mask"] = batch["precomputed_mask"]
         if self.upstream == "hubert":
             t_frames = conv_output_length(
                 batch["source"].shape[1], self.cfg.conv_feature_layers
@@ -443,13 +456,34 @@ class WaveRunner(OptimizerScheduleMixin):
                     self._label_lookups[di], self.dictionaries[di].unk(),
                 )
                 target_valid |= valid
-                target_list.append(put(arr))
+                target_list.append(arr)
             out["target_list"] = target_list
-            out["target_valid"] = put(target_valid)
-        return out
+            out["target_valid"] = target_valid
+
+        if self.proc_count > 1:
+            from ..parallel.multihost import global_batch
+
+            return global_batch(out, self.mesh)
+
+        dp = self.mesh.shape.get("data", 1)
+
+        def put(arr):
+            arr = jnp.asarray(arr)
+            if self.n_devices > 1 and arr.shape[0] % dp == 0:
+                return jax.device_put(
+                    arr, batch_sharding(self.mesh, arr.ndim)
+                )
+            return arr
+
+        return {
+            k: ([put(a) for a in v] if isinstance(v, list) else put(v))
+            for k, v in out.items()
+        }
 
     # ------------------------------------------------------------------
     def save(self, global_step: int, name: str):
+        if not self.primary:
+            return  # one writer per expdir (multi-process runs would race)
         meta = {
             "Step": global_step,
             "Args": vars(self.args) if hasattr(self.args, "__dict__") else {},
@@ -585,14 +619,17 @@ class WaveRunner(OptimizerScheduleMixin):
                     self._build_grad_step()
 
                 self.rng, k = jax.random.split(self.rng)
+                if self.proc_count > 1:
+                    # committed local arrays can't feed a multi-process jit
+                    k = np.asarray(k)
                 jb = self._collate_device_batch(batch)
                 # anneal the Gumbel temperature host-side (reference
                 # set_num_updates); traced scalar -> no recompile per step
-                gumbel_temp = jnp.asarray(
+                gumbel_temp = np.asarray(
                     anneal_temp(getattr(self.cfg, "latent_temp", (1, 1, 1)),
                                 step)
                     if self.upstream == "wav2vec2" else 1.0,
-                    jnp.float32,
+                    np.float32,
                 )
                 try:
                     loss, sample_size, grads, logs = self.grad_step(
@@ -668,12 +705,13 @@ class WaveRunner(OptimizerScheduleMixin):
                     lr_now = self._applied_lr()
                     if lr_now is not None:
                         self.logger.scalar(f"{prefix}lr", lr_now, step)
-                    print(
-                        f"[WaveRunner] step {step}/{total_steps} "
-                        f"loss={norm_loss:.4f} "
-                        f"gnorm={float(gnorm):.3f} "
-                        f"({step/(time.time()-t0):.2f} steps/s)"
-                    )
+                    if self.primary:
+                        print(
+                            f"[WaveRunner] step {step}/{total_steps} "
+                            f"loss={norm_loss:.4f} "
+                            f"gnorm={float(gnorm):.3f} "
+                            f"({step/(time.time()-t0):.2f} steps/s)"
+                        )
                     window_loss, window_n = 0.0, 0
         self.save(step, "last-step.npz")
         self.logger.close()  # flush buffered scalars before returning

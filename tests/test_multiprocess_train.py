@@ -119,6 +119,115 @@ print(f"[worker {{pid}}] done")
 '''
 
 
+_WAVE_WORKER = '''
+import os, sys, types, json
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count={ndev}"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, {repo!r})
+
+import numpy as np
+from speech_ssl_compression_tpu.parallel.multihost import initialize
+
+pid = int(sys.argv[1])
+replay = {replay!r}
+if not replay:
+    initialize(coordinator_address={coord!r}, num_processes=2, process_id=pid)
+    assert jax.process_count() == 2
+
+from speech_ssl_compression_tpu.data.hubert_dataset import HubertWaveDataset
+from speech_ssl_compression_tpu.train.wave_runner import WaveRunner
+
+loaded = []
+_orig = HubertWaveDataset._get_audio
+def _spy(self, index):
+    loaded.append(self.names[index])
+    return _orig(self, index)
+HubertWaveDataset._get_audio = _spy
+
+data = {data!r}
+runner_cfg = {{
+    "runner": {{"total_steps": 4, "gradient_clipping": 10.0,
+               "gradient_accumulate_steps": 1, "log_step": 1,
+               "bf16": False}},
+    "optimizer": {{"lr": 1e-4}},
+    "datarc": {{"train_batch_size": 2}},
+    "task": {{
+        "data": data, "label_dir": data, "labels": ["km"],
+        "label_rate": 50, "sample_rate": 16000,
+        "max_sample_size": 4000, "min_sample_size": 1000,
+        "pad_audio": False, "random_crop": True,
+    }},
+}}
+upstream_cfg = {{
+    "hubert": {{
+        "label_rate": 50,
+        "encoder_layers": 1, "encoder_embed_dim": 32,
+        "encoder_attention_heads": 2, "head_dim": 16,
+        "encoder_ffn_embed_dim": 64,
+        "conv_feature_layers": "[(32,10,5)] + [(32,3,2)] + [(32,2,2)]",
+        "final_dim": 16, "conv_pos": 16, "conv_pos_groups": 4,
+        "mask_prob": 0.65, "mask_length": 4,
+        "dropout": 0.0, "attention_dropout": 0.0,
+        "activation_dropout": 0.0,
+    }}
+}}
+args = types.SimpleNamespace(
+    mode="hubert", upstream="hubert", expdir={expdir!r},
+    initial_weight=None, init_optimizer_from_initial_weight=False,
+    frame_period=20, seed=0,
+)
+
+if replay:
+    class ReplayWaveRunner(WaveRunner):
+        def _get_dataset(self):
+            ds = WaveRunner._get_dataset(self)
+            return HubertWaveDataset(
+                manifest_path=f"{{data}}/train.tsv", sample_rate=16000,
+                label_paths=[f"{{data}}/train.km"], label_rates=50,
+                batch_size=2, max_keep_sample_size=None,
+                min_keep_sample_size=1000, max_sample_size=4000,
+                pad_audio=False, normalize=False, random_crop=True,
+                seed=0, process_index=None, process_count=2,
+            )
+    runner = ReplayWaveRunner(args, runner_cfg, upstream_cfg)
+else:
+    runner = WaveRunner(args, runner_cfg, upstream_cfg)
+
+runner.train()
+with open(os.path.join({expdir!r}, f"loaded_{{pid}}.json"), "w") as f:
+    json.dump(loaded, f)
+print(f"[worker {{pid}}] done")
+'''
+
+
+def _make_wav_dataset(tmp_path, n_utts=8, label_rate=50, seed=0):
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(seed)
+    root = tmp_path / "audio"
+    root.mkdir(exist_ok=True)
+    lines, label_lines = [], []
+    for i in range(n_utts):
+        n = int(rng.integers(3000, 6000))
+        pcm = (rng.uniform(-0.3, 0.3, n) * 32767).astype(np.int16)
+        wavfile.write(root / f"u{i}.wav", 16000, pcm)
+        lines.append(f"u{i}.wav\t{n}")
+        labs = rng.integers(0, 8, int(round(n / 16000 * label_rate)))
+        label_lines.append(" ".join(map(str, labs)))
+    with open(tmp_path / "train.tsv", "w") as f:
+        f.write(str(root) + "\n" + "\n".join(lines) + "\n")
+    with open(tmp_path / "train.km", "w") as f:
+        f.write("\n".join(label_lines) + "\n")
+    with open(tmp_path / "dict.km.txt", "w") as f:
+        for c in range(8):
+            f.write(f"{c} 100\n")
+    return str(tmp_path)
+
+
 def _make_dataset(tmp_path, n_utts=8, feat_dim=40, n_cluster=10, seed=0):
     rng = np.random.default_rng(seed)
     data_dir = tmp_path / "data"
@@ -207,3 +316,43 @@ def test_two_process_train_end_to_end(tmp_path):
     for a, b in zip(jax.tree.leaves(p_mp), jax.tree.leaves(p_rp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_wave_train_end_to_end(tmp_path):
+    data = _make_wav_dataset(tmp_path)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+
+    mp_expdir = str(tmp_path / "exp_mp")
+    os.makedirs(mp_expdir, exist_ok=True)
+    code = _WAVE_WORKER.format(repo=str(REPO), coord=coord, data=data,
+                               expdir=mp_expdir, ndev=2, replay=False)
+    outs = _run([(code, 0), (code, 1)], env)
+
+    import json
+    loaded = [json.load(open(os.path.join(mp_expdir, f"loaded_{p}.json")))
+              for p in (0, 1)]
+    assert len(loaded[0]) == len(loaded[1]) == 8  # 4 steps x batch 2
+    for s in range(4):
+        a = set(loaded[0][2 * s : 2 * s + 2])
+        b = set(loaded[1][2 * s : 2 * s + 2])
+        assert a and b and not (a & b), f"step {s} data overlap: {a & b}"
+
+    assert "Saved checkpoint" in outs[0][0]
+    assert "Saved checkpoint" not in outs[1][0]
+    assert os.path.exists(os.path.join(mp_expdir, "last-step.npz"))
+
+    rp_expdir = str(tmp_path / "exp_replay")
+    os.makedirs(rp_expdir, exist_ok=True)
+    code_rp = _WAVE_WORKER.format(repo=str(REPO), coord="", data=data,
+                                  expdir=rp_expdir, ndev=4, replay=True)
+    (out_rp, _), = _run([(code_rp, 0)], env)
+
+    l_mp, l_rp = _losses(outs[0][0]), _losses(out_rp)
+    assert len(l_mp) == len(l_rp) == 4, (l_mp, l_rp)
+    np.testing.assert_allclose(l_mp, l_rp, rtol=2e-4)

@@ -45,6 +45,12 @@ def get_args():
     parser.add_argument("--backend", default=None,
                         help="jax platform override (e.g. cpu)")
     parser.add_argument("--model_parallel", type=int, default=1)
+    parser.add_argument(
+        "--multi_host", action="store_true",
+        help="join a multi-process run (jax.distributed.initialize; "
+        "env-autodetected on Cloud TPU). Run the SAME command on every "
+        "host — datasets shard per process, only process 0 writes.",
+    )
     return parser.parse_args()
 
 
@@ -59,6 +65,10 @@ def main():
     )
 
     enable_persistent_cache()
+    if args.multi_host:
+        from speech_ssl_compression_tpu.parallel.multihost import initialize
+
+        initialize()
 
     os.makedirs(args.expdir, exist_ok=True)
     # config provenance copies (reference train.py:43-44)
