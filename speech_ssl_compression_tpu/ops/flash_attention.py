@@ -611,16 +611,24 @@ def _flash_bwd_impl(q, k, v, bias, seg, seed, causal, dropout_p,
                     use_segments, out, lse, g):
     b, h, t, d = q.shape
     if t > _STREAM_THRESHOLD:
-        # the backward keeps the whole-K/V-resident layout, whose VMEM
-        # footprint is hardware-validated only up to the stream threshold;
-        # beyond it the kernel would OOM scoped VMEM at compile time with an
-        # opaque Mosaic error. Fail loudly instead: long-form (T > 4096)
-        # sequences are an inference/extraction feature (streamed forward),
-        # not a training one.
-        raise NotImplementedError(
-            f"flash_attention backward supports T <= {_STREAM_THRESHOLD} "
-            f"(got T={t}); long sequences are extraction-only — crop or "
-            "bucket training data to at most 4096 frames"
+        # the resident backward's whole-K/V VMEM footprint is validated only
+        # up to the stream threshold — switch to the streamed grids.
+        # dropout_p > 0 here is unreachable (the dropout FORWARD raises past
+        # the threshold), but guard explicitly so a future forward change
+        # cannot silently produce wrong gradients.
+        if dropout_p > 0.0:
+            raise NotImplementedError(
+                "streamed flash backward is dropout-free (the dropout "
+                f"forward is capped at T <= {_STREAM_THRESHOLD})"
+            )
+        dq, dk, dv = _flash_bwd_stream(
+            q, k, v, bias, seg, causal, use_segments, out, lse, g
+        )
+        return (
+            dq, dk, dv,
+            jnp.zeros_like(bias),
+            jnp.zeros_like(seg),
+            jnp.zeros_like(seed),
         )
     block_q, block_k, t_pad = _pad_sizes(t, backward=True)
 
@@ -686,6 +694,246 @@ def _flash_bwd_impl(q, k, v, bias, seg, seed, causal, dropout_p,
         jnp.zeros_like(seg),   # segment ids are not differentiable
         jnp.zeros_like(seed),  # seed is not differentiable
     )
+
+
+# ---------------------------------------------------------------------------
+# streamed backward (long sequences)
+# ---------------------------------------------------------------------------
+# Same move as the streamed forward: the whole-K/V-resident backward kernels
+# above OOM scoped VMEM past T≈4096, so for longer sequences the inner loop
+# becomes the innermost grid axis and the accumulator lives in VMEM scratch.
+# Dropout-free by design — the dropout forward is capped at the stream
+# threshold (per-tile PRNG masks must align with the resident grid), so a
+# dropout backward beyond it is unreachable. Long-form training is the
+# fine-tune/distill regime, which the reference runs without attention
+# dropout anyway (melhubert config attention_dropout: 0.1 applies to the
+# <=1500-frame recipes; this path serves T>4096 distillation/seqpar training).
+_STREAM_BWD_BLOCK = 512
+
+
+def _fa_bwd_dq_stream_kernel(q_ref, k_ref, v_ref, bias_ref, segq_ref,
+                             segk_ref, do_ref, lse_ref, dd_ref, dq_ref,
+                             dq_scr, *, scale, causal, block_q, block_k,
+                             use_segments):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    n_k = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
+
+    if causal:
+        # K blocks strictly above the q block's last row contribute ds == 0
+        run = ki * block_k <= qi * block_q + block_q - 1
+    else:
+        run = True
+
+    @pl.when(run)
+    def _body():
+        in_dtype = q_ref.dtype
+        q = q_ref[0, 0]        # (BQ, d)
+        k = k_ref[0, 0]        # (BK, d)
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]      # (BQ, d)
+        lse = lse_ref[0, 0, 0][:, None]
+        dd = dd_ref[0, 0, 0][:, None]
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK)
+        s = s + bias_ref[0, 0][None, :]
+        if use_segments:
+            s = jnp.where(
+                segq_ref[0, 0][:, None] != segk_ref[0, 0][None, :],
+                NEG_INF, s,
+            )
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(k_pos > q_pos, NEG_INF, s)
+        p = jnp.exp(s - lse)
+        dpd = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # dO_i . V_j
+        ds = p * (dpd - dd)
+        dq_scr[...] += jax.lax.dot_general(
+            ds.astype(in_dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == n_k - 1)
+    def _finalize():
+        dq_ref[0, 0] = (scale * dq_scr[...]).astype(dq_ref.dtype)
+
+
+def _fa_bwd_dkv_stream_kernel(q_ref, k_ref, v_ref, bias_ref, segq_ref,
+                              segk_ref, do_ref, lse_ref, dd_ref, dk_ref,
+                              dv_ref, dk_scr, dv_scr, *, scale, causal,
+                              block_q, block_k, use_segments):
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+    n_q = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
+        dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
+
+    if causal:
+        # Q blocks whose last row sits above this K tile's first column see
+        # only masked scores — skip them
+        run = qi * block_q + block_q - 1 >= ki * block_k
+    else:
+        run = True
+
+    @pl.when(run)
+    def _body():
+        in_dtype = q_ref.dtype
+        q = q_ref[0, 0]        # (BQ, d)
+        k = k_ref[0, 0]        # (BK, d)
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, 0][:, None]
+        dd = dd_ref[0, 0, 0][:, None]
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK)
+        s = s + bias_ref[0, 0][None, :]
+        if use_segments:
+            s = jnp.where(
+                segq_ref[0, 0][:, None] != segk_ref[0, 0][None, :],
+                NEG_INF, s,
+            )
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(k_pos > q_pos, NEG_INF, s)
+        p = jnp.exp(s - lse)  # (BQ, BK)
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(in_dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dpd = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dpd - dd)
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(in_dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(qi == n_q - 1)
+    def _finalize():
+        dk_ref[0, 0] = (scale * dk_scr[...]).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_stream(q, k, v, bias, seg, causal, use_segments, out, lse, g):
+    """Streamed dq / dkv for T beyond the whole-K/V VMEM cap (dropout-free).
+
+    Grad-parity standard matches the resident backward: tested vs the dense
+    path at T=5000 (tests/test_flash_attention.py) and on-chip via
+    tools/onchip_kernel_smoke.py."""
+    b, h, t, d = q.shape
+    bq = bk = _STREAM_BWD_BLOCK
+    t_pad = -(-t // max(bq, bk)) * max(bq, bk)
+
+    qp = _pad_to(q, t_pad, axis=2)
+    kp = _pad_to(k, t_pad, axis=2)
+    vp = _pad_to(v, t_pad, axis=2)
+    gp = _pad_to(g, t_pad, axis=2)
+    op = _pad_to(out, t_pad, axis=2)
+    biasp = _pad_to(bias, t_pad, axis=1, value=NEG_INF)[:, None, :]
+    segp = _pad_to(seg, t_pad, axis=1, value=-1)[:, None, :]
+    lsep = _pad_to(lse, t_pad, axis=3, value=1.0)
+
+    # padded q rows carry do == 0, so dpd == 0 and dd == 0 → ds == 0: they
+    # contribute nothing to dk/dv and their dq rows are sliced off below
+    dd = jnp.sum(
+        gp.astype(jnp.float32) * op.astype(jnp.float32), axis=-1
+    )[:, :, None, :]  # (B,H,1,T)
+
+    scale = 1.0 / (d ** 0.5)
+    n_q = t_pad // bq
+    n_k = t_pad // bk
+
+    q_by_qi = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    k_by_ki = pl.BlockSpec((1, 1, bk, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0))
+    bias_by_ki = pl.BlockSpec((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki))
+    segq_by_qi = pl.BlockSpec((1, 1, bq), lambda bi, hi, qi, ki: (bi, 0, qi))
+    segk_by_ki = pl.BlockSpec((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki))
+    vec_by_qi = pl.BlockSpec(
+        (1, 1, 1, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _fa_bwd_dq_stream_kernel, scale=scale, causal=causal,
+            block_q=bq, block_k=bk, use_segments=use_segments,
+        ),
+        grid=(b, h, n_q, n_k),
+        in_specs=[q_by_qi, k_by_ki, k_by_ki, bias_by_ki, segq_by_qi,
+                  segk_by_ki, q_by_qi, vec_by_qi, vec_by_qi],
+        out_specs=q_by_qi,
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel", "parallel", "arbitrary"
+            ),
+        ),
+    )(qp, kp, vp, biasp, segp, segp, gp, lsep, dd)
+
+    # dkv grid: ki is the parallel axis, qi streams innermost
+    q_by_qi2 = pl.BlockSpec(
+        (1, 1, bq, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)
+    )
+    k_by_ki2 = pl.BlockSpec(
+        (1, 1, bk, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)
+    )
+    bias_by_ki2 = pl.BlockSpec((1, 1, bk), lambda bi, hi, ki, qi: (bi, 0, ki))
+    segq_by_qi2 = pl.BlockSpec((1, 1, bq), lambda bi, hi, ki, qi: (bi, 0, qi))
+    segk_by_ki2 = pl.BlockSpec((1, 1, bk), lambda bi, hi, ki, qi: (bi, 0, ki))
+    vec_by_qi2 = pl.BlockSpec(
+        (1, 1, 1, bq), lambda bi, hi, ki, qi: (bi, hi, 0, qi)
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _fa_bwd_dkv_stream_kernel, scale=scale, causal=causal,
+            block_q=bq, block_k=bk, use_segments=use_segments,
+        ),
+        grid=(b, h, n_k, n_q),
+        in_specs=[q_by_qi2, k_by_ki2, k_by_ki2, bias_by_ki2, segq_by_qi2,
+                  segk_by_ki2, q_by_qi2, vec_by_qi2, vec_by_qi2],
+        out_specs=(k_by_ki2, k_by_ki2),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, t_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, t_pad, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel", "parallel", "arbitrary"
+            ),
+        ),
+    )(qp, kp, vp, biasp, segp, segp, gp, lsep, dd)
+
+    return dq[:, :, :t, :], dk[:, :, :t, :], dv[:, :, :t, :]
 
 
 # ---------------------------------------------------------------------------

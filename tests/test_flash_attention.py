@@ -194,20 +194,42 @@ def test_flash_gradients_mixed_grid_regimes(t, causal):
         )
 
 
-def test_flash_backward_beyond_stream_threshold_raises():
-    """The streamed forward is unbounded in T, but the backward keeps the
-    whole-K/V-resident layout (hardware-validated to T=4096 only) — a grad
-    at T > 4096 must fail with a clear error, not an opaque Mosaic VMEM
-    OOM at compile time."""
-    t = 4352  # > _STREAM_THRESHOLD, small enough to trace quickly
-    q, k, v = _qkv(b=1, h=1, t=t, d=8, seed=5)
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_streamed_backward_long_sequence(causal):
+    """T > 4096 gradients take the streamed backward (dq accumulates over
+    k-blocks in the grid, dk/dv over q-blocks) — the resident backward OOMs
+    scoped VMEM past the stream threshold. Grad parity vs dense at T=5000
+    with padding + segments across the 512-block boundaries. This is the
+    path that unlocks long-form distillation / sequence-parallel TRAINING
+    (previously a NotImplementedError wall)."""
+    t = 5000
+    q, k, v = _qkv(b=1, h=1, t=t, d=8, seed=21)
+    pad = jnp.asarray(np.arange(t)[None, :] >= t - 300)
+    seg = jnp.asarray(
+        np.minimum(np.arange(t) // 1700, 2).astype(np.int32)
+    )[None, :]
+    valid = jnp.asarray((~np.asarray(pad))[:, None, :, None])
 
-    def f(q):
-        return jnp.sum(flash_attention(q, k, v))
+    def f_flash(q, k, v):
+        out = flash_attention(q, k, v, key_padding_mask=pad,
+                              segment_ids=seg, causal=causal) * valid
+        return jnp.sum(out ** 2)
+
+    def f_dense(q, k, v):
+        out = dense_attention(q, k, v, key_padding_mask=pad,
+                              segment_ids=seg, causal=causal) * valid
+        return jnp.sum(out ** 2)
 
     with pltpu.force_tpu_interpret_mode():
-        with pytest.raises(NotImplementedError, match="extraction-only"):
-            jax.grad(f)(q)
+        g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        ref = np.asarray(b)
+        scale = max(np.abs(ref).max(), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a), ref, atol=3e-3 * scale,
+            err_msg=f"d{name} mismatch at T={t} causal={causal}",
+        )
 
 
 def test_flash_dropout_beyond_stream_threshold_raises():

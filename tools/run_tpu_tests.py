@@ -155,6 +155,24 @@ def main():
         check(f"flash bwd {name} vs dense autodiff", diff < 2e-2,
               f"rel max|diff|={diff:.2e}")
 
+    # -- 2b. streamed backward (T > 4096: grad grids stream q/k blocks) -----
+    def loss_flash_long(q, k, v):
+        o = flash_attention(q, k, v, key_padding_mask=pads)
+        return jnp.sum(jnp.where(~pads[:, None, :, None], o, 0.0) ** 2)
+
+    def loss_dense_long(q, k, v):
+        o = dense_attention(q, k, v, key_padding_mask=pads)
+        return jnp.sum(jnp.where(~pads[:, None, :, None], o, 0.0) ** 2)
+
+    gf = jax.jit(jax.grad(loss_flash_long, argnums=(0, 1, 2)))(qs, ks, vs)
+    gd = jax.jit(jax.grad(loss_dense_long, argnums=(0, 1, 2)))(qs, ks, vs)
+    for name, a, bb in zip(("dq", "dk", "dv"), gf, gd):
+        a, bb = np.asarray(a), np.asarray(bb)
+        denom = np.abs(bb).max() + 1e-9
+        diff = np.abs(a - bb).max() / denom
+        check(f"flash streamed bwd T=5000 {name} vs dense autodiff",
+              diff < 3e-3, f"rel max|diff|={diff:.2e}")
+
     # -- 3. in-kernel attention dropout keep-rate ---------------------------
     p_drop = 0.3
     key = jax.random.PRNGKey(3)
