@@ -98,6 +98,97 @@ class Runner(OptimizerScheduleMixin):
 
         # ------- device mesh (replaces torch DataParallel, SURVEY §2.8) --
         tp = int(getattr(args, "model_parallel", 1) or 1)
+        self.pp = int(getattr(args, "pipeline_parallel", 1) or 1)
+        if self.pp > 1:
+            self._init_pipeline_mesh(tp)
+            # skip the data/tensor sharding below — params already live on
+            # the (data, pipe) mesh as the stage-split tree
+            tp = 1
+        else:
+            self._init_data_tensor_mesh(tp)
+
+        # frame-period sanity (reference runner.py:48-52)
+        fp = getattr(args, "frame_period", 20)
+        expect = {20: 80, 10: 40}[fp]
+        assert self.cfg.feat_emb_dim == expect, (
+            f"feat_emb_dim should be {expect} at frame period {fp}"
+        )
+
+        # ------- mode-specific schedules ---------------------------------
+        self._init_mode_schedules()
+
+        # ------- optimizer ----------------------------------------------
+        self._init_optimizer_state()
+        if (
+            getattr(args, "init_optimizer_from_initial_weight", False)
+            and self._resumed_opt_leaves
+        ):
+            self.opt_state = restore_opt_state(
+                self.opt_state, self._resumed_opt_leaves,
+                getattr(self, "_resumed_opt_treedef", None),
+            )
+            print(f"[Runner] Loaded optimizer state from {args.initial_weight}")
+            self._resync_schedule_offset()
+
+        self._rebuild_steps()
+
+    # ------------------------------------------------------------------
+    def _init_pipeline_mesh(self, tp: int):
+        """--pipeline_parallel N: Mesh(("data", "pipe")) with the encoder
+        stack cut into N stages (parallel/pipeline.py). Pre-train only —
+        structured pruning makes layers ragged and weight-pruning masks
+        would need the stage-split tree; compression runs stay on the
+        data/tensor axes."""
+        from ..parallel.pipeline import (
+            pipeline_mesh,
+            shard_pipeline_params,
+            split_pipeline_params,
+        )
+
+        if self.mode != "melhubert":
+            raise NotImplementedError(
+                "--pipeline_parallel supports the melhubert pre-train mode "
+                f"only (got {self.mode}); compression runs use data/tensor "
+                "parallelism"
+            )
+        if tp > 1:
+            raise NotImplementedError(
+                "--pipeline_parallel cannot combine with --model_parallel"
+            )
+        if self.proc_count > 1:
+            raise NotImplementedError(
+                "--pipeline_parallel runs single-process (local mesh)"
+            )
+        if self.masks is not None:
+            raise NotImplementedError(
+                "pipeline-parallel training from a weight-pruned checkpoint "
+                "is unsupported (fold the masks into the weights first)"
+            )
+        self.mesh = pipeline_mesh(pipeline_parallel=self.pp)
+        self.n_devices = int(np.prod(list(self.mesh.shape.values())))
+        # the pipeline shard_map runs flash attention per-device — the
+        # attention module must NOT wrap it in a second (data, model) mesh
+        from ..ops.attention import set_attention_mesh
+
+        set_attention_mesh(None)
+        m = int(getattr(self.args, "pp_microbatches", 0) or 0)
+        self.pp_microbatches = m if m > 0 else 2 * self.pp
+        dp = self.mesh.shape["data"]
+        b = int(self.runner_config["datarc"]["train_batch_size"])
+        if b % (dp * self.pp_microbatches) != 0:
+            raise ValueError(
+                f"train_batch_size={b} must divide data_parallel={dp} x "
+                f"pp_microbatches={self.pp_microbatches}"
+            )
+        print(
+            f"[Runner] - Pipeline mesh: {dict(self.mesh.shape)}, "
+            f"{self.pp_microbatches} microbatches"
+        )
+        self.params = shard_pipeline_params(
+            split_pipeline_params(self.params, self.pp), self.mesh
+        )
+
+    def _init_data_tensor_mesh(self, tp: int):
         self.mesh = make_mesh(model_parallel=tp)
         self.n_devices = int(np.prod(list(self.mesh.shape.values())))
         # flash kernels are GSPMD-opaque; the mesh context makes the
@@ -132,14 +223,9 @@ class Runner(OptimizerScheduleMixin):
             if self.masks is not None and self.proc_count > 1:
                 self.masks = shard_params(self.masks, self.mesh)
 
-        # frame-period sanity (reference runner.py:48-52)
-        fp = getattr(args, "frame_period", 20)
-        expect = {20: 80, 10: 40}[fp]
-        assert self.cfg.feat_emb_dim == expect, (
-            f"feat_emb_dim should be {expect} at frame period {fp}"
-        )
-
-        # ------- mode-specific schedules ---------------------------------
+    def _init_mode_schedules(self):
+        args = self.args
+        runner_config = self.runner_config
         if self.mode == "weight-pruning":
             pc = runner_config["prune"]
             n_iters = pc.get("n_iters", 38)
@@ -209,21 +295,6 @@ class Runner(OptimizerScheduleMixin):
                 ), "row-prune schedule would empty the FFN"
         else:
             self.prune_steps = []
-
-        # ------- optimizer ----------------------------------------------
-        self._init_optimizer_state()
-        if (
-            getattr(args, "init_optimizer_from_initial_weight", False)
-            and self._resumed_opt_leaves
-        ):
-            self.opt_state = restore_opt_state(
-                self.opt_state, self._resumed_opt_leaves,
-                getattr(self, "_resumed_opt_treedef", None),
-            )
-            print(f"[Runner] Loaded optimizer state from {args.initial_weight}")
-            self._resync_schedule_offset()
-
-        self._rebuild_steps()
 
     # ------------------------------------------------------------------
     def _log_scalar(self, tag, value, step):
@@ -340,7 +411,21 @@ class Runner(OptimizerScheduleMixin):
         runner = self.runner_config["runner"]
         accum = int(runner.get("gradient_accumulate_steps", 1))
         self.accum_steps = accum
-        if self.mode == "distillation":
+        if self.pp > 1:
+            from ..parallel.pipeline import make_melhubert_pipeline_grad_step
+
+            pp_step = make_melhubert_pipeline_grad_step(
+                self.cfg, self.mesh,
+                n_microbatches=self.pp_microbatches,
+                accum_steps=accum,
+                compute_dtype=self.compute_dtype,
+            )
+            # same (params, masks, batch, rng) call shape as the standard
+            # step; melhubert mode never carries masks
+            self.grad_step = (
+                lambda params, masks, batch, rng: pp_step(params, batch, rng)
+            )
+        elif self.mode == "distillation":
             self.grad_step = make_distill_grad_step(
                 self.teacher_cfg, self.cfg,
                 accum_steps=accum,
@@ -360,6 +445,7 @@ class Runner(OptimizerScheduleMixin):
     def _reshard(self):
         """Re-apply mesh shardings after a structured prune event produced
         host-resident (unsharded) arrays."""
+        assert self.pp == 1, "prune events never fire in pipeline mode"
         if self.n_devices > 1:
             tp = self.mesh.shape.get("model", 1)
             self.params = shard_params(self.params, self.mesh,
@@ -418,10 +504,21 @@ class Runner(OptimizerScheduleMixin):
             meta["Pruned_heads"] = self.pruned_heads
         if self.wp_state is not None:
             meta["Pruning"] = self.wp_state.to_meta()
+        params_to_save = self.params
+        if self.pp > 1:
+            # checkpoints stay in the standard (per-layer) tree so every
+            # consumer (extraction, experts, torch export, non-pp resume)
+            # reads them; optimizer state keeps the stage-split treedef, so
+            # optimizer RESUME requires the same --pipeline_parallel value
+            from ..parallel.pipeline import merge_pipeline_params
+
+            params_to_save = merge_pipeline_params(
+                jax.tree.map(np.asarray, self.params)
+            )
         path = os.path.join(self.expdir, name)
         save_checkpoint(
             path,
-            self.params,
+            params_to_save,
             opt_state=self.opt_state,
             masks=self.masks,
             meta=meta,

@@ -200,3 +200,53 @@ def test_wave_runner_mesh_head_prune_reshards(tmp_path):
     kern = runner.params["encoder"]["layers"][0]["q_proj"]["kernel"]
     # sharded over the model axis after the event (not fully replicated)
     assert kern.sharding.shard_shape(kern.shape)[1] < kern.shape[1]
+
+
+def test_runner_pipeline_parallel_e2e(tmp_path):
+    """--pipeline_parallel through the real Runner: Mesh((data, pipe)),
+    stage-split params, GPipe grad step, merged standard-tree checkpoint.
+    Step-level loss/grad parity vs single-device is pinned separately in
+    tests/test_pipeline_parallel.py — this covers the CLI-level wiring."""
+    from speech_ssl_compression_tpu.utils.checkpoint import load_checkpoint
+
+    csv = make_dataset(tmp_path)
+    args = types.SimpleNamespace(
+        mode="melhubert", upstream="melhubert",
+        expdir=str(tmp_path / "exp_pp"),
+        initial_weight=None, init_optimizer_from_initial_weight=False,
+        frame_period=20, seed=0, model_parallel=1,
+        pipeline_parallel=2, pp_microbatches=2,
+    )
+    rc = base_runner_cfg(csv, total_steps=3)
+    rc["datarc"]["train_batch_size"] = 8  # dp=4 x M=2
+    runner = Runner(args, rc, base_model_cfg())
+    assert dict(runner.mesh.shape) == {"data": 4, "pipe": 2}
+    # params live as the stage-split tree, stages sharded over "pipe"
+    stage_leaf = jax.tree.leaves(runner.params["stages"])[0]
+    assert stage_leaf.shape[0] == 2  # (S, L/S, ...)
+    assert stage_leaf.sharding.shard_shape(stage_leaf.shape)[0] == 1
+    runner.train()
+    # the checkpoint is written in the STANDARD per-layer tree — loadable
+    # by every non-pipeline consumer
+    state = load_checkpoint(os.path.join(args.expdir, "last-step.npz"))
+    layers = state["params"]["encoder"]["layers"]
+    assert isinstance(layers, list) and len(layers) == 2
+    assert np.isfinite(
+        np.asarray(layers[0]["q_proj"]["kernel"], np.float32)
+    ).all()
+
+
+def test_runner_pipeline_parallel_rejects_prune_modes(tmp_path):
+    csv = make_dataset(tmp_path)
+    args = types.SimpleNamespace(
+        mode="head-pruning", upstream="melhubert",
+        expdir=str(tmp_path / "exp_pp_bad"),
+        initial_weight=None, init_optimizer_from_initial_weight=False,
+        frame_period=20, seed=0, model_parallel=1,
+        pipeline_parallel=2, pp_microbatches=2,
+    )
+    rc = base_runner_cfg(csv, total_steps=4)
+    rc["prune"] = {"metric": "l1", "target": "by_layer",
+                   "total_steps": 1, "interval": 1, "warm_up": 1}
+    with pytest.raises(NotImplementedError, match="pre-train mode only"):
+        Runner(args, rc, base_model_cfg())

@@ -46,6 +46,18 @@ def get_args():
                         help="jax platform override (e.g. cpu)")
     parser.add_argument("--model_parallel", type=int, default=1)
     parser.add_argument(
+        "--pipeline_parallel", type=int, default=1,
+        help="cut the encoder stack into N pipeline stages over a "
+        "Mesh((data, pipe)) (GPipe schedule, parallel/pipeline.py). "
+        "melhubert pre-train mode only; resume with the same value "
+        "(optimizer state is stored over the stage-split tree).",
+    )
+    parser.add_argument(
+        "--pp_microbatches", type=int, default=0,
+        help="microbatches per pipeline step (0 = 2 x pipeline_parallel); "
+        "train_batch_size must divide data_parallel x pp_microbatches",
+    )
+    parser.add_argument(
         "--multi_host", action="store_true",
         help="join a multi-process run (jax.distributed.initialize; "
         "env-autodetected on Cloud TPU). Run the SAME command on every "
