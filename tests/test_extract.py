@@ -345,6 +345,7 @@ def test_device_featurizer_int16_upload(tmp_path):
 
 
 @pytest.mark.skipif(not EXAMPLES.exists(), reason="example assets missing")
+@pytest.mark.slow
 def test_cli_dump_features_to_cluster(tmp_path):
     """extract_feature.py --dump-dir -> cluster.py: the iteration-2 HuBERT
     label loop (hidden states -> k-means labels)."""

@@ -195,6 +195,7 @@ def test_flash_gradients_mixed_grid_regimes(t, causal):
 
 
 @pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.slow
 def test_flash_streamed_backward_long_sequence(causal):
     """T > 4096 gradients take the streamed backward (dq accumulates over
     k-blocks in the grid, dk/dv over q-blocks) — the resident backward OOMs

@@ -1,6 +1,8 @@
 """2-process CPU jax.distributed smoke test for parallel/multihost.py
 (VERDICT r1 weak #2: the module previously had zero test coverage)."""
 
+import pytest
+
 import os
 import pathlib
 import socket
@@ -42,6 +44,7 @@ print(f"[worker {{pid}}] ok process_count=2 psum={{float(total)}}")
 """
 
 
+@pytest.mark.slow
 def test_two_process_distributed_psum(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

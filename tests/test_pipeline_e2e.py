@@ -8,6 +8,8 @@ self-describing-checkpoint contract (Upstream_Config / Pruned_heads /
 Pruning metadata) across mode boundaries, not just each mode alone
 (tests/test_runner.py covers those)."""
 
+import pytest
+
 import os
 
 import numpy as np
@@ -36,6 +38,7 @@ def _extract_ok(ckpt, n_layers, hidden_dim):
     return ex
 
 
+@pytest.mark.slow
 def test_full_compression_pipeline(tmp_path):
     csv = make_dataset(tmp_path)
     mc = base_model_cfg()

@@ -86,6 +86,7 @@ def _tree_allclose(a, b, atol=2e-5, rtol=2e-5):
 @pytest.mark.parametrize(
     "dp,pp,n_mb", [(2, 4, 2), (1, 4, 4), (1, 2, 1), (4, 2, 1)]
 )
+@pytest.mark.slow
 def test_pipeline_matches_single_device(dp, pp, n_mb):
     cfg = _cfg(pred_nomask_weight=0.5, skip_nomask=False)
     params = init_melhubert_params(jax.random.PRNGKey(0), cfg)

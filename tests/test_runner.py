@@ -190,6 +190,7 @@ def test_weight_prune_event_step_indices(tmp_path):
         assert json.load(f)["Step"] == 2
 
 
+@pytest.mark.slow
 def test_head_pruning_l1_smoke(tmp_path):
     csv = make_dataset(tmp_path)
     rc = base_runner_cfg(csv, total_steps=6)
@@ -208,6 +209,7 @@ def test_head_pruning_l1_smoke(tmp_path):
     assert len(runner.pruned_heads) == 2
 
 
+@pytest.mark.slow
 def test_head_pruning_data_driven_smoke(tmp_path):
     csv = make_dataset(tmp_path)
     rc = base_runner_cfg(csv, total_steps=4)
@@ -227,6 +229,7 @@ def test_head_pruning_data_driven_smoke(tmp_path):
     assert sum(runner.cfg.encoder_attention_heads) == 6
 
 
+@pytest.mark.slow
 def test_row_pruning_smoke(tmp_path):
     csv = make_dataset(tmp_path)
     rc = base_runner_cfg(csv, total_steps=6)
@@ -242,6 +245,7 @@ def test_row_pruning_smoke(tmp_path):
     assert runner.cfg.encoder_ffn_embed_dim == (64, 64)
 
 
+@pytest.mark.slow
 def test_distillation_smoke(tmp_path):
     csv = make_dataset(tmp_path)
     # teacher = trained-ish tiny model saved as our npz ckpt
@@ -265,6 +269,7 @@ def test_distillation_smoke(tmp_path):
     assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))
 
 
+@pytest.mark.slow
 def test_runner_lr_scheduler_section(tmp_path):
     """An lr_scheduler: YAML section builds a warmup/poly schedule on the
     fused optimizer and trains (reference ships the section in its wav2vec2
@@ -282,6 +287,7 @@ def test_runner_lr_scheduler_section(tmp_path):
     assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))
 
 
+@pytest.mark.slow
 def test_lr_schedule_survives_prune_event_reset(tmp_path):
     """A prune event resets the Adam state (count restarts at 0); the lr
     schedule must stay on the GLOBAL update count via the rebuilt
@@ -310,6 +316,7 @@ def test_lr_schedule_survives_prune_event_reset(tmp_path):
     np.testing.assert_allclose(lr_now, base_lr * 6 / 1000, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_lr_schedule_offset_survives_resume(tmp_path):
     """A resumed run cannot see the original process's in-memory schedule
     offset; it must be re-derived as (checkpoint Step - restored Adam

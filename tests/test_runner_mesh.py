@@ -16,6 +16,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.slow
 def test_runner_uses_mesh_dp(tmp_path):
     csv = make_dataset(tmp_path)
     args = types.SimpleNamespace(
@@ -37,6 +38,7 @@ def test_runner_uses_mesh_dp(tmp_path):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_runner_mesh_head_prune_reshard(tmp_path):
     """A structured prune event mid-run on the mesh: prune -> reshard ->
     optimizer rebuild -> further steps (the dryrun's sub-check 3, through
@@ -64,6 +66,7 @@ def test_runner_mesh_head_prune_reshard(tmp_path):
     assert os.path.exists(os.path.join(args.expdir, "states_prune_6.npz"))
 
 
+@pytest.mark.slow
 def test_wave_runner_uses_mesh(tmp_path):
     """WaveRunner (hubert) on the 8-device mesh: batch sharded over data,
     training completes and saves."""
@@ -90,6 +93,7 @@ def test_wave_runner_uses_mesh(tmp_path):
     assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))
 
 
+@pytest.mark.slow
 def test_runner_mesh_tp(tmp_path):
     csv = make_dataset(tmp_path)
     args = types.SimpleNamespace(
@@ -110,6 +114,7 @@ def test_runner_mesh_tp(tmp_path):
     runner.train()
 
 
+@pytest.mark.slow
 def test_wav2vec2_cross_negatives_on_mesh():
     """cross_sample_negatives gathers negatives across the BATCH dim, which
     is sharded over the data axis — verify the sharded forward+grad
@@ -167,6 +172,7 @@ def test_wav2vec2_cross_negatives_on_mesh():
     assert np.isfinite(gn) and gn > 0
 
 
+@pytest.mark.slow
 def test_wave_runner_mesh_head_prune_reshards(tmp_path):
     """A WaveRunner head-prune event on the mesh must re-apply shardings:
     prune_heads rebuilds leaves host-side, and without the reshard the
@@ -202,6 +208,7 @@ def test_wave_runner_mesh_head_prune_reshards(tmp_path):
     assert kern.sharding.shard_shape(kern.shape)[1] < kern.shape[1]
 
 
+@pytest.mark.slow
 def test_runner_pipeline_parallel_e2e(tmp_path):
     """--pipeline_parallel through the real Runner: Mesh((data, pipe)),
     stage-split params, GPipe grad step, merged standard-tree checkpoint.

@@ -64,6 +64,7 @@ def _reference(cfg, params, feat, pad_mask):
     return out["hidden"]
 
 
+@pytest.mark.slow
 def test_seqpar_matches_single_device():
     cfg, params, feat, pad_mask = _setup()
     ref = _reference(cfg, params, feat, pad_mask)
@@ -77,6 +78,7 @@ def test_seqpar_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_seqpar_with_padding_and_odd_length():
     """T=900 is not a multiple of 8*128: the internal pad must be masked out
     of attention and stripped; a shorter valid length checks the key-side

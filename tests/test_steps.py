@@ -2,6 +2,8 @@
 (reference runner.py:411-424 clips/guards the update), buffer-donation
 variant, and jitted gradient accumulation."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -80,6 +82,7 @@ def test_donated_apply_matches_undonated():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_fused_matches_optax():
     """make_optimizer's fused apply path vs the raw optax chain, over
     several steps, with clip triggering and coupled weight decay."""

@@ -44,6 +44,7 @@ def _full_causal(params, cfg, feat):
 
 
 @pytest.mark.parametrize("t,chunk", [(50, 16), (16, 16), (5, 8), (37, 8)])
+@pytest.mark.slow
 def test_streaming_matches_full_causal(t, chunk):
     cfg = _tiny_cfg()
     rng = np.random.default_rng(t)
@@ -115,6 +116,7 @@ def test_streaming_chunk_boundary_invariance():
     np.testing.assert_array_equal(a, b)  # identical steps -> bitwise equal
 
 
+@pytest.mark.slow
 def test_streaming_wav_matches_offline_featurizer():
     """Chunked fbank + stacking == whole-utterance wav_to_mel for both
     frame periods, including the odd-final-frame zero pad at flush."""
@@ -241,6 +243,7 @@ def test_streaming_final_partial_chunk_within_max_frames():
     assert s.push_feat(feat[:4])["last_hidden_state"].shape[0] == 0
 
 
+@pytest.mark.slow
 def test_batch_streaming_matches_full_forward():
     """N lockstep streams of different lengths, ragged pushes: each slot's
     concatenated output must match the full causal forward of its own

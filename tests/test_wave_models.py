@@ -50,6 +50,7 @@ def test_conv_frontend_matches_torch_oracle():
     assert got.shape[2] == conv_output_length(1000, CONV_LAYERS)
 
 
+@pytest.mark.slow
 def test_conv_frontend_tc_matches_nch():
     """Feature-last (and im2col-matmul) frontends are numerically the NCH
     one, for both norm modes and with conv bias."""
@@ -76,6 +77,7 @@ def test_conv_frontend_tc_matches_nch():
                                        err_msg=f"{mode}/{impl}")
 
 
+@pytest.mark.slow
 def test_conv_frontend_variant_grads_match():
     """The perf variants (fold, and the barrier study knobs) produce the
     same WEIGHT GRADIENTS as the default conv formulation — the training-
@@ -133,6 +135,7 @@ def _hubert_cfg():
     )
 
 
+@pytest.mark.slow
 def test_hubert_forward_and_loss():
     from speech_ssl_compression_tpu.models import (
         hubert_forward,
@@ -424,6 +427,7 @@ def test_sample_negative_counts_matches_indices():
     assert (counts[2] == 0).all()
 
 
+@pytest.mark.slow
 def test_contrastive_dense_matches_index_path():
     """Dense counts formulation == logsumexp/max over the index path's
     (B,T,N) logits — values AND gradients (incl. code-collision
@@ -843,6 +847,7 @@ def test_quantizer_depth_matches_torch():
     np.testing.assert_allclose(got, h.numpy(), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_checkpoint_activations_remat_parity():
     """checkpoint_activations re-materializes the encoder layers under grad
     without changing values (jax.checkpoint; the reference stores the flag
@@ -916,6 +921,7 @@ def test_deep_quantizer_state_dict_roundtrip():
                                    atol=1e-7)
 
 
+@pytest.mark.slow
 def test_codebook_negatives_without_quantizer_raises():
     import pytest
 
