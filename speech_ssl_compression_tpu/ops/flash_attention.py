@@ -840,34 +840,52 @@ def _fa_bwd_dkv_stream_kernel(q_ref, k_ref, v_ref, bias_ref, segq_ref,
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _flash_bwd_stream(q, k, v, bias, seg, causal, use_segments, out, lse, g):
+def _flash_bwd_stream(q, k, v, bias, seg, causal, use_segments, out, lse, g,
+                      segq=None):
     """Streamed dq / dkv for T beyond the whole-K/V VMEM cap (dropout-free).
+
+    Rectangular inputs are allowed like the streamed forward (local q rows
+    against a longer key sequence — the sequence-parallel TRAINING path):
+    k/v/bias/seg follow k's length, q/g/out/lse (and ``segq``, defaulting
+    to ``seg``) follow q's. Causal requires square inputs.
 
     Grad-parity standard matches the resident backward: tested vs the dense
     path at T=5000 (tests/test_flash_attention.py) and on-chip via
-    tools/onchip_kernel_smoke.py."""
-    b, h, t, d = q.shape
+    tools/run_tpu_tests.py."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    if causal and tq != tk:
+        raise NotImplementedError(
+            "causal streamed backward requires square q/k (no global "
+            f"row-offset support); got tq={tq} tk={tk}"
+        )
+    if segq is None:
+        segq = seg
     bq = bk = _STREAM_BWD_BLOCK
-    t_pad = -(-t // max(bq, bk)) * max(bq, bk)
+    tq_pad = -(-tq // bq) * bq
+    tk_pad = -(-tk // bk) * bk
+    if causal:
+        tq_pad = tk_pad = max(tq_pad, tk_pad)
 
-    qp = _pad_to(q, t_pad, axis=2)
-    kp = _pad_to(k, t_pad, axis=2)
-    vp = _pad_to(v, t_pad, axis=2)
-    gp = _pad_to(g, t_pad, axis=2)
-    op = _pad_to(out, t_pad, axis=2)
-    biasp = _pad_to(bias, t_pad, axis=1, value=NEG_INF)[:, None, :]
-    segp = _pad_to(seg, t_pad, axis=1, value=-1)[:, None, :]
-    lsep = _pad_to(lse, t_pad, axis=3, value=1.0)
+    qp = _pad_to(q, tq_pad, axis=2)
+    kp = _pad_to(k, tk_pad, axis=2)
+    vp = _pad_to(v, tk_pad, axis=2)
+    gp = _pad_to(g, tq_pad, axis=2)
+    op = _pad_to(out, tq_pad, axis=2)
+    biasp = _pad_to(bias, tk_pad, axis=1, value=NEG_INF)[:, None, :]
+    segkp = _pad_to(seg, tk_pad, axis=1, value=-1)[:, None, :]
+    segqp = _pad_to(segq, tq_pad, axis=1, value=-1)[:, None, :]
+    lsep = _pad_to(lse, tq_pad, axis=3, value=1.0)
 
     # padded q rows carry do == 0, so dpd == 0 and dd == 0 → ds == 0: they
     # contribute nothing to dk/dv and their dq rows are sliced off below
     dd = jnp.sum(
         gp.astype(jnp.float32) * op.astype(jnp.float32), axis=-1
-    )[:, :, None, :]  # (B,H,1,T)
+    )[:, :, None, :]  # (B,H,1,Tq)
 
     scale = 1.0 / (d ** 0.5)
-    n_q = t_pad // bq
-    n_k = t_pad // bk
+    n_q = tq_pad // bq
+    n_k = tk_pad // bk
 
     q_by_qi = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
     k_by_ki = pl.BlockSpec((1, 1, bk, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0))
@@ -887,14 +905,14 @@ def _flash_bwd_stream(q, k, v, bias, seg, causal, use_segments, out, lse, g):
         in_specs=[q_by_qi, k_by_ki, k_by_ki, bias_by_ki, segq_by_qi,
                   segk_by_ki, q_by_qi, vec_by_qi, vec_by_qi],
         out_specs=q_by_qi,
-        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, tq_pad, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
                 "parallel", "parallel", "parallel", "arbitrary"
             ),
         ),
-    )(qp, kp, vp, biasp, segp, segp, gp, lsep, dd)
+    )(qp, kp, vp, biasp, segqp, segkp, gp, lsep, dd)
 
     # dkv grid: ki is the parallel axis, qi streams innermost
     q_by_qi2 = pl.BlockSpec(
@@ -919,8 +937,8 @@ def _flash_bwd_stream(q, k, v, bias, seg, causal, use_segments, out, lse, g):
                   segk_by_ki2, q_by_qi2, vec_by_qi2, vec_by_qi2],
         out_specs=(k_by_ki2, k_by_ki2),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, t_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((b, h, t_pad, d), v.dtype),
+            jax.ShapeDtypeStruct((b, h, tk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, tk_pad, d), v.dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((bk, d), jnp.float32),
@@ -931,9 +949,9 @@ def _flash_bwd_stream(q, k, v, bias, seg, causal, use_segments, out, lse, g):
                 "parallel", "parallel", "parallel", "arbitrary"
             ),
         ),
-    )(qp, kp, vp, biasp, segp, segp, gp, lsep, dd)
+    )(qp, kp, vp, biasp, segqp, segkp, gp, lsep, dd)
 
-    return dq[:, :, :t, :], dk[:, :, :t, :], dv[:, :, :t, :]
+    return dq[:, :, :tq, :], dk[:, :, :tk, :], dv[:, :, :tk, :]
 
 
 # ---------------------------------------------------------------------------
@@ -999,6 +1017,38 @@ def flash_attention(
                   use_segments)
 
 
+@jax.custom_vjp
+def _flash_rect(q, k, v, bias):
+    out, _ = _rect_fwd_impl(q, k, v, bias)
+    return out
+
+
+def _rect_fwd_impl(q, k, v, bias):
+    b = q.shape[0]
+    seg = jnp.zeros((b, k.shape[2]), jnp.int32)
+    segq = jnp.zeros((b, q.shape[2]), jnp.int32)
+    return _flash_fwd_stream(q, k, v, bias, seg, False, False, segq=segq)
+
+
+def _flash_rect_fwd(q, k, v, bias):
+    out, lse = _rect_fwd_impl(q, k, v, bias)
+    return out, (q, k, v, bias, out, lse)
+
+
+def _flash_rect_bwd(res, g):
+    q, k, v, bias, out, lse = res
+    b = q.shape[0]
+    seg = jnp.zeros((b, k.shape[2]), jnp.int32)
+    segq = jnp.zeros((b, q.shape[2]), jnp.int32)
+    dq, dk, dv = _flash_bwd_stream(
+        q, k, v, bias, seg, False, False, out, lse, g, segq=segq
+    )
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+_flash_rect.defvjp(_flash_rect_fwd, _flash_rect_bwd)
+
+
 def flash_attention_kv_full(
     q: jax.Array,   # (B, H, Tq, d) — LOCAL query rows, unscaled
     k: jax.Array,   # (B, H, Tk, d) — the FULL key sequence
@@ -1008,18 +1058,17 @@ def flash_attention_kv_full(
 ) -> jax.Array:
     """Rectangular streamed attention: local q rows against the full K/V.
 
-    The sequence-parallel extraction path (parallel/seqpar.py) shards the
-    time axis of one long utterance over the mesh; each shard all-gathers
-    K/V and runs its own q rows here — compute is O(Tq*Tk) per chip,
-    balanced across shards. Forward-only (no vjp: extraction), non-causal,
-    dropout-free."""
+    The sequence-parallel paths (parallel/seqpar.py) shard the time axis
+    of one long utterance over the mesh; each shard all-gathers K/V and
+    runs its own q rows here — compute is O(Tq*Tk) per chip, balanced
+    across shards. Non-causal, dropout-free. Differentiable since round 4
+    (streamed rectangular dq/dkv): under autodiff, dk/dv flow back through
+    the all_gather's transpose (psum_scatter) to each shard's local K/V —
+    sequence-parallel TRAINING."""
     b, _, _, _ = q.shape
     tk = k.shape[2]
     if key_padding_mask is None:
         bias = jnp.zeros((b, tk), jnp.float32)
     else:
         bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
-    seg = jnp.zeros((b, tk), jnp.int32)
-    segq = jnp.zeros((b, q.shape[2]), jnp.int32)
-    out, _ = _flash_fwd_stream(q, k, v, bias, seg, False, False, segq=segq)
-    return out
+    return _flash_rect(q, k, v, bias)

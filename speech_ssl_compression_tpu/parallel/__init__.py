@@ -6,7 +6,10 @@ from .mesh import (
     shard_params,
     shard_batch,
 )
-from .seqpar import melhubert_extract_seqpar
+from .seqpar import (
+    make_melhubert_seqpar_distill_step,
+    melhubert_extract_seqpar,
+)
 from .pipeline import (
     pipeline_mesh,
     split_pipeline_params,

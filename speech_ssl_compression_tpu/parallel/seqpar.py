@@ -1,4 +1,5 @@
-"""Sequence-parallel (context-parallel) long-form MelHuBERT extraction.
+"""Sequence-parallel (context-parallel) long-form MelHuBERT extraction AND
+training.
 
 The streamed flash forward (ops/flash_attention.py) removes the VMEM cap on
 sequence length for ONE chip; this module removes the single-chip wall-clock
@@ -20,9 +21,14 @@ melhubert_dataset.py max_timestep):
   rectangular streamed flash kernel — O(T^2 / n_shards) compute per chip,
   perfectly balanced since extraction is non-causal.
 
-Deterministic, non-causal, forward-only (extraction). Training stays on the
-data/tensor axes (parallel/mesh.py); causal streaming inference has its own
-KV-cache path (streaming.py).
+Deterministic and non-causal. Extraction is forward-only; since round 4 the
+rectangular kernel has a streamed backward (``_flash_rect`` custom_vjp), so
+the same layout also TRAINS: :func:`make_melhubert_seqpar_distill_step`
+differentiates through the all-gather (transpose = psum_scatter routes
+dk/dv back to their home shards) for long-form distillation beyond one
+chip's wall-clock. Dropout-free by the streamed-kernel contract — the
+long-form regime is fine-tune/distill territory. Causal streaming inference
+has its own KV-cache path (streaming.py).
 """
 
 from __future__ import annotations
@@ -41,7 +47,7 @@ from ..models.encoder import (
 from ..ops.attention import output_projection, project_to_heads
 from ..ops.flash_attention import NEG_INF, flash_attention_kv_full
 
-__all__ = ["melhubert_extract_seqpar"]
+__all__ = ["melhubert_extract_seqpar", "make_melhubert_seqpar_distill_step"]
 
 
 def _pos_conv_halo(x, p, groups: int, kernel_size: int, axis: str):
@@ -108,13 +114,25 @@ def _make_seqpar_attn(lp, num_heads: int, head_dim: int, bias_full,
     return attn
 
 
-def _seqpar_body(params, cfg, feat_l, pad_l, axis: str, impl: str):
+def _seqpar_body(params, cfg, feat_l, pad_l, axis: str, impl: str,
+                 mask_l=None):
     """Per-shard forward: everything melhubert_forward does for extraction
-    (mask=False, no_pred=True, deterministic), on one time shard."""
+    (mask=False, no_pred=True, deterministic), on one time shard.
+
+    ``mask_l`` (local (B, Tl) bool) applies the span-mask embedding like
+    ``melhubert_forward(mask=True, teacher_mask_indices=...)`` — masking
+    is position-wise, so the local slice of a globally-sampled mask is
+    exact (the training path samples it once at the step level)."""
+    from ..models.melhubert import _apply_mask
+
     x = feat_l
+    if mask_l is not None and cfg.mask_before_proj:
+        x = _apply_mask(x, mask_l, params, cfg)
     if "pre_extract_proj" in params:
         pp = params["pre_extract_proj"]
         x = x @ pp["kernel"] + pp["bias"]
+    if mask_l is not None and not cfg.mask_before_proj:
+        x = _apply_mask(x, mask_l, params, cfg)
 
     enc = params["encoder"]
     # prologue (models/encoder.py::encoder_prologue with a halo'd conv)
@@ -192,6 +210,171 @@ def melhubert_extract_seqpar(
     run = _build_seqpar_fn(cfg, mesh, axis, attn_impl, precision)
     hidden = run(params, feat, pad)
     return hidden[:, :t]
+
+
+def make_melhubert_seqpar_distill_step(
+    teacher_cfg,
+    student_cfg,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    temperature: float,
+    alpha: float,
+    loss_type: str = "masked",
+    attn_impl: str = "auto",
+    precision: str = "default",
+    compute_dtype=jnp.float32,
+):
+    """Sequence-parallel distillation grad step: time axis sharded over
+    ``mesh.shape[axis]``, teacher + student forwards per shard, K/V
+    all-gathered per layer, dk/dv routed home by the all-gather's
+    transpose (psum_scatter). Long-form (T > 4096) distillation beyond one
+    chip's wall-clock — the regime the round-4 streamed flash backward
+    unlocks.
+
+    Returns a jitted ``(student_params, teacher_params, batch, rng) ->
+    (loss, grads, logs)`` matching ``compress.distillation.distill_forward``
+    semantics exactly (masked: teacher's span mask replayed into the
+    student; nomasked: no masking, all valid frames — reference
+    distillation/pretrain_expert.py:28-34,115-117). Deterministic
+    (dropout-free) by the streamed-kernel contract; ``batch`` may carry
+    precomputed ``mask_indices`` for replay/testing."""
+    from ..ops.masking import compute_span_mask
+    from ..train.steps import cast_for_compute
+
+    if loss_type not in ("masked", "nomasked"):
+        raise NotImplementedError(loss_type)
+    n = mesh.shape[axis]
+    mask_or_not = loss_type == "masked"
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),                    # student params
+            P(),                    # teacher params
+            P(None, axis, None),    # feat
+            P(None, axis),          # pad (True = padded)
+            P(None, axis),          # labels
+            P(None, axis),          # mask indices
+        ),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def _body(sp, tp, feat_l, pad_l, label_l, mask_l):
+        valid_l = ~pad_l
+        m_l = mask_l if mask_or_not else None
+        sel = valid_l & (mask_l if mask_or_not else ~mask_l)
+        sel_ce = sel & (label_l != -100)
+        # global counts are grad-free; under check_vma=False the
+        # differentiated path must keep only LOCAL sums (psum's transpose
+        # is psum — a psum'd loss would double-count grads; same rule as
+        # parallel/pipeline.py)
+        c_hard = jax.lax.psum(jnp.sum(sel_ce), axis)
+        c_soft = jax.lax.psum(jnp.sum(sel), axis)
+
+        def head(params, cfg, hidden):
+            fp = params["final_proj"]
+            return hidden @ fp["kernel"] + fp["bias"]
+
+        def ce_local_sum(logits, select):
+            safe = jnp.where(select, label_l, 0)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+            return jnp.sum(jnp.where(select, nll, 0.0))
+
+        with jax.default_matmul_precision(precision):
+            tp_c = cast_for_compute(jax.lax.stop_gradient(tp), compute_dtype)
+            feat_c = feat_l.astype(compute_dtype)
+            t_hidden = _seqpar_body(
+                tp_c, teacher_cfg, feat_c, pad_l, axis, attn_impl,
+                mask_l=m_l,
+            )
+            t_logits = jax.lax.stop_gradient(
+                head(tp_c, teacher_cfg, t_hidden)
+            )
+
+            def loss_fn(sp):
+                sp_c = cast_for_compute(sp, compute_dtype)
+                s_hidden = _seqpar_body(
+                    sp_c, student_cfg, feat_c, pad_l, axis, attn_impl,
+                    mask_l=m_l,
+                )
+                s_logits = head(sp_c, student_cfg, s_hidden)
+                hard = ce_local_sum(s_logits, sel_ce) / jnp.maximum(
+                    c_hard, 1
+                )
+                # kd_soft_loss divides by the GLOBAL count when handed the
+                # local selection and global denominator
+                t = temperature
+                logp_s = jax.nn.log_softmax(
+                    s_logits.astype(jnp.float32) / t, axis=-1
+                )
+                logp_t = jax.nn.log_softmax(
+                    t_logits.astype(jnp.float32) / t, axis=-1
+                )
+                per_frame = jnp.sum(
+                    jnp.exp(logp_t) * (logp_t - logp_s), axis=-1
+                )
+                soft = jnp.sum(
+                    jnp.where(sel, per_frame, 0.0)
+                ) / jnp.maximum(c_soft, 1)
+                local = hard * (1.0 - alpha) + soft * alpha
+                return local, {"hard_loss": hard, "soft_loss": soft}
+
+            (loss_local, logs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(sp)
+        loss = jax.lax.psum(loss_local, axis)
+        logs = {k: jax.lax.psum(v, axis) for k, v in logs.items()}
+        grads = jax.lax.psum(grads, axis)
+        return loss, grads, logs
+
+    @jax.jit
+    def grad_step(student_params, teacher_params, batch, rng):
+        feat = batch["feat"]
+        valid = batch["pad_mask"].astype(bool)
+        labels = batch["label"]
+        b, t = valid.shape
+        unit = n * 128
+        t_pad = -(-t // unit) * unit
+
+        mask_indices = batch.get("mask_indices")
+        if mask_indices is None:
+            if mask_or_not:
+                assert rng is not None, "masked distillation requires an rng"
+                mask_rng, _ = jax.random.split(rng)
+                lengths = jnp.sum(valid.astype(jnp.int32), axis=-1)
+                # the TEACHER samples the mask (distill_forward replays it
+                # into the student)
+                mask_indices = compute_span_mask(
+                    mask_rng, lengths, t,
+                    mask_prob=teacher_cfg.mask_prob,
+                    mask_length=teacher_cfg.mask_length,
+                    mask_selection=teacher_cfg.mask_selection,
+                    mask_other=teacher_cfg.mask_other,
+                    min_masks=2,
+                    no_overlap=teacher_cfg.no_mask_overlap,
+                    min_space=teacher_cfg.mask_min_space,
+                    require_same_masks=False,  # model.py:76
+                )
+            else:
+                mask_indices = jnp.zeros((b, t), bool)
+
+        if t_pad > t:
+            feat = jnp.pad(feat, ((0, 0), (0, t_pad - t), (0, 0)))
+            valid = jnp.pad(valid, ((0, 0), (0, t_pad - t)),
+                            constant_values=False)
+            labels = jnp.pad(labels, ((0, 0), (0, t_pad - t)),
+                             constant_values=-100)
+            mask_indices = jnp.pad(
+                mask_indices.astype(bool), ((0, 0), (0, t_pad - t)),
+                constant_values=False,
+            )
+        return _body(student_params, teacher_params, feat, ~valid,
+                     labels, mask_indices.astype(bool))
+
+    return grad_step
 
 
 @functools.lru_cache(maxsize=32)

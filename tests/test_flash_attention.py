@@ -245,3 +245,42 @@ def test_flash_dropout_beyond_stream_threshold_raises():
             flash_attention(
                 q, k, v, dropout_p=0.1, dropout_rng=jax.random.PRNGKey(0)
             )
+
+
+def test_flash_rect_kv_full_gradients():
+    """flash_attention_kv_full is differentiable since round 4 (streamed
+    rectangular dq/dkv) — the sequence-parallel TRAINING primitive. Grad
+    parity vs a dense rectangular reference (local q rows x full K/V),
+    across the 512-block boundaries with k-side padding."""
+    rng = np.random.default_rng(9)
+    b, h, tq, tk, d = 1, 2, 256, 1280, 8
+    q = jnp.asarray(rng.standard_normal((b, h, tq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, tk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, tk, d)), jnp.float32)
+    pad = jnp.asarray(np.arange(tk)[None, :] >= tk - 100)
+
+    from speech_ssl_compression_tpu.ops.flash_attention import (
+        flash_attention_kv_full,
+    )
+
+    def f_flash(q, k, v):
+        return jnp.sum(
+            flash_attention_kv_full(q, k, v, key_padding_mask=pad) ** 2
+        )
+
+    def f_dense(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (d ** 0.5)
+        s = jnp.where(pad[:, None, None, :], -1e30, s)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, v) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, bb, name in zip(g1, g2, "qkv"):
+        ref = np.asarray(bb)
+        scale = max(np.abs(ref).max(), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a), ref, atol=3e-3 * scale,
+            err_msg=f"d{name} mismatch (rect {tq}x{tk})",
+        )

@@ -177,3 +177,75 @@ def test_extractor_forward_seqpar_matches_forward(tmp_path):
     got = np.asarray(ex.forward_seqpar(wav, mesh)["last_hidden_state"])
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("loss_type", ["masked", "nomasked"])
+def test_seqpar_distill_step_matches_single_device(loss_type):
+    """Sequence-parallel TRAINING (round 4): the time-sharded distillation
+    grad step must reproduce the single-device distill_forward loss AND
+    student gradients exactly — mask replay, CE/KD global means, and
+    dk/dv routed home through the all-gather's transpose."""
+    from speech_ssl_compression_tpu.compress.distillation import (
+        distillation_loss,
+    )
+    from speech_ssl_compression_tpu.parallel.seqpar import (
+        make_melhubert_seqpar_distill_step,
+    )
+
+    tcfg = _cfg(mask_prob=0.65, mask_length=4, learnable_mask_emb=True)
+    scfg = _cfg(encoder_layers=1, mask_prob=0.65, mask_length=4,
+                learnable_mask_emb=True)
+    tparams = init_melhubert_params(jax.random.PRNGKey(0), tcfg)
+    sparams = init_melhubert_params(jax.random.PRNGKey(1), scfg)
+
+    rng = np.random.default_rng(3)
+    b, t = 2, 1024
+    feat = jnp.asarray(rng.standard_normal((b, t, tcfg.feat_emb_dim)),
+                       jnp.float32)
+    lengths = (1024, 900)
+    pad_mask = jnp.asarray(
+        np.arange(t)[None, :] < np.asarray(lengths)[:, None]
+    ).astype(jnp.float32)
+    labels = jnp.asarray(rng.integers(0, tcfg.num_cluster, (b, t)),
+                         jnp.int32)
+    labels = labels.at[0, 5].set(-100)
+    mask = jnp.asarray(
+        (rng.random((b, t)) < 0.3) & np.asarray(pad_mask, bool)
+    )
+    use_mask = loss_type == "masked"
+
+    mesh = make_mesh(8)
+    step = make_melhubert_seqpar_distill_step(
+        tcfg, scfg, mesh, axis="data", temperature=2.0, alpha=0.7,
+        loss_type=loss_type, attn_impl="dense", precision="highest",
+    )
+    batch = {"feat": feat, "pad_mask": pad_mask, "label": labels,
+             "mask_indices": mask if use_mask else jnp.zeros((b, t), bool)}
+    loss, grads, logs = step(sparams, tparams, batch, None)
+
+    def ref_loss(sp):
+        t_out = melhubert_forward(
+            tparams, tcfg, feat, pad_mask, mask=use_mask,
+            teacher_mask_indices=mask if use_mask else None,
+            deterministic=True, attn_impl="dense",
+        )
+        s_out = melhubert_forward(
+            sp, scfg, feat, pad_mask, mask=use_mask,
+            teacher_mask_indices=t_out["mask_indices"],
+            deterministic=True, attn_impl="dense",
+        )
+        total, _ = distillation_loss(
+            s_out, t_out, labels, pad_mask,
+            temperature=2.0, alpha=0.7, loss_type=loss_type,
+        )
+        return total
+
+    ref_val, ref_grads = jax.value_and_grad(ref_loss)(sparams)
+    np.testing.assert_allclose(float(loss), float(ref_val), rtol=2e-5)
+    flat_a, _ = jax.tree.flatten(grads)
+    flat_b, _ = jax.tree.flatten(ref_grads)
+    for a, bb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=2e-4, atol=2e-6
+        )

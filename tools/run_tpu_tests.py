@@ -173,6 +173,31 @@ def main():
         check(f"flash streamed bwd T=5000 {name} vs dense autodiff",
               diff < 3e-3, f"rel max|diff|={diff:.2e}")
 
+    # -- 2c. rectangular streamed backward (seqpar TRAINING primitive:
+    # local q rows x full K/V, differentiable since round 4) ---------------
+    tq = 512
+
+    def loss_rect(q, k, v):
+        o = flash_attention_kv_full(q, k, v, key_padding_mask=pads)
+        return jnp.sum(o ** 2)
+
+    def loss_rect_dense(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (d ** 0.5)
+        s = jnp.where(pads[:, None, None, :], -1e30, s)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, v) ** 2)
+
+    gf = jax.jit(jax.grad(loss_rect, argnums=(0, 1, 2)))(
+        qs[:, :, :tq], ks, vs)
+    gd = jax.jit(jax.grad(loss_rect_dense, argnums=(0, 1, 2)))(
+        qs[:, :, :tq], ks, vs)
+    for name, a, bb in zip(("dq", "dk", "dv"), gf, gd):
+        a, bb = np.asarray(a), np.asarray(bb)
+        denom = np.abs(bb).max() + 1e-9
+        diff = np.abs(a - bb).max() / denom
+        check(f"flash rect bwd (512 q x T=5000 K/V) {name}",
+              diff < 3e-3, f"rel max|diff|={diff:.2e}")
+
     # -- 3. in-kernel attention dropout keep-rate ---------------------------
     p_drop = 0.3
     key = jax.random.PRNGKey(3)
