@@ -224,11 +224,24 @@ def main():
         # stage needs headroom (90M params x4 trees + activations)
         del params20, params10, feat, pad
         metrics.extend(_measure_train())
+        metrics.extend(_measure_recipe_train())
+        metrics.extend(_measure_10ms_and_scoring())
+        metrics.extend(_measure_longform_train())
         metrics.extend(_measure_wave_train())
 
     # LAST: its B=16 KV caches (3.6 GB) measurably depress a following
     # wave-train stage (~15% on hubert) even after clear_caches
     m = _measure_batch_streaming()
+    if m is not None:
+        metrics.append(m)
+    # the shipped serving mode: bf16 windowed ring-buffer (B=64 unbounded
+    # always-on streams at constant memory — BASELINE.md round-3 tables);
+    # tracked so the 4,500x capability has regression coverage
+    m = _measure_batch_streaming(
+        b=64, chunk=128, cap=1280, window=1024, n_steps=20,
+        dtype=_jnp_bf16(), precision="default",
+        tag="streaming_windowed_bf16_batch64_aggregate_realtime_x",
+    )
     if m is not None:
         metrics.append(m)
 
@@ -285,15 +298,24 @@ def _measure_longform(cfg10, params10, feat, lens, t_long=8192, n_rep=10):
     return entry
 
 
-def _measure_batch_streaming(b=16, chunk=128, cap=3072, n_steps=20):
+def _jnp_bf16():
+    import jax.numpy as jnp
+
+    return jnp.bfloat16
+
+
+def _measure_batch_streaming(b=16, chunk=128, cap=3072, n_steps=20,
+                             window=None, dtype=None, precision="highest",
+                             tag=None):
     """Batched lockstep causal streaming (streaming.py): B concurrent
     realtime streams advance one chunk per jitted step against a batched
     (B, H, cap, d) KV cache. Chip-side chained-step timing (the serving
     poll() adds host fbank + the tunnel output fetch — BASELINE.md);
     value = aggregate realtime factor (streams x chunk-seconds / step
     wall). FLOPs count attention at FULL cache capacity — that is what
-    the static-shape step executes. Never fails the other metrics:
-    returns None on any error."""
+    the static-shape step executes. ``window`` selects the ring-buffer
+    windowed mode (unbounded always-on streams at constant memory).
+    Never fails the other metrics: returns None on any error."""
     import jax
     import jax.numpy as jnp
 
@@ -315,13 +337,14 @@ def _measure_batch_streaming(b=16, chunk=128, cap=3072, n_steps=20):
         params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
         sb = StreamingCausalBatchExtractor(
             params=params, cfg=cfg, batch=b, fp=20, chunk_frames=chunk,
-            max_frames=cap,
+            max_frames=cap, window_frames=window,
+            dtype=dtype or jnp.float32, matmul_precision=precision,
         )
         w = chunk + cfg.conv_pos - 1
         valid = jnp.ones((b, w), bool)
         start = jnp.zeros((b,), jnp.int32)
         n0 = jnp.asarray(0, jnp.int32)
-        feat = jnp.zeros((b, w, 80), jnp.float32)
+        feat = jnp.zeros((b, w, 80), sb.dtype)  # push path casts likewise
         caches = sb._caches
         h, hs, pf, caches = sb._step(sb.params, feat, valid, caches, n0,
                                      start)
@@ -345,7 +368,7 @@ def _measure_batch_streaming(b=16, chunk=128, cap=3072, n_steps=20):
         step_flops = b * (layers_flops + pos_conv)
         chunk_secs = chunk * 0.02  # fp=20
         entry = _with_mfu({
-            "metric": f"streaming_causal_batch{b}_aggregate_realtime_x",
+            "metric": tag or f"streaming_causal_batch{b}_aggregate_realtime_x",
             "value": round(b * chunk_secs / dt, 1),
             "unit": "x_realtime",
             # the reference has no streaming path at all
@@ -464,6 +487,384 @@ def _measure_train(n_steps=8):
         return []
 
 
+def _measure_recipe_train(n_updates=4, n_steps=6):
+    """Recipe-scale MelHuBERT pre-train (VERDICT r3 next #4). The reference
+    trains at EFFECTIVE batch 32 = bucket 4 x gradient_accumulate_steps 8
+    (/root/reference/upstream/melhubert/config/config_runner.yaml:2-5).
+    Two rows:
+      (a) the runners' actual accumulation path — 8 host-dispatched B=4
+          grad steps + accumulate_grads + ONE fused apply (an optimizer
+          UPDATE); value = updates/s, samples/s = 32x.
+      (b) the same effective batch in ONE jitted step (B=32, T=768) —
+          the chip-filling shape; value = steps/s.
+    vs_baseline compares SAMPLE throughput against the reference-CPU
+    anchor (4 x pretrain_steps_per_sec samples/s — each reference step
+    processes B=4 including the optimizer). Never fails the other
+    metrics: returns [] on any error."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+    from speech_ssl_compression_tpu.models import init_melhubert_params
+    from speech_ssl_compression_tpu.train.steps import (
+        accumulate_grads,
+        make_apply_step,
+        make_melhubert_grad_step,
+        make_optimizer,
+    )
+
+    try:
+        jax.clear_caches()
+        cfg = MelHuBERTConfig.from_dict({
+            "feat_emb_dim": 80, "encoder_layers": 12,
+            "encoder_embed_dim": 768, "encoder_ffn_embed_dim": 3072,
+            "encoder_attention_heads": 12, "num_cluster": 512,
+            "mask_prob": 0.7, "mask_length": 5,
+        })
+        params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        t = 768
+        opt = make_optimizer(lr=1e-4)
+        apply_step = make_apply_step(opt, donate=True)
+
+        def fence(tree):
+            return float(jnp.sum(jax.tree.leaves(tree)[0]
+                                 .astype(jnp.float32)))
+
+        ref_sps = None
+        base_path = pathlib.Path(__file__).parent / "BASELINE_train_local.json"
+        if base_path.exists():
+            base = json.loads(base_path.read_text())
+            ref_sps = 4 * base["reference_cpu_train"]["pretrain_steps_per_sec"]
+
+        out = []
+
+        def batch_of(b):
+            return {
+                "feat": jnp.asarray(rng.standard_normal((b, t, 80)),
+                                    jnp.float32),
+                "label": jnp.asarray(rng.integers(0, 512, (b, t)),
+                                     jnp.int32),
+                "pad_mask": jnp.ones((b, t), jnp.float32),
+            }
+
+        # ---- (a) accumulation path: 8 x B=4 grad + 1 apply -------------
+        accum = 8
+        gs = make_melhubert_grad_step(cfg, accum_steps=accum,
+                                      compute_dtype=jnp.float32)
+        batch4 = batch_of(4)
+
+        def one_update(p, ost, key):
+            grads_acc = None
+            for _ in range(accum):
+                key, k2 = jax.random.split(key)
+                _, grads, _ = gs(p, None, batch4, k2)
+                grads_acc = accumulate_grads(grads_acc, grads)
+            p, ost, _ = apply_step(p, ost, grads_acc,
+                                   jnp.asarray(float(accum)))
+            return p, ost, key
+
+        p = jax.tree.map(jnp.array, params)
+        ost = opt.init(p)
+        p, ost, key = one_update(p, ost, jax.random.PRNGKey(2))
+        fence(p)  # compile + warm
+        t0 = time.time()
+        for _ in range(n_updates):
+            p, ost, key = one_update(p, ost, key)
+        fence(p)
+        dt = (time.time() - t0) / n_updates
+        flops = 3 * 32 * _melhubert_fwd_flops(cfg, t, 80)
+        sample_sps = 32.0 / dt
+        out.append(_with_mfu({
+            "metric": "melhubert_pretrain_effbatch32_accum8_updates_per_sec",
+            "value": round(1.0 / dt, 2),
+            "unit": "updates/s",
+            "samples_per_sec": round(sample_sps, 1),
+            "vs_baseline": (round(sample_sps / ref_sps, 1)
+                            if ref_sps else None),
+        }, flops / dt))
+        del gs, p, ost
+        jax.clear_caches()
+
+        # ---- (b) single-jit B=32 step -----------------------------------
+        gs = make_melhubert_grad_step(cfg, accum_steps=1,
+                                      compute_dtype=jnp.float32)
+        batch32 = batch_of(32)
+
+        def one_step(p, ost, key):
+            key, k2 = jax.random.split(key)
+            _, grads, _ = gs(p, None, batch32, k2)
+            p, ost, _ = apply_step(p, ost, grads, jnp.asarray(1.0))
+            return p, ost, key
+
+        p = jax.tree.map(jnp.array, params)
+        ost = opt.init(p)
+        p, ost, key = one_step(p, ost, jax.random.PRNGKey(2))
+        fence(p)
+        t0 = time.time()
+        for _ in range(n_steps):
+            p, ost, key = one_step(p, ost, key)
+        fence(p)
+        dt = (time.time() - t0) / n_steps
+        sample_sps = 32.0 / dt
+        out.append(_with_mfu({
+            "metric": "melhubert_pretrain_B32_T768_steps_per_sec",
+            "value": round(1.0 / dt, 2),
+            "unit": "steps/s",
+            "samples_per_sec": round(sample_sps, 1),
+            "vs_baseline": (round(sample_sps / ref_sps, 1)
+                            if ref_sps else None),
+        }, flops / dt))
+        del gs, p, ost
+        jax.clear_caches()
+        return out
+    except Exception as e:  # noqa: BLE001 — other metrics still print
+        print(f"[bench] recipe train metrics skipped: {e}", file=sys.stderr)
+        return []
+
+
+def _measure_10ms_and_scoring(n_steps=6):
+    """(VERDICT r3 next #9) Two previously-untimed training-side stages:
+      - the 10 ms flagship pre-train step (B=4, T=1500 crops, 40-d input —
+        /root/reference/weight_pruning/config/config_model_10ms.yaml,
+        config_runner_10ms.yaml train_batch_size 4, sequence_length 1500)
+      - the data-driven head-scoring pass (probe-gradient einsum over a
+        sub-epoch, reference head_pruning/hp_utils.py:242-353 analog) at
+        the flagship B=4, T=768 shape.
+    Never fails the other metrics: returns [] on any error."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_ssl_compression_tpu.compress import head_pruning as hp
+    from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+    from speech_ssl_compression_tpu.models import (
+        init_melhubert_params,
+        melhubert_forward,
+    )
+    from speech_ssl_compression_tpu.models.melhubert import (
+        melhubert_pretrain_loss,
+    )
+    from speech_ssl_compression_tpu.train.steps import (
+        make_apply_step,
+        make_melhubert_grad_step,
+        make_optimizer,
+    )
+
+    try:
+        jax.clear_caches()
+        rng = np.random.default_rng(0)
+
+        def fence(x):
+            return float(jnp.sum(jax.tree.leaves(x)[0]
+                                 .astype(jnp.float32)))
+
+        ref10 = None
+        base_path = pathlib.Path(__file__).parent / "BASELINE_train_local.json"
+        if base_path.exists():
+            base = json.loads(base_path.read_text())
+            row = base.get("reference_cpu_train_10ms")
+            ref10 = row["pretrain_steps_per_sec"] if row else None
+
+        out = []
+
+        # ---- 10 ms pre-train step (B=4, T=1500, 40-d) -------------------
+        cfg10 = MelHuBERTConfig.from_dict({
+            "feat_emb_dim": 40, "encoder_layers": 12,
+            "encoder_embed_dim": 768, "encoder_ffn_embed_dim": 3072,
+            "encoder_attention_heads": 12, "num_cluster": 512,
+            "mask_prob": 0.7, "mask_length": 10,
+        })
+        params = init_melhubert_params(jax.random.PRNGKey(0), cfg10)
+        b, t = 4, 1500
+        batch = {
+            "feat": jnp.asarray(rng.standard_normal((b, t, 40)),
+                                jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 512, (b, t)), jnp.int32),
+            "pad_mask": jnp.ones((b, t), jnp.float32),
+        }
+        opt = make_optimizer(lr=1e-4)
+        apply_step = make_apply_step(opt, donate=True)
+        gs = make_melhubert_grad_step(cfg10, accum_steps=1,
+                                      compute_dtype=jnp.float32)
+
+        def one_step(p, ost, key):
+            key, k2 = jax.random.split(key)
+            _, grads, _ = gs(p, None, batch, k2)
+            p, ost, _ = apply_step(p, ost, grads, jnp.asarray(1.0))
+            return p, ost, key
+
+        p = jax.tree.map(jnp.array, params)
+        ost = opt.init(p)
+        p, ost, key = one_step(p, ost, jax.random.PRNGKey(2))
+        fence(p)
+        t0 = time.time()
+        for _ in range(n_steps):
+            p, ost, key = one_step(p, ost, key)
+        fence(p)
+        dt = (time.time() - t0) / n_steps
+        flops = 3 * b * _melhubert_fwd_flops(cfg10, t, 40)
+        out.append(_with_mfu({
+            "metric": "melhubert10ms_pretrain_B4_T1500_steps_per_sec",
+            "value": round(1.0 / dt, 2),
+            "unit": "steps/s",
+            "vs_baseline": round((1.0 / dt) / ref10, 1) if ref10 else None,
+        }, flops / dt))
+        del gs, p, ost
+        jax.clear_caches()
+
+        # ---- data-driven head-scoring pass (flagship, B=4, T=768) -------
+        cfg = MelHuBERTConfig.from_dict({
+            "feat_emb_dim": 80, "encoder_layers": 12,
+            "encoder_embed_dim": 768, "encoder_ffn_embed_dim": 3072,
+            "encoder_attention_heads": 12, "num_cluster": 512,
+            "mask_prob": 0.7, "mask_length": 5,
+        })
+        params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
+        b, t = 4, 768
+        batch = {
+            "feat": jnp.asarray(rng.standard_normal((b, t, 80)),
+                                jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 512, (b, t)), jnp.int32),
+            "pad_mask": jnp.ones((b, t), jnp.float32),
+        }
+
+        @jax.jit
+        def score_step(params, probes, feat, key):
+            def loss_fn(probes):
+                o = melhubert_forward(
+                    params, cfg, feat, batch["pad_mask"],
+                    mask=True, rng=key, deterministic=False,
+                    head_probes=probes,
+                )
+                loss, _ = melhubert_pretrain_loss(
+                    o, batch["label"], batch["pad_mask"], cfg
+                )
+                return loss, o["contexts"]
+
+            (loss, contexts), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(probes)
+            return loss, hp.data_driven_scores_from_grads(contexts, grads)
+
+        probes = hp.make_head_probes(cfg, b, t)
+        key = jax.random.PRNGKey(3)
+        feat = batch["feat"]
+        loss, scores = score_step(params, probes, feat, key)
+        fence(scores)  # compile + warm
+        t0 = time.time()
+        x = feat
+        for _ in range(n_steps):
+            # chain on the loss so the axon backend cannot overlap steps
+            loss, scores = score_step(params, probes, x, key)
+            x = feat + 1e-12 * loss
+        fence(scores)
+        dt = (time.time() - t0) / n_steps
+        # fwd + probe-grad backward ~ 2x forward FLOPs (grads flow to the
+        # probes only — no parameter-gradient matmuls)
+        flops = 2 * b * _melhubert_fwd_flops(cfg, t, 80)
+        out.append(_with_mfu({
+            "metric": "headprune_data_driven_scoring_steps_per_sec",
+            "value": round(1.0 / dt, 2),
+            "unit": "steps/s",
+            # the reference scores on GPU inside its own training loop; no
+            # CPU anchor is comparable for a probe-grad pass
+            "vs_baseline": None,
+        }, flops / dt))
+        jax.clear_caches()
+        return out
+    except Exception as e:  # noqa: BLE001 — other metrics still print
+        print(f"[bench] 10ms/scoring metrics skipped: {e}", file=sys.stderr)
+        return []
+
+
+def _measure_longform_train(n_steps=4, t=8192):
+    """T=8192 long-form DISTILLATION step (B=1, fp=10 40-d input, 12L
+    teacher -> 6L student) — the regime the round-4 streamed flash
+    backward unlocks (previously a NotImplementedError wall at T>4096;
+    ops/flash_attention.py::_flash_bwd_stream). Dropout-free by the
+    streamed-kernel contract (long-form fine-tune/distill territory).
+    The reference cannot run this length at all (data-side max_timestep
+    crop). Never fails the other metrics: returns [] on any error."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_ssl_compression_tpu.configs import MelHuBERTConfig
+    from speech_ssl_compression_tpu.models import init_melhubert_params
+    from speech_ssl_compression_tpu.train.steps import (
+        make_apply_step,
+        make_distill_grad_step,
+        make_optimizer,
+    )
+
+    try:
+        jax.clear_caches()
+        base = {
+            "feat_emb_dim": 40, "encoder_layers": 12,
+            "encoder_embed_dim": 768, "encoder_ffn_embed_dim": 3072,
+            "encoder_attention_heads": 12, "num_cluster": 512,
+            "mask_prob": 0.7, "mask_length": 10,
+            "dropout": 0.0, "attention_dropout": 0.0,
+            "activation_dropout": 0.0,
+        }
+        tcfg = MelHuBERTConfig.from_dict(base)
+        scfg = MelHuBERTConfig.from_dict({**base, "encoder_layers": 6})
+        tparams = init_melhubert_params(jax.random.PRNGKey(0), tcfg)
+        sparams = init_melhubert_params(jax.random.PRNGKey(1), scfg)
+        rng = np.random.default_rng(0)
+        b = 1
+        batch = {
+            "feat": jnp.asarray(rng.standard_normal((b, t, 40)),
+                                jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 512, (b, t)), jnp.int32),
+            "pad_mask": jnp.ones((b, t), jnp.float32),
+        }
+        opt = make_optimizer(lr=1e-4)
+        apply_step = make_apply_step(opt, donate=True)
+        gs = make_distill_grad_step(
+            tcfg, scfg, accum_steps=1, temperature=1.0, alpha=1.0,
+            loss_type="nomasked", compute_dtype=jnp.float32,
+        )
+
+        def fence(tree):
+            return float(jnp.sum(jax.tree.leaves(tree)[0]
+                                 .astype(jnp.float32)))
+
+        def one_step(p, ost, key):
+            key, k2 = jax.random.split(key)
+            _, grads, _ = gs(p, tparams, batch, k2)
+            p, ost, _ = apply_step(p, ost, grads, jnp.asarray(1.0))
+            return p, ost, key
+
+        p = jax.tree.map(jnp.array, sparams)
+        ost = opt.init(p)
+        p, ost, key = one_step(p, ost, jax.random.PRNGKey(2))
+        fence(p)  # compile + warm
+        t0 = time.time()
+        for _ in range(n_steps):
+            p, ost, key = one_step(p, ost, key)
+        fence(p)
+        dt = (time.time() - t0) / n_steps
+        flops = b * (
+            _melhubert_fwd_flops(tcfg, t, 40)
+            + 3 * _melhubert_fwd_flops(scfg, t, 40)
+        )
+        out = [_with_mfu({
+            "metric": "melhubert10ms_distill_T8192_steps_per_sec",
+            "value": round(1.0 / dt, 2),
+            "unit": "steps/s",
+            # the reference cannot run T=8192 (data-side length cap)
+            "vs_baseline": None,
+            "realtime_x": round((t / 100.0) / dt, 1),  # fp=10: 100 fps
+        }, flops / dt)]
+        del gs, p, ost, tparams, sparams
+        jax.clear_caches()
+        return out
+    except Exception as e:  # noqa: BLE001 — other metrics still print
+        print(f"[bench] long-form train metric skipped: {e}",
+              file=sys.stderr)
+        return []
+
+
 def _measure_wave_train(n_steps=8):
     """HuBERT / wav2vec 2.0 pre-train steps/s from raw waveform (B=4 x
     15.36 s of 16 kHz audio -> 767 frames; base architectures, reference
@@ -496,6 +897,11 @@ def _measure_wave_train(n_steps=8):
             return float(jnp.sum(jax.tree.leaves(tree)[0]
                                  .astype(jnp.float32)))
 
+        base = {}
+        base_path = pathlib.Path(__file__).parent / "BASELINE_train_local.json"
+        if base_path.exists():
+            base = json.loads(base_path.read_text())
+
         out = []
         for model in ("hubert", "wav2vec2"):
             setup = wave_bench_setup(model, b, t_wave)
@@ -521,13 +927,16 @@ def _measure_wave_train(n_steps=8):
             step_flops = 3 * b * wave_fwd_flops(
                 setup["cfg"], t_wave, setup["t_frames"]
             )
+            row = base.get(f"reference_cpu_{model}_train")
+            ref_sps = row["pretrain_steps_per_sec"] if row else None
             out.append(_with_mfu({
                 "metric": f"{model}_pretrain_steps_per_sec_f32_B4_15s",
                 "value": round(1 / dt, 2),
                 "unit": "steps/s",
-                # no reference number exists for these paths; realtime_x
-                # is the honest scale anchor
-                "vs_baseline": None,
+                # torch-CPU replica anchor (same B/T discipline as the
+                # melhubert rows — tools/measure_reference_train_baseline)
+                "vs_baseline": (round((1 / dt) / ref_sps, 1)
+                                if ref_sps else None),
                 "realtime_x": round(b * t_wave / 16000 / dt, 1),
             }, step_flops / dt))
             del grad_step, p, ost, setup
