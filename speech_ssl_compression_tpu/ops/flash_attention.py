@@ -708,7 +708,13 @@ def _flash_bwd_impl(q, k, v, bias, seg, seed, causal, dropout_p,
 # fine-tune/distill regime, which the reference runs without attention
 # dropout anyway (melhubert config attention_dropout: 0.1 applies to the
 # <=1500-frame recipes; this path serves T>4096 distillation/seqpar training).
-_STREAM_BWD_BLOCK = 512
+# Per-kernel tile plans (v5e sweep at B=1 H=12 T=8192 d=64,
+# tools/perf_stream_bwd_sweep.py): each kernel wants a LARGE block on its
+# streaming (innermost-grid) axis — fewer grid steps amortize the carry —
+# and a 512 block on its parallel axis; 1024 streaming blocks beat 512 by
+# ~5% per kernel, 2048 overshoots (dq +14% at bk=2048). (block_q, block_k):
+_STREAM_BWD_DQ_BLOCKS = (512, 1024)    # q parallel, k streams
+_STREAM_BWD_DKV_BLOCKS = (1024, 512)   # k parallel, q streams
 
 
 def _fa_bwd_dq_stream_kernel(q_ref, k_ref, v_ref, bias_ref, segq_ref,
@@ -861,11 +867,17 @@ def _flash_bwd_stream(q, k, v, bias, seg, causal, use_segments, out, lse, g,
         )
     if segq is None:
         segq = seg
-    bq = bk = _STREAM_BWD_BLOCK
-    tq_pad = -(-tq // bq) * bq
-    tk_pad = -(-tk // bk) * bk
+    bq1, bk1 = _STREAM_BWD_DQ_BLOCKS
+    bq2, bk2 = _STREAM_BWD_DKV_BLOCKS
+    # the padded extents must divide BOTH kernels' block sizes on each
+    # axis (512 divides 1024, so max() is the common unit)
+    q_unit = max(bq1, bq2)
+    k_unit = max(bk1, bk2)
+    tq_pad = -(-tq // q_unit) * q_unit
+    tk_pad = -(-tk // k_unit) * k_unit
     if causal:
-        tq_pad = tk_pad = max(tq_pad, tk_pad)
+        u = max(q_unit, k_unit)
+        tq_pad = tk_pad = -(-max(tq, tk) // u) * u
 
     qp = _pad_to(q, tq_pad, axis=2)
     kp = _pad_to(k, tk_pad, axis=2)
@@ -884,29 +896,27 @@ def _flash_bwd_stream(q, k, v, bias, seg, causal, use_segments, out, lse, g,
     )[:, :, None, :]  # (B,H,1,Tq)
 
     scale = 1.0 / (d ** 0.5)
-    n_q = tq_pad // bq
-    n_k = tk_pad // bk
 
-    q_by_qi = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
-    k_by_ki = pl.BlockSpec((1, 1, bk, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0))
-    bias_by_ki = pl.BlockSpec((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki))
-    segq_by_qi = pl.BlockSpec((1, 1, bq), lambda bi, hi, qi, ki: (bi, 0, qi))
-    segk_by_ki = pl.BlockSpec((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki))
+    q_by_qi = pl.BlockSpec((1, 1, bq1, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    k_by_ki = pl.BlockSpec((1, 1, bk1, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0))
+    bias_by_ki = pl.BlockSpec((1, 1, bk1), lambda bi, hi, qi, ki: (bi, 0, ki))
+    segq_by_qi = pl.BlockSpec((1, 1, bq1), lambda bi, hi, qi, ki: (bi, 0, qi))
+    segk_by_ki = pl.BlockSpec((1, 1, bk1), lambda bi, hi, qi, ki: (bi, 0, ki))
     vec_by_qi = pl.BlockSpec(
-        (1, 1, 1, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)
+        (1, 1, 1, bq1), lambda bi, hi, qi, ki: (bi, hi, 0, qi)
     )
 
     dq = pl.pallas_call(
         functools.partial(
             _fa_bwd_dq_stream_kernel, scale=scale, causal=causal,
-            block_q=bq, block_k=bk, use_segments=use_segments,
+            block_q=bq1, block_k=bk1, use_segments=use_segments,
         ),
-        grid=(b, h, n_q, n_k),
+        grid=(b, h, tq_pad // bq1, tk_pad // bk1),
         in_specs=[q_by_qi, k_by_ki, k_by_ki, bias_by_ki, segq_by_qi,
                   segk_by_ki, q_by_qi, vec_by_qi, vec_by_qi],
         out_specs=q_by_qi,
         out_shape=jax.ShapeDtypeStruct((b, h, tq_pad, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bq1, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
                 "parallel", "parallel", "parallel", "arbitrary"
@@ -916,23 +926,23 @@ def _flash_bwd_stream(q, k, v, bias, seg, causal, use_segments, out, lse, g,
 
     # dkv grid: ki is the parallel axis, qi streams innermost
     q_by_qi2 = pl.BlockSpec(
-        (1, 1, bq, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)
+        (1, 1, bq2, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)
     )
     k_by_ki2 = pl.BlockSpec(
-        (1, 1, bk, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)
+        (1, 1, bk2, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)
     )
-    bias_by_ki2 = pl.BlockSpec((1, 1, bk), lambda bi, hi, ki, qi: (bi, 0, ki))
-    segq_by_qi2 = pl.BlockSpec((1, 1, bq), lambda bi, hi, ki, qi: (bi, 0, qi))
-    segk_by_ki2 = pl.BlockSpec((1, 1, bk), lambda bi, hi, ki, qi: (bi, 0, ki))
+    bias_by_ki2 = pl.BlockSpec((1, 1, bk2), lambda bi, hi, ki, qi: (bi, 0, ki))
+    segq_by_qi2 = pl.BlockSpec((1, 1, bq2), lambda bi, hi, ki, qi: (bi, 0, qi))
+    segk_by_ki2 = pl.BlockSpec((1, 1, bk2), lambda bi, hi, ki, qi: (bi, 0, ki))
     vec_by_qi2 = pl.BlockSpec(
-        (1, 1, 1, bq), lambda bi, hi, ki, qi: (bi, hi, 0, qi)
+        (1, 1, 1, bq2), lambda bi, hi, ki, qi: (bi, hi, 0, qi)
     )
     dk, dv = pl.pallas_call(
         functools.partial(
             _fa_bwd_dkv_stream_kernel, scale=scale, causal=causal,
-            block_q=bq, block_k=bk, use_segments=use_segments,
+            block_q=bq2, block_k=bk2, use_segments=use_segments,
         ),
-        grid=(b, h, n_k, n_q),
+        grid=(b, h, tk_pad // bk2, tq_pad // bq2),
         in_specs=[q_by_qi2, k_by_ki2, k_by_ki2, bias_by_ki2, segq_by_qi2,
                   segk_by_ki2, q_by_qi2, vec_by_qi2, vec_by_qi2],
         out_specs=(k_by_ki2, k_by_ki2),
@@ -941,8 +951,8 @@ def _flash_bwd_stream(q, k, v, bias, seg, causal, use_segments, out, lse, g,
             jax.ShapeDtypeStruct((b, h, tk_pad, d), v.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((bk, d), jnp.float32),
-            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk2, d), jnp.float32),
+            pltpu.VMEM((bk2, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
