@@ -109,6 +109,18 @@ def main():
         del setup
         jax.clear_caches()
 
+    # reference-CPU anchors (round 4: tools/measure_reference_train_baseline)
+    base_path = (pathlib.Path(__file__).resolve().parent.parent
+                 / "BASELINE_train_local.json")
+    if base_path.exists():
+        base = json.loads(base_path.read_text())
+        for model in ("hubert", "wav2vec2"):
+            row = base.get(f"reference_cpu_{model}_train")
+            sps = results.get(f"{model}_pretrain_steps_per_sec_f32")
+            if row and sps:
+                results[f"{model}_pretrain_vs_reference_cpu"] = round(
+                    sps / row["pretrain_steps_per_sec"], 1)
+
     out = pathlib.Path(__file__).resolve().parent.parent / "BENCH_train.json"
     if out.exists():
         prev = json.loads(out.read_text())
