@@ -94,6 +94,7 @@ class MelFeatBuckets:
         lens = [int(v) for v in table["length"].tolist()]
 
         self.buckets: List[tuple] = []
+        bucket_lens: List[List[int]] = []
         bx, by, bl = [], [], []
         for xi, yi, li in zip(x, y, lens):
             bx.append(xi)
@@ -101,6 +102,7 @@ class MelFeatBuckets:
             bl.append(li)
             if len(bx) == bucket_size:
                 self.buckets.append((bx, by))
+                bucket_lens.append(bl)
                 bx, by, bl = [], [], []
         if len(bx) > 1 and (
             self.process_count <= 1 and process_index is not None
@@ -109,6 +111,7 @@ class MelFeatBuckets:
             # lockstep additionally needs every bucket batch-dim-equal, so
             # the trailing partial bucket is dropped there entirely
             self.buckets.append((bx, by))
+            bucket_lens.append(bl)
         # count only the samples actually served (after singleton drop)
         self.num_samples = sum(len(b[0]) for b in self.buckets)
         # per-bucket padded length derived from the manifest alone, so
@@ -116,10 +119,7 @@ class MelFeatBuckets:
         # communication (lockstep shapes are what make
         # jax.make_array_from_process_local_data assembly legal)
         self._bucket_tpad = []
-        pos = 0
-        for bx2, _ in self.buckets:
-            ls = lens[pos : pos + len(bx2)]
-            pos += len(bx2)
+        for ls in bucket_lens:
             eff = max(
                 -(-l // 2) if frame_period == 20 else l for l in ls
             )

@@ -869,15 +869,32 @@ def _flash_bwd_stream(q, k, v, bias, seg, causal, use_segments, out, lse, g,
         segq = seg
     bq1, bk1 = _STREAM_BWD_DQ_BLOCKS
     bq2, bk2 = _STREAM_BWD_DKV_BLOCKS
-    # the padded extents must divide BOTH kernels' block sizes on each
-    # axis (512 divides 1024, so max() is the common unit)
-    q_unit = max(bq1, bq2)
-    k_unit = max(bk1, bk2)
-    tq_pad = -(-tq // q_unit) * q_unit
-    tk_pad = -(-tk // k_unit) * k_unit
+    # The padded extents must be multiples of BOTH kernels' block sizes on
+    # each axis. Rather than padding every input up to the largest block
+    # (which doubles the work at e.g. the seqpar-training local tq=512
+    # against 1024-unit streaming blocks), clamp any block that does not
+    # divide the base-unit-rounded extent down to the base tile — the
+    # FLOPs saved always exceed the extra carry steps.
+    base = min(bq1, bk1, bq2, bk2)
     if causal:
-        u = max(q_unit, k_unit)
+        t_base = -(-max(tq, tk) // base) * base
+        bq1, bk1, bq2, bk2 = (
+            blk if t_base % blk == 0 else base
+            for blk in (bq1, bk1, bq2, bk2)
+        )
+        u = max(bq1, bk1, bq2, bk2)
         tq_pad = tk_pad = -(-max(tq, tk) // u) * u
+    else:
+        tq_base = -(-tq // base) * base
+        tk_base = -(-tk // base) * base
+        bq1 = bq1 if tq_base % bq1 == 0 else base
+        bq2 = bq2 if tq_base % bq2 == 0 else base
+        bk1 = bk1 if tk_base % bk1 == 0 else base
+        bk2 = bk2 if tk_base % bk2 == 0 else base
+        q_unit = max(bq1, bq2)
+        k_unit = max(bk1, bk2)
+        tq_pad = -(-tq // q_unit) * q_unit
+        tk_pad = -(-tk // k_unit) * k_unit
 
     qp = _pad_to(q, tq_pad, axis=2)
     kp = _pad_to(k, tk_pad, axis=2)

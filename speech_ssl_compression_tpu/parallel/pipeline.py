@@ -410,7 +410,7 @@ def make_melhubert_pipeline_grad_step(
         b, t = valid.shape
         if (b % (dp * M)) != 0:
             raise ValueError(
-                f"batch {b} must divide into data_parallel={dp} x "
+                f"batch {b} must be a multiple of data_parallel={dp} x "
                 f"n_microbatches={M}"
             )
 

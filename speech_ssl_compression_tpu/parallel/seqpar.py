@@ -273,7 +273,7 @@ def make_melhubert_seqpar_distill_step(
         c_hard = jax.lax.psum(jnp.sum(sel_ce), axis)
         c_soft = jax.lax.psum(jnp.sum(sel), axis)
 
-        def head(params, cfg, hidden):
+        def head(params, hidden):
             fp = params["final_proj"]
             return hidden @ fp["kernel"] + fp["bias"]
 
@@ -291,7 +291,7 @@ def make_melhubert_seqpar_distill_step(
                 mask_l=m_l,
             )
             t_logits = jax.lax.stop_gradient(
-                head(tp_c, teacher_cfg, t_hidden)
+                head(tp_c, t_hidden)
             )
 
             def loss_fn(sp):
@@ -300,7 +300,7 @@ def make_melhubert_seqpar_distill_step(
                     sp_c, student_cfg, feat_c, pad_l, axis, attn_impl,
                     mask_l=m_l,
                 )
-                s_logits = head(sp_c, student_cfg, s_hidden)
+                s_logits = head(sp_c, s_hidden)
                 hard = ce_local_sum(s_logits, sel_ce) / jnp.maximum(
                     c_hard, 1
                 )

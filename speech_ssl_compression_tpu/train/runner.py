@@ -177,7 +177,8 @@ class Runner(OptimizerScheduleMixin):
         b = int(self.runner_config["datarc"]["train_batch_size"])
         if b % (dp * self.pp_microbatches) != 0:
             raise ValueError(
-                f"train_batch_size={b} must divide data_parallel={dp} x "
+                f"train_batch_size={b} must be a multiple of "
+                f"data_parallel={dp} x "
                 f"pp_microbatches={self.pp_microbatches}"
             )
         print(
@@ -762,6 +763,13 @@ class Runner(OptimizerScheduleMixin):
                     # next host sync — apply_step/float() — which aborts; this
                     # handler covers the common eager-dispatch OOM.)
                     if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                        if self.proc_count > 1:
+                            # Multi-process steps are GLOBAL collectives: one
+                            # host skipping while the others proceed would
+                            # issue mismatched cross-host programs (hang /
+                            # corrupted state). There is no cheap cross-host
+                            # vote here, so fail loudly instead of drifting.
+                            raise
                         print(f"[Runner] - OOM at step {global_step}; "
                               "dropping accumulation window")
                         dropped = backward_steps % accum

@@ -647,6 +647,11 @@ class WaveRunner(OptimizerScheduleMixin):
                         "RESOURCE_EXHAUSTED" in msg
                         or "out of memory" in msg.lower()
                     ):
+                        if self.proc_count > 1:
+                            # Multi-process steps are global collectives: a
+                            # host-local skip would desync the cross-host
+                            # program stream — fail loudly instead.
+                            raise
                         print(
                             f"[WaveRunner] - OOM at step {step}; "
                             "dropping accumulation window"

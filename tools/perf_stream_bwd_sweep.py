@@ -63,7 +63,7 @@ def main():
         else:
             for a, bb in zip(out, base):
                 err = float(np.max(np.abs(np.asarray(a) - bb)))
-                assert err < 1e-3, f"variant ({bq},{bk}) diverged: {err}"
+                assert err < 1e-3, f"variant {label!r} diverged: {err}"
         print(f"{label:40s} dq={dq_blocks} dkv={dkv_blocks}: "
               f"{dt * 1e3:7.2f} ms/grad ({dt / ref * 100:5.1f}% of base)")
 

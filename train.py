@@ -55,7 +55,8 @@ def get_args():
     parser.add_argument(
         "--pp_microbatches", type=int, default=0,
         help="microbatches per pipeline step (0 = 2 x pipeline_parallel); "
-        "train_batch_size must divide data_parallel x pp_microbatches",
+        "train_batch_size must be a multiple of data_parallel x "
+        "pp_microbatches",
     )
     parser.add_argument(
         "--multi_host", action="store_true",
