@@ -165,10 +165,14 @@ def main():
         )
 
     baseline_path = pathlib.Path(__file__).parent / "BASELINE_local.json"
-    ref_fps = None
+    ref_fps = ref_fps10 = ref_fps8192 = None
     if baseline_path.exists():
         base = json.loads(baseline_path.read_text())
         ref_fps = base["reference_cpu_extraction"]["frames_per_sec"]
+        row = base.get("reference_cpu_extraction_10ms")
+        ref_fps10 = row["frames_per_sec"] if row else None
+        row = base.get("reference_cpu_extraction_10ms_T8192")
+        ref_fps8192 = row["frames_per_sec"] if row else None
 
     metrics = []
 
@@ -211,13 +215,16 @@ def main():
             "metric": "melhubert10ms_longseq_extraction_frames_per_sec_per_chip",
             "value": round(fps, 1),
             "unit": "frames/s",
-            # no fp=10 reference baseline measured; fp=20 number not comparable
-            "vs_baseline": None,
+            # anchor: torch-CPU replica at the same fp=10 inputs
+            # (tools/measure_reference_baseline.py --extra)
+            "vs_baseline": round(fps / ref_fps10, 2) if ref_fps10 else None,
         },
         fps * flops_per_frame,
     ))
 
-    metrics.append(_measure_longform(cfg10, params10, feat, lens))
+    metrics.append(
+        _measure_longform(cfg10, params10, feat, lens, ref_fps=ref_fps8192)
+    )
 
     if not args.no_train:
         # free the extraction stage's device buffers first — the training
@@ -250,7 +257,8 @@ def main():
     print(json.dumps(head))
 
 
-def _measure_longform(cfg10, params10, feat, lens, t_long=8192, n_rep=10):
+def _measure_longform(cfg10, params10, feat, lens, t_long=8192, n_rep=10,
+                      ref_fps=None):
     """Single-sequence long-form extraction (fp=10, T=8192 ~ 82 s of audio)
     through the streamed flash forward — the T > 4096 regime where the
     whole-K/V-resident kernel OOMs scoped VMEM and the reference cannot run
@@ -291,8 +299,10 @@ def _measure_longform(cfg10, params10, feat, lens, t_long=8192, n_rep=10):
         "metric": "melhubert10ms_streamed_T8192_extraction_frames_per_sec",
         "value": round(fps, 1),
         "unit": "frames/s",
-        # the reference cannot run T=8192 at all (data-side length cap)
-        "vs_baseline": None,
+        # anchor: torch-CPU dense O(T^2) forward at T=8192 — a regime the
+        # reference's recipes never run (data-side length cap) but its
+        # model code has no hard limit on
+        "vs_baseline": round(fps / ref_fps, 2) if ref_fps else None,
         "realtime_x": round((t_long / 100.0) / dt, 1),
     }, flops / dt)
     return entry
@@ -658,12 +668,18 @@ def _measure_10ms_and_scoring(n_steps=6):
             return float(jnp.sum(jax.tree.leaves(x)[0]
                                  .astype(jnp.float32)))
 
-        ref10 = None
+        ref10 = ref_score = None
         base_path = pathlib.Path(__file__).parent / "BASELINE_train_local.json"
         if base_path.exists():
             base = json.loads(base_path.read_text())
             row = base.get("reference_cpu_train_10ms")
             ref10 = row["pretrain_steps_per_sec"] if row else None
+        local_path = pathlib.Path(__file__).parent / "BASELINE_local.json"
+        if local_path.exists():
+            row = json.loads(local_path.read_text()).get(
+                "reference_cpu_headscore"
+            )
+            ref_score = row["scoring_steps_per_sec"] if row else None
 
         out = []
 
@@ -766,9 +782,12 @@ def _measure_10ms_and_scoring(n_steps=6):
             "metric": "headprune_data_driven_scoring_steps_per_sec",
             "value": round(1.0 / dt, 2),
             "unit": "steps/s",
-            # the reference scores on GPU inside its own training loop; no
-            # CPU anchor is comparable for a probe-grad pass
-            "vs_baseline": None,
+            # anchor: torch-CPU replica of the reference's scoring step
+            # (full backward + context einsum, hp_utils.py:287-335); ours
+            # back-propagates to probes only — same scores, workflow-level
+            # comparison (tools/measure_reference_baseline.py --extra)
+            "vs_baseline": (round((1.0 / dt) / ref_score, 1)
+                            if ref_score else None),
         }, flops / dt))
         jax.clear_caches()
         return out
