@@ -1,0 +1,47 @@
+"""CPU smoke for tools/run_journey_tpu.py --tiny: the complete staged
+compression journey (data + k-means labels -> pretrain -> weight-prune ->
+head-prune -> row-prune -> distill -> serving comparison) chained through
+real on-disk checkpoints at toy dims. Complements tests/test_pipeline_e2e.py
+(which drives the Runner API directly) by exercising the packaged journey
+tool itself, including its per-stage held-out-CE evaluation and
+summary.json artifact."""
+
+import json
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+TOOL = pathlib.Path(__file__).resolve().parent.parent / "tools" / "run_journey_tpu.py"
+
+
+@pytest.mark.slow
+def test_tiny_journey(tmp_path):
+    res = subprocess.run(
+        [sys.executable, str(TOOL), "--tiny", "--workdir", str(tmp_path)],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
+
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    stages = {row["stage"]: row for row in summary["stages"]}
+    assert set(stages) == {
+        "pretrain", "weight-prune", "head-prune", "row-prune",
+        "distill-6L",
+    }
+    # every stage produced a finite held-out CE on a usable model
+    for row in stages.values():
+        assert 0.0 < row["heldout_masked_ce"] < 20.0, row
+    # compression monotonically shrinks the model
+    assert (stages["weight-prune"]["params_m"]
+            <= stages["pretrain"]["params_m"])
+    assert stages["head-prune"]["params_m"] < stages["pretrain"]["params_m"]
+    assert stages["row-prune"]["params_m"] < stages["head-prune"]["params_m"]
+    assert stages["distill-6L"]["layers"] < stages["pretrain"]["layers"]
+    # weight-prune reached the ladder's final sparsity
+    assert abs(stages["weight-prune"]["sparsity"] - 0.4) < 0.01
+    # serving rows exist for all four variants
+    assert set(summary["serving_frames_per_sec"]) == {
+        "dense_12L", "weight_pruned", "hp_rp_compressed", "student_6L",
+    }
