@@ -247,6 +247,7 @@ def test_flash_dropout_beyond_stream_threshold_raises():
             )
 
 
+@pytest.mark.slow
 def test_flash_rect_kv_full_gradients():
     """flash_attention_kv_full is differentiable since round 4 (streamed
     rectangular dq/dkv) — the sequence-parallel TRAINING primitive. Grad

@@ -73,6 +73,7 @@ def _run_step(mesh, tp):
     return float(loss), float(gnorm), params
 
 
+@pytest.mark.slow
 def test_data_parallel_step():
     mesh = make_mesh(8, model_parallel=1)
     loss, gnorm, _ = _run_step(mesh, tp=False)

@@ -93,6 +93,7 @@ def make_args(tmp_path, mode, **kw):
     return args
 
 
+@pytest.mark.slow
 def test_melhubert_pretrain_smoke(tmp_path):
     csv = make_dataset(tmp_path)
     args = make_args(tmp_path, "melhubert")

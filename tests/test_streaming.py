@@ -312,6 +312,7 @@ def test_batch_streaming_matches_full_forward():
             )
 
 
+@pytest.mark.slow
 def test_batch_streaming_slot_reuse():
     """Continuous batching: after a slot's stream finishes and drains,
     open_stream() re-arms it at the current physical offset — the NEW

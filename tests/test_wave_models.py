@@ -186,6 +186,7 @@ def test_hubert_forward_and_loss():
     assert np.isfinite(gn) and gn > 0
 
 
+@pytest.mark.slow
 def test_required_seq_len_multiple_enforced():
     """VERDICT r2 weak #4: the encoder pads T to a multiple of
     required_seq_len_multiple after the prologue and un-pads outputs
@@ -265,6 +266,7 @@ def _w2v2_cfg():
     )
 
 
+@pytest.mark.slow
 def test_wav2vec2_precomputed_mask_path():
     """VERDICT r2 missing #2: a dataset-supplied precomputed block mask
     reaches wav2vec2_forward as mask_indices (reference
@@ -560,6 +562,7 @@ def test_negative_sampling_from_masked_frames_only():
         assert t not in set(neg[0, t].tolist()), (t, neg[0, t])
 
 
+@pytest.mark.slow
 def test_gumbel_vq_straight_through():
     from speech_ssl_compression_tpu.models.gumbel_vq import (
         gumbel_vq_forward,

@@ -82,6 +82,7 @@ def test_hubert_wave_runner_smoke(tmp_path):
     assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))
 
 
+@pytest.mark.slow
 def test_wav2vec2_wave_runner_smoke(tmp_path):
     data = make_wav_dataset(tmp_path, with_labels=False)
     runner_cfg = {
