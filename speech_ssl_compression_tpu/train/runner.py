@@ -73,7 +73,8 @@ class Runner(OptimizerScheduleMixin):
         self.primary = self.proc_id == 0
 
         self.expdir = args.expdir
-        os.makedirs(self.expdir, exist_ok=True)
+        if self.primary:  # non-primary processes never touch the expdir
+            os.makedirs(self.expdir, exist_ok=True)
         self.logger = TBLogger(self.expdir if self.primary else None)
 
         self.rng = jax.random.PRNGKey(getattr(args, "seed", 1337))

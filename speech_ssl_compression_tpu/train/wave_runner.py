@@ -74,7 +74,6 @@ class WaveRunner(OptimizerScheduleMixin):
         self.upstream = args.upstream
         self.mode = args.mode
         self.expdir = args.expdir
-        os.makedirs(self.expdir, exist_ok=True)
 
         self.rng = jax.random.PRNGKey(getattr(args, "seed", 1337))
         self.compute_dtype = (
@@ -90,6 +89,8 @@ class WaveRunner(OptimizerScheduleMixin):
         self.proc_count = jax.process_count()
         self.primary = self.proc_id == 0
 
+        if self.primary:  # non-primary processes never touch the expdir
+            os.makedirs(self.expdir, exist_ok=True)
         self.logger = TBLogger(self.expdir if self.primary else None)
 
         self.masks = None

@@ -318,6 +318,102 @@ def test_two_process_train_end_to_end(tmp_path):
                                    rtol=1e-4, atol=1e-6)
 
 
+_CLI_WORKER = '''
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, {repo!r})
+
+pid = int(sys.argv[1])
+import speech_ssl_compression_tpu.parallel.multihost as mh
+_orig_init = mh.initialize
+mh.initialize = lambda **kw: _orig_init(
+    coordinator_address={coord!r}, num_processes=2, process_id=pid)
+
+sys.argv = ["train.py", "-m", "melhubert", "-u", "melhubert",
+            "-g", {model_yaml!r}, "-c", {runner_yaml!r},
+            "-n", "exp_rel", "--multi_host"]
+import runpy
+runpy.run_path(os.path.join({repo!r}, "train.py"), run_name="__main__")
+print(f"[worker {{pid}}] done")
+'''
+
+
+@pytest.mark.slow
+def test_cli_non_primary_writes_nothing(tmp_path):
+    """--multi_host through the REAL train.py CLI: the non-primary process
+    must not create the expdir at all (VERDICT r4 #5). Each process runs
+    with its own cwd and a RELATIVE expdir, simulating non-shared
+    filesystems — after the run, process 1's exp_rel/ must not exist while
+    process 0's holds the provenance copies and the checkpoint."""
+    import yaml
+
+    csv = _make_dataset(tmp_path)
+    model_yaml = tmp_path / "config_model.yaml"
+    model_yaml.write_text(yaml.safe_dump({
+        "melhubert": {
+            "feat_emb_dim": 80, "encoder_layers": 2,
+            "encoder_embed_dim": 64, "encoder_ffn_embed_dim": 128,
+            "encoder_attention_heads": 4, "head_dim": 16,
+            "num_cluster": 10, "conv_pos": 16, "conv_pos_groups": 4,
+            "mask_prob": 0.65, "mask_length": 4,
+            "dropout": 0.0, "attention_dropout": 0.0,
+            "activation_dropout": 0.0,
+        },
+        "task": {"sequence_length": 0},
+    }))
+    runner_yaml = tmp_path / "config_runner.yaml"
+    runner_yaml.write_text(yaml.safe_dump({
+        "runner": {"n_epochs": 0, "total_steps": 2,
+                   "gradient_clipping": 10.0,
+                   "gradient_accumulate_steps": 1, "log_step": 1,
+                   "save_every_x_epochs": 100, "bf16": False},
+        "optimizer": {"lr": 1.0e-4, "betas": [0.9, 0.999], "eps": 1.0e-8,
+                      "weight_decay": 0},
+        "datarc": {"num_workers": 0, "train_batch_size": 2,
+                   "max_timestep": 0, "sets": [csv]},
+    }))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+
+    cwds = [tmp_path / f"host{p}" for p in (0, 1)]
+    for d in cwds:
+        d.mkdir()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             _CLI_WORKER.format(repo=str(REPO), coord=coord,
+                                model_yaml=str(model_yaml),
+                                runner_yaml=str(runner_yaml)),
+             str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=str(cwds[pid]))
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, \
+            f"rc={p.returncode}\n{err[-4000:]}\n{out[-2000:]}"
+
+    exp0, exp1 = cwds[0] / "exp_rel", cwds[1] / "exp_rel"
+    assert not exp1.exists(), \
+        f"non-primary wrote to its expdir: {list(exp1.iterdir())}"
+    assert (exp0 / "config_model.yaml").exists()
+    assert (exp0 / "config_runner.yaml").exists()
+    assert (exp0 / "last-step.npz").exists()
+    # and nothing else on host1's disk either (cwd stayed clean)
+    assert sorted(p.name for p in cwds[1].iterdir()) == []
+
+
 @pytest.mark.slow
 def test_two_process_wave_train_end_to_end(tmp_path):
     data = _make_wav_dataset(tmp_path)

@@ -78,17 +78,27 @@ def main():
     )
 
     enable_persistent_cache()
+    primary = True
     if args.multi_host:
-        from speech_ssl_compression_tpu.parallel.multihost import initialize
+        from speech_ssl_compression_tpu.parallel.multihost import (
+            initialize,
+            is_primary,
+        )
 
         initialize()
+        # the "only process 0 writes" contract starts HERE, not in the
+        # Runner: expdir creation and provenance copies are writes too
+        # (same-content copies race benignly on a shared filesystem, but
+        # non-primary processes must not touch the expdir at all)
+        primary = is_primary()
 
-    os.makedirs(args.expdir, exist_ok=True)
-    # config provenance copies (reference train.py:43-44)
-    shutil.copy(args.upstream_config,
-                os.path.join(args.expdir, "config_model.yaml"))
-    shutil.copy(args.runner_config,
-                os.path.join(args.expdir, "config_runner.yaml"))
+    if primary:
+        os.makedirs(args.expdir, exist_ok=True)
+        # config provenance copies (reference train.py:43-44)
+        shutil.copy(args.upstream_config,
+                    os.path.join(args.expdir, "config_model.yaml"))
+        shutil.copy(args.runner_config,
+                    os.path.join(args.expdir, "config_runner.yaml"))
 
     with open(args.runner_config) as f:
         runner_config = yaml.safe_load(f)
