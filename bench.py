@@ -1,10 +1,19 @@
-"""Benchmark harness (driver contract): prints ONE JSON line whose top-level
-keys follow {"metric", "value", "unit", "vs_baseline"}; the "all" key holds
-the full metric array (fp=20 f32, fp=20 bf16, fp=10 long-sequence f32
-extraction, fp=10 single-sequence T=8192 long-form extraction through the
-streamed flash forward, batched causal streaming aggregate realtime +
-MelHuBERT pre-train/distillation steps/s + HuBERT/wav2vec2 waveform
-pre-train steps/s) so BENCH_r* tracks every headline number, not just one.
+"""Benchmark harness (driver contract): stdout is exactly ONE compact JSON
+line whose top-level keys follow {"metric", "value", "unit", "vs_baseline"};
+the "all" key maps every metric name to a compact record
+{value, unit, vs_baseline, mfu, spread} (fp=20 f32/bf16 + fp=10
+long-sequence + streamed-T=8192 extraction, HuBERT features_only
+extraction, batched causal streaming aggregate realtime, MelHuBERT
+pre-train/distill + recipe-scale + 10ms + head-scoring + T=8192 distill,
+HuBERT/wav2vec2 waveform pre-train) so BENCH_r* tracks every headline
+number, not just one, and a tail-window capture stays self-contained
+(VERDICT r4 #3). Per-metric progress goes to stderr as it completes.
+
+Variance methodology (VERDICT r4 #2): every metric's timed pass repeats
+REPEATS times, each pass with its own host-chained loop and final fence;
+the reported value is the MEDIAN pass, and "spread" carries min/max values
+plus the spread as % of median — single-pass snapshots on a shared chip /
+axon tunnel could not distinguish an 11-28% drop from environmental noise.
 
 Headline metric: MelHuBERT-20ms feature-extraction throughput
 (frames/sec/chip) on the flagship 12L/768 architecture over the two bundled
@@ -64,11 +73,41 @@ from speech_ssl_compression_tpu.utils.flops import (  # noqa: E402
     melhubert_fwd_flops as _melhubert_fwd_flops,
 )
 
+REPEATS = 3  # timed passes per metric; value = median, spread = min/max
+
 
 def _with_mfu(entry, flops_per_sec):
     tflops = flops_per_sec / 1e12
     entry["tflops"] = round(tflops, 1)
     entry["mfu"] = round(tflops / PEAK_TFLOPS, 3)
+    return entry
+
+
+def _median_dt(timed_pass, repeats=None):
+    """Run a full timed pass (host-chained loop + its own fence) `repeats`
+    times; return (median_dt, [all dts]). Fresh fences per pass keep the
+    passes independent on the axon backend."""
+    dts = [timed_pass() for _ in range(repeats or REPEATS)]
+    return float(np.median(dts)), dts
+
+
+def _with_spread(entry, quantity, dts, ndigits=2):
+    """spread = the per-pass values (quantity/dt) as min/max + % of median."""
+    vals = sorted(quantity / d for d in dts)
+    med = float(np.median(vals))
+    entry["spread"] = {
+        "reps": len(dts),
+        "min": round(vals[0], ndigits),
+        "max": round(vals[-1], ndigits),
+        "pct": round((vals[-1] - vals[0]) / med * 100, 1) if med else 0.0,
+    }
+    return entry
+
+
+def _emit(entry):
+    """Per-metric progress to stderr the moment it completes (stdout is
+    reserved for the single final compact JSON line)."""
+    print(json.dumps(entry), file=sys.stderr, flush=True)
     return entry
 
 
@@ -118,13 +157,17 @@ def _measure(cfg, params, feat, pad_mask, lengths, reps, dtype, precision,
     ui = jnp.asarray(unpack_idx)
     x = step(cparams, jf, jp, gi, si, ui)
     float(jnp.sum(x))  # compile + warm
-    t0 = time.time()
-    x = jf
-    for _ in range(n_rep):
-        x = step(cparams, x, jp, gi, si, ui)
-    float(jnp.sum(x))
-    dt = (time.time() - t0) / n_rep
-    return int(sum(all_lengths)) / dt
+
+    def timed_pass():
+        t0 = time.time()
+        x = jf
+        for _ in range(n_rep):
+            x = step(cparams, x, jp, gi, si, ui)
+        float(jnp.sum(x))
+        return (time.time() - t0) / n_rep
+
+    dt, dts = _median_dt(timed_pass)
+    return int(sum(all_lengths)), dt, dts
 
 
 def main():
@@ -186,12 +229,13 @@ def main():
         ("melhubert20ms_extraction_bf16_frames_per_sec_per_chip",
          jnp.bfloat16, "default"),
     ):
-        fps = _measure(cfg20, params20, feat, pad, lens, args.reps,
-                       dtype, precision)
+        frames, dt, dts = _measure(cfg20, params20, feat, pad, lens,
+                                   args.reps, dtype, precision)
+        fps = frames / dt
         flops_per_frame = sum(
             _melhubert_fwd_flops(cfg20, n, 80) for n in lens
         ) / sum(lens)
-        metrics.append(_with_mfu(
+        metrics.append(_emit(_with_spread(_with_mfu(
             {
                 "metric": name,
                 "value": round(fps, 1),
@@ -199,18 +243,19 @@ def main():
                 "vs_baseline": round(fps / ref_fps, 2) if ref_fps else None,
             },
             fps * flops_per_frame,
-        ))
+        ), frames, dts, ndigits=0)))
 
     # fp=10: 40-d fbank, T~1664 long sequences (f32)
     cfg10 = flagship_cfg(40)
     params10 = init_melhubert_params(jax.random.PRNGKey(0), cfg10)
     feat, pad, lens = _load_feats(10)
-    fps = _measure(cfg10, params10, feat, pad, lens, args.reps,
-                   jnp.float32, "default")
+    frames, dt, dts = _measure(cfg10, params10, feat, pad, lens, args.reps,
+                               jnp.float32, "default")
+    fps = frames / dt
     flops_per_frame = sum(
         _melhubert_fwd_flops(cfg10, n, 40) for n in lens
     ) / sum(lens)
-    metrics.append(_with_mfu(
+    metrics.append(_emit(_with_spread(_with_mfu(
         {
             "metric": "melhubert10ms_longseq_extraction_frames_per_sec_per_chip",
             "value": round(fps, 1),
@@ -220,11 +265,17 @@ def main():
             "vs_baseline": round(fps / ref_fps10, 2) if ref_fps10 else None,
         },
         fps * flops_per_frame,
-    ))
+    ), frames, dts, ndigits=0)))
 
     metrics.append(
         _measure_longform(cfg10, params10, feat, lens, ref_fps=ref_fps8192)
     )
+
+    # HuBERT features_only extraction (VERDICT r4 #6: the 217k frames/s
+    # capability had no driver-tracked row)
+    m = _measure_hubert_extract()
+    if m is not None:
+        metrics.append(m)
 
     if not args.no_train:
         # free the extraction stage's device buffers first — the training
@@ -252,9 +303,88 @@ def main():
     if m is not None:
         metrics.append(m)
 
-    head = dict(metrics[0])
-    head["all"] = metrics
+    # ONE compact self-contained line on stdout (VERDICT r4 #3): headline
+    # keys at top level per the driver contract, "all" maps metric ->
+    # {value, unit, vs_baseline, mfu, spread, extras}; per-metric detail
+    # already went to stderr as each completed.
+    compact = {
+        m["metric"]: {k: v for k, v in m.items()
+                      if k not in ("metric", "tflops")}
+        for m in metrics
+    }
+    head = {k: metrics[0][k]
+            for k in ("metric", "value", "unit", "vs_baseline", "mfu")}
+    head["all"] = compact
     print(json.dumps(head))
+
+
+def _measure_hubert_extract(b=8, t_wave=491520, n_rep=10):
+    """HuBERT feature-extraction throughput: one jitted features_only
+    forward (conv frontend + full 12L/768 encoder, no masking, no loss —
+    reference model.py:359-366 extract_features semantics), B x 30.7 s of
+    16 kHz audio, f32 at default matmul precision. Shares the recipe with
+    tools/bench_wave_extract.py; anchored to a torch-CPU replica of the
+    same forward (tools/measure_reference_train_baseline.py
+    --hubert-extract). Never fails the other metrics: returns None on any
+    error."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_ssl_compression_tpu.models import hubert_forward
+    from speech_ssl_compression_tpu.train.wave_bench import wave_bench_setup
+    from speech_ssl_compression_tpu.utils.flops import wave_fwd_flops
+
+    try:
+        jax.clear_caches()
+        ref_fps = None
+        base_path = pathlib.Path(__file__).parent / "BASELINE_local.json"
+        if base_path.exists():
+            row = json.loads(base_path.read_text()).get(
+                "reference_cpu_hubert_extract")
+            ref_fps = row["frames_per_sec"] if row else None
+
+        setup = wave_bench_setup("hubert", b, t_wave)
+        cfg, t_frames = setup["cfg"], setup["t_frames"]
+        lengths = setup["lengths"]
+
+        @jax.jit
+        def extract_step(p, x):
+            out = hubert_forward(p, cfg, x, lengths, mask=False,
+                                 features_only=True, deterministic=True)
+            return x + 1e-12 * jnp.sum(
+                out["x"].astype(jnp.float32)).astype(x.dtype)
+
+        p = jax.tree.map(jnp.array, setup["params"])
+        source = setup["source"]
+        x = extract_step(p, source)
+        float(jnp.sum(x[0, :8]))  # compile + warm
+
+        def timed_pass():
+            t0 = time.time()
+            x = source
+            for _ in range(n_rep):
+                x = extract_step(p, x)
+            float(jnp.sum(x[0, :8]))
+            return (time.time() - t0) / n_rep
+
+        dt, dts = _median_dt(timed_pass)
+        frames = b * t_frames
+        fps = frames / dt
+        flops = b * wave_fwd_flops(cfg, t_wave, t_frames)
+        entry = _with_spread(_with_mfu({
+            "metric": "hubert_extraction_frames_per_sec_per_chip",
+            "value": round(fps, 1),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / ref_fps, 2) if ref_fps else None,
+            "realtime_x": round(b * t_wave / 16000 / dt, 1),
+        }, flops / dt), frames, dts, ndigits=0)
+        del extract_step, p, x, setup
+        jax.clear_caches()
+        return _emit(entry)
+    except Exception as e:  # noqa: BLE001 — other metrics still print
+        print(f"[bench] hubert extraction metric skipped: {e}",
+              file=sys.stderr)
+        return None
 
 
 def _measure_longform(cfg10, params10, feat, lens, t_long=8192, n_rep=10,
@@ -287,15 +417,19 @@ def _measure_longform(cfg10, params10, feat, lens, t_long=8192, n_rep=10,
     jp = jnp.asarray(pad_mask)
     x = step(params10, jf, jp)
     float(jnp.sum(x))  # compile + warm
-    t0 = time.time()
-    x = jf
-    for _ in range(n_rep):
-        x = step(params10, x, jp)
-    float(jnp.sum(x))
-    dt = (time.time() - t0) / n_rep
+
+    def timed_pass():
+        t0 = time.time()
+        x = jf
+        for _ in range(n_rep):
+            x = step(params10, x, jp)
+        float(jnp.sum(x))
+        return (time.time() - t0) / n_rep
+
+    dt, dts = _median_dt(timed_pass)
     fps = t_long / dt
     flops = _melhubert_fwd_flops(cfg10, t_long, 40)
-    entry = _with_mfu({
+    entry = _with_spread(_with_mfu({
         "metric": "melhubert10ms_streamed_T8192_extraction_frames_per_sec",
         "value": round(fps, 1),
         "unit": "frames/s",
@@ -304,8 +438,8 @@ def _measure_longform(cfg10, params10, feat, lens, t_long=8192, n_rep=10,
         # model code has no hard limit on
         "vs_baseline": round(fps / ref_fps, 2) if ref_fps else None,
         "realtime_x": round((t_long / 100.0) / dt, 1),
-    }, flops / dt)
-    return entry
+    }, flops / dt), t_long, dts, ndigits=0)
+    return _emit(entry)
 
 
 def _jnp_bf16():
@@ -359,12 +493,18 @@ def _measure_batch_streaming(b=16, chunk=128, cap=3072, n_steps=20,
         h, hs, pf, caches = sb._step(sb.params, feat, valid, caches, n0,
                                      start)
         float(jnp.sum(h))  # compile + warm
-        t0 = time.time()
-        for _ in range(n_steps):
-            h, hs, pf, caches = sb._step(sb.params, feat, valid, caches,
-                                         n0, start)
-        float(jnp.sum(h))
-        dt = (time.time() - t0) / n_steps
+
+        def timed_pass():
+            nonlocal caches
+            t0 = time.time()
+            h = None
+            for _ in range(n_steps):
+                h, hs, pf, caches = sb._step(sb.params, feat, valid,
+                                             caches, n0, start)
+            float(jnp.sum(h))
+            return (time.time() - t0) / n_steps
+
+        dt, dts = _median_dt(timed_pass)
         d = cfg.encoder_embed_dim
         layers_flops = sum(
             8 * chunk * d * d          # q/k/v/out projections
@@ -377,17 +517,17 @@ def _measure_batch_streaming(b=16, chunk=128, cap=3072, n_steps=20,
         )
         step_flops = b * (layers_flops + pos_conv)
         chunk_secs = chunk * 0.02  # fp=20
-        entry = _with_mfu({
+        entry = _with_spread(_with_mfu({
             "metric": tag or f"streaming_causal_batch{b}_aggregate_realtime_x",
             "value": round(b * chunk_secs / dt, 1),
             "unit": "x_realtime",
             # the reference has no streaming path at all
             "vs_baseline": None,
             "ms_per_stream_chunk": round(dt * 1e3 / b, 2),
-        }, step_flops / dt)
+        }, step_flops / dt), b * chunk_secs, dts, ndigits=0)
         del sb, caches, h, hs, pf, params
         jax.clear_caches()
-        return entry
+        return _emit(entry)
     except Exception as e:  # noqa: BLE001 — other metrics still print
         print(f"[bench] batch streaming metric skipped: {e}",
               file=sys.stderr)
@@ -467,11 +607,17 @@ def _measure_train(n_steps=8):
 
             p, ost, key = one_step(p, ost, key)
             fence(p)  # compile + warm
-            t0 = time.time()
-            for _ in range(n_steps):
-                p, ost, key = one_step(p, ost, key)
-            fence(p)
-            sps = n_steps / (time.time() - t0)
+
+            def timed_pass():
+                nonlocal p, ost, key
+                t0 = time.time()
+                for _ in range(n_steps):
+                    p, ost, key = one_step(p, ost, key)
+                fence(p)
+                return (time.time() - t0) / n_steps
+
+            dt, dts = _median_dt(timed_pass)
+            sps = 1.0 / dt
             rkey = ("pretrain_steps_per_sec" if not teacher
                     else "distill_steps_per_sec")
             # grad step ~ 3x forward matmul FLOPs; distillation adds the
@@ -483,12 +629,12 @@ def _measure_train(n_steps=8):
                 )
             else:
                 step_flops = 3 * b * _melhubert_fwd_flops(cfg, t, 80)
-            out.append(_with_mfu({
+            out.append(_emit(_with_spread(_with_mfu({
                 "metric": f"{name}_steps_per_sec_f32_B4_T768",
                 "value": round(sps, 2),
                 "unit": "steps/s",
                 "vs_baseline": round(sps / ref[rkey], 1) if ref else None,
-            }, sps * step_flops))
+            }, sps * step_flops), 1.0, dts)))
             del gs, p, ost
             jax.clear_caches()
         return out
@@ -578,21 +724,26 @@ def _measure_recipe_train(n_updates=4, n_steps=6):
         ost = opt.init(p)
         p, ost, key = one_update(p, ost, jax.random.PRNGKey(2))
         fence(p)  # compile + warm
-        t0 = time.time()
-        for _ in range(n_updates):
-            p, ost, key = one_update(p, ost, key)
-        fence(p)
-        dt = (time.time() - t0) / n_updates
+
+        def timed_pass():
+            nonlocal p, ost, key
+            t0 = time.time()
+            for _ in range(n_updates):
+                p, ost, key = one_update(p, ost, key)
+            fence(p)
+            return (time.time() - t0) / n_updates
+
+        dt, dts = _median_dt(timed_pass)
         flops = 3 * 32 * _melhubert_fwd_flops(cfg, t, 80)
         sample_sps = 32.0 / dt
-        out.append(_with_mfu({
+        out.append(_emit(_with_spread(_with_mfu({
             "metric": "melhubert_pretrain_effbatch32_accum8_updates_per_sec",
             "value": round(1.0 / dt, 2),
             "unit": "updates/s",
             "samples_per_sec": round(sample_sps, 1),
             "vs_baseline": (round(sample_sps / ref_sps, 1)
                             if ref_sps else None),
-        }, flops / dt))
+        }, flops / dt), 1.0, dts)))
         del gs, p, ost
         jax.clear_caches()
 
@@ -611,20 +762,25 @@ def _measure_recipe_train(n_updates=4, n_steps=6):
         ost = opt.init(p)
         p, ost, key = one_step(p, ost, jax.random.PRNGKey(2))
         fence(p)
-        t0 = time.time()
-        for _ in range(n_steps):
-            p, ost, key = one_step(p, ost, key)
-        fence(p)
-        dt = (time.time() - t0) / n_steps
+
+        def timed_pass2():
+            nonlocal p, ost, key
+            t0 = time.time()
+            for _ in range(n_steps):
+                p, ost, key = one_step(p, ost, key)
+            fence(p)
+            return (time.time() - t0) / n_steps
+
+        dt, dts = _median_dt(timed_pass2)
         sample_sps = 32.0 / dt
-        out.append(_with_mfu({
+        out.append(_emit(_with_spread(_with_mfu({
             "metric": "melhubert_pretrain_B32_T768_steps_per_sec",
             "value": round(1.0 / dt, 2),
             "unit": "steps/s",
             "samples_per_sec": round(sample_sps, 1),
             "vs_baseline": (round(sample_sps / ref_sps, 1)
                             if ref_sps else None),
-        }, flops / dt))
+        }, flops / dt), 1.0, dts)))
         del gs, p, ost
         jax.clear_caches()
         return out
@@ -713,22 +869,33 @@ def _measure_10ms_and_scoring(n_steps=6):
         ost = opt.init(p)
         p, ost, key = one_step(p, ost, jax.random.PRNGKey(2))
         fence(p)
-        t0 = time.time()
-        for _ in range(n_steps):
-            p, ost, key = one_step(p, ost, key)
-        fence(p)
-        dt = (time.time() - t0) / n_steps
+
+        def timed_pass():
+            nonlocal p, ost, key
+            t0 = time.time()
+            for _ in range(n_steps):
+                p, ost, key = one_step(p, ost, key)
+            fence(p)
+            return (time.time() - t0) / n_steps
+
+        dt, dts = _median_dt(timed_pass)
         flops = 3 * b * _melhubert_fwd_flops(cfg10, t, 40)
-        out.append(_with_mfu({
+        out.append(_emit(_with_spread(_with_mfu({
             "metric": "melhubert10ms_pretrain_B4_T1500_steps_per_sec",
             "value": round(1.0 / dt, 2),
             "unit": "steps/s",
             "vs_baseline": round((1.0 / dt) / ref10, 1) if ref10 else None,
-        }, flops / dt))
+        }, flops / dt), 1.0, dts)))
         del gs, p, ost
         jax.clear_caches()
 
-        # ---- data-driven head-scoring pass (flagship, B=4, T=768) -------
+        # ---- data-driven head-scoring pass (flagship, B=32, T=768) ------
+        # scoring is forward + probe-grads only, so the Runner stacks
+        # buckets to a chip-filling B>=32 by default (runner.py
+        # _data_driven_head_scores / _stack_buckets); this row times that
+        # shape. vs_baseline compares SAMPLE throughput against the
+        # reference's B=4 scoring step (hp_utils.py:287-335 torch-CPU
+        # replica): ours = B/dt samples/s vs ref = 4 x scoring steps/s.
         cfg = MelHuBERTConfig.from_dict({
             "feat_emb_dim": 80, "encoder_layers": 12,
             "encoder_embed_dim": 768, "encoder_ffn_embed_dim": 3072,
@@ -736,7 +903,7 @@ def _measure_10ms_and_scoring(n_steps=6):
             "mask_prob": 0.7, "mask_length": 5,
         })
         params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
-        b, t = 4, 768
+        b, t = 32, 768
         batch = {
             "feat": jnp.asarray(rng.standard_normal((b, t, 80)),
                                 jnp.float32),
@@ -767,28 +934,36 @@ def _measure_10ms_and_scoring(n_steps=6):
         feat = batch["feat"]
         loss, scores = score_step(params, probes, feat, key)
         fence(scores)  # compile + warm
-        t0 = time.time()
-        x = feat
-        for _ in range(n_steps):
-            # chain on the loss so the axon backend cannot overlap steps
-            loss, scores = score_step(params, probes, x, key)
-            x = feat + 1e-12 * loss
-        fence(scores)
-        dt = (time.time() - t0) / n_steps
+
+        def timed_pass_score():
+            t0 = time.time()
+            x = feat
+            for _ in range(n_steps):
+                # chain on the loss so the axon backend cannot overlap steps
+                loss, scores = score_step(params, probes, x, key)
+                x = feat + 1e-12 * loss
+            fence(scores)
+            return (time.time() - t0) / n_steps
+
+        dt, dts = _median_dt(timed_pass_score)
         # fwd + probe-grad backward ~ 2x forward FLOPs (grads flow to the
         # probes only — no parameter-gradient matmuls)
         flops = 2 * b * _melhubert_fwd_flops(cfg, t, 80)
-        out.append(_with_mfu({
+        samples_sps = b / dt
+        out.append(_emit(_with_spread(_with_mfu({
             "metric": "headprune_data_driven_scoring_steps_per_sec",
             "value": round(1.0 / dt, 2),
             "unit": "steps/s",
-            # anchor: torch-CPU replica of the reference's scoring step
+            "batch": [b, t],
+            "samples_per_sec": round(samples_sps, 1),
+            # anchor: torch-CPU replica of the reference's B=4 scoring step
             # (full backward + context einsum, hp_utils.py:287-335); ours
             # back-propagates to probes only — same scores, workflow-level
-            # comparison (tools/measure_reference_baseline.py --extra)
-            "vs_baseline": (round((1.0 / dt) / ref_score, 1)
+            # SAMPLE-throughput comparison
+            # (tools/measure_reference_baseline.py --extra)
+            "vs_baseline": (round(samples_sps / (4.0 * ref_score), 1)
                             if ref_score else None),
-        }, flops / dt))
+        }, flops / dt), 1.0, dts)))
         jax.clear_caches()
         return out
     except Exception as e:  # noqa: BLE001 — other metrics still print
@@ -858,23 +1033,28 @@ def _measure_longform_train(n_steps=4, t=8192):
         ost = opt.init(p)
         p, ost, key = one_step(p, ost, jax.random.PRNGKey(2))
         fence(p)  # compile + warm
-        t0 = time.time()
-        for _ in range(n_steps):
-            p, ost, key = one_step(p, ost, key)
-        fence(p)
-        dt = (time.time() - t0) / n_steps
+
+        def timed_pass():
+            nonlocal p, ost, key
+            t0 = time.time()
+            for _ in range(n_steps):
+                p, ost, key = one_step(p, ost, key)
+            fence(p)
+            return (time.time() - t0) / n_steps
+
+        dt, dts = _median_dt(timed_pass)
         flops = b * (
             _melhubert_fwd_flops(tcfg, t, 40)
             + 3 * _melhubert_fwd_flops(scfg, t, 40)
         )
-        out = [_with_mfu({
+        out = [_emit(_with_spread(_with_mfu({
             "metric": "melhubert10ms_distill_T8192_steps_per_sec",
             "value": round(1.0 / dt, 2),
             "unit": "steps/s",
             # the reference cannot run T=8192 (data-side length cap)
             "vs_baseline": None,
             "realtime_x": round((t / 100.0) / dt, 1),  # fp=10: 100 fps
-        }, flops / dt)]
+        }, flops / dt), 1.0, dts))]
         del gs, p, ost, tparams, sparams
         jax.clear_caches()
         return out
@@ -938,17 +1118,22 @@ def _measure_wave_train(n_steps=8):
             ost = opt.init(p)
             p, ost, key = one_step(p, ost, jax.random.PRNGKey(2))
             fence(p)  # compile + warm
-            t0 = time.time()
-            for _ in range(n_steps):
-                p, ost, key = one_step(p, ost, key)
-            fence(p)
-            dt = (time.time() - t0) / n_steps
+
+            def timed_pass():
+                nonlocal p, ost, key
+                t0 = time.time()
+                for _ in range(n_steps):
+                    p, ost, key = one_step(p, ost, key)
+                fence(p)
+                return (time.time() - t0) / n_steps
+
+            dt, dts = _median_dt(timed_pass)
             step_flops = 3 * b * wave_fwd_flops(
                 setup["cfg"], t_wave, setup["t_frames"]
             )
             row = base.get(f"reference_cpu_{model}_train")
             ref_sps = row["pretrain_steps_per_sec"] if row else None
-            out.append(_with_mfu({
+            out.append(_emit(_with_spread(_with_mfu({
                 "metric": f"{model}_pretrain_steps_per_sec_f32_B4_15s",
                 "value": round(1 / dt, 2),
                 "unit": "steps/s",
@@ -957,7 +1142,7 @@ def _measure_wave_train(n_steps=8):
                 "vs_baseline": (round((1 / dt) / ref_sps, 1)
                                 if ref_sps else None),
                 "realtime_x": round(b * t_wave / 16000 / dt, 1),
-            }, step_flops / dt))
+            }, step_flops / dt), 1.0, dts)))
             del grad_step, p, ost, setup
             jax.clear_caches()
         return out

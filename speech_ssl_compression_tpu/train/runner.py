@@ -56,6 +56,28 @@ from .steps import (
 from .optim_mixin import OptimizerScheduleMixin
 
 
+def _stack_buckets(batches: list) -> dict:
+    """Stack host-local bucket batches into one chip-filling batch for the
+    head-scoring pass: pad every bucket to the group's max T (rounded up to
+    a multiple of 128 so distinct bucket lengths don't each trigger a fresh
+    jit of the scoring step) and concatenate on the batch axis."""
+    t = -(-max(b["feat"].shape[1] for b in batches) // 128) * 128
+    feat, label, pad, lens = [], [], [], []
+    for b in batches:
+        bt = b["feat"].shape[1]
+        w = ((0, 0), (0, t - bt), (0, 0))
+        feat.append(np.pad(b["feat"], w))
+        label.append(np.pad(b["label"], w[:2], constant_values=-100))
+        pad.append(np.pad(b["pad_mask"], w[:2]))
+        lens.append(b["length"])
+    return {
+        "feat": np.concatenate(feat),
+        "label": np.concatenate(label),
+        "pad_mask": np.concatenate(pad),
+        "length": np.concatenate(lens),
+    }
+
+
 class Runner(OptimizerScheduleMixin):
     def __init__(self, args, runner_config: dict, upstream_config: dict):
         self.args = args
@@ -609,7 +631,17 @@ class Runner(OptimizerScheduleMixin):
         )
 
     def _data_driven_head_scores(self):
-        """Sub-epoch probe-gradient scoring loop (hp_utils.py:242-353)."""
+        """Sub-epoch probe-gradient scoring loop (hp_utils.py:242-353).
+
+        Scoring is forward + probe-gradients only (no parameter-gradient
+        matmuls, no optimizer state), so nothing pins it to the training
+        micro-batch: consecutive buckets are stacked into chip-filling
+        scoring batches (default B>=32; `prune.scoring_batch_buckets`
+        overrides, 1 = per-bucket like the reference's loop). The per-head
+        |<context, dL/dcontext>| accumulation is a sum over data either
+        way — grouping only changes the Monte-Carlo batching of the mask
+        draws, not the score semantics (and `normalize_by_layer`
+        renormalizes per layer afterwards)."""
         from ..models.melhubert import melhubert_pretrain_loss
 
         cfg = self.cfg
@@ -618,9 +650,15 @@ class Runner(OptimizerScheduleMixin):
         assert 0 < data_ratio <= 1
         dataset = self._get_dataloader()
         total_steps = max(1, int(len(dataset) * data_ratio))
+        bucket_b = int(self.runner_config["datarc"]["train_batch_size"])
+        group = int(pc.get("scoring_batch_buckets", 0) or 0)
+        if group <= 0:
+            group = max(1, -(-32 // max(1, bucket_b)))
+        group = min(group, total_steps)
         print(
             f"[Head Pruning] - data-driven scoring over {data_ratio} of an "
-            f"epoch = {total_steps} buckets"
+            f"epoch = {total_steps} buckets "
+            f"(stacked {group}/scoring batch = B{bucket_b * group})"
         )
 
         @jax.jit
@@ -644,10 +682,18 @@ class Runner(OptimizerScheduleMixin):
         scores = [
             np.zeros((h,), np.float64) for h in cfg.encoder_attention_heads
         ]
+        n_groups = -(-total_steps // group)
         it = dataset.epoch(shuffle=True)
+        pending = []
+        consumed = 0
         for step, batch in enumerate(it):
             if step >= total_steps:
                 break
+            pending.append(batch)
+            if len(pending) < group and step != total_steps - 1:
+                continue
+            batch = _stack_buckets(pending) if len(pending) > 1 else pending[0]
+            pending = []
             self.rng, k = jax.random.split(self.rng)
             _, per_layer = score_step(
                 self.params, hp.make_head_probes(
@@ -658,8 +704,10 @@ class Runner(OptimizerScheduleMixin):
                 self._device_batch(batch),
                 self._key(k),
             )
+            consumed += 1
             for i, s in enumerate(per_layer):
-                scores[i] += np.asarray(s, np.float64) / total_steps
+                scores[i] += np.asarray(s, np.float64) / n_groups
+        assert consumed == n_groups, (consumed, n_groups)
 
         norm_exp = pc.get("normalize_by_layer")
         if norm_exp is not None:

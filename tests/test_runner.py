@@ -376,3 +376,35 @@ def test_lr_schedule_epoch_driven_total(tmp_path):
     lr_end = runner._applied_lr()
     base_lr = float(rc["optimizer"]["lr"])
     assert lr_end < base_lr * 0.51  # linear decay past the midpoint
+
+
+def test_stack_buckets_padding_semantics():
+    """Chip-filling head-scoring batches: _stack_buckets pads each bucket
+    to the group max T (128-multiple) and concatenates; every original row
+    survives verbatim, labels pad with -100 and pad_mask with 0 so padded
+    frames are loss- and score-inert."""
+    from speech_ssl_compression_tpu.train.runner import _stack_buckets
+
+    rng = np.random.default_rng(0)
+
+    def bucket(b, t, d=8):
+        lens = rng.integers(t // 2, t + 1, b).astype(np.int32)
+        feat = rng.standard_normal((b, t, d)).astype(np.float32)
+        label = rng.integers(0, 5, (b, t)).astype(np.int32)
+        pad = (np.arange(t)[None] < lens[:, None]).astype(np.float32)
+        return {"feat": feat, "label": label, "pad_mask": pad,
+                "length": lens}
+
+    a, b = bucket(2, 100), bucket(2, 180)
+    out = _stack_buckets([a, b])
+    assert out["feat"].shape == (4, 256, 8)  # 180 -> next 128-multiple
+    np.testing.assert_array_equal(out["feat"][:2, :100], a["feat"])
+    np.testing.assert_array_equal(out["feat"][2:, :180], b["feat"])
+    assert (out["feat"][:2, 100:] == 0).all()
+    np.testing.assert_array_equal(out["label"][2:, :180], b["label"])
+    assert (out["label"][:, 180:] == -100).all()
+    assert (out["label"][:2, 100:180] == -100).all()
+    np.testing.assert_array_equal(out["pad_mask"][:2, :100], a["pad_mask"])
+    assert (out["pad_mask"][:, 180:] == 0).all()
+    np.testing.assert_array_equal(
+        out["length"], np.concatenate([a["length"], b["length"]]))

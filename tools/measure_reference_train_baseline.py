@@ -220,6 +220,60 @@ def _measure_wave(model_name, b=4, t_wave=245760, n_rep=3, warmup=1):
     return 1.0 / dt, t_frames
 
 
+def _measure_hubert_extract(b=2, t_wave=491520, n_rep=2, warmup=1):
+    """Reference-style HuBERT FEATURE EXTRACTION on CPU: features_only
+    forward (conv frontend + 12L/768 encoder, no masking/loss — reference
+    model.py:359-366), torch no_grad. Measured at B=2 x 30.7 s (CPU memory/
+    time bounded); frames/s normalizes out the batch size for the
+    throughput comparison bench.py's hubert extraction row makes."""
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+    source = torch.from_numpy(
+        rng.standard_normal((b, t_wave)).astype(np.float32)
+    )
+    frontend = _build_conv_frontend().eval()
+    enc = build_oracle(
+        feat_dim=512, d=768, heads=12, ffn=3072, n_layers=12,
+        n_cluster=256, conv_pos=128, conv_groups=16,
+    ).float().eval()
+
+    with torch.no_grad():
+        t_frames = frontend(source[:1, None]).shape[-1]
+    pad = torch.zeros(b, t_frames, dtype=torch.bool)
+
+    def step():
+        with torch.no_grad():
+            feats = frontend(source[:, None]).transpose(1, 2)
+            x = enc["pre_proj"](feats)
+            c = enc["pos_conv"](x.transpose(1, 2))[:, :, :-1]
+            c = torch.nn.functional.gelu(c.transpose(1, 2))
+            x = x + c
+            x = enc["enc_ln"](x)
+            for layer in enc["layers"]:
+                res = x
+                a, _ = layer["attn"](x, x, x, key_padding_mask=pad,
+                                     need_weights=False)
+                x = layer["ln1"](res + a)
+                res = x
+                h = layer["fc2"](
+                    torch.nn.functional.gelu(layer["fc1"](x)))
+                x = layer["ln2"](res + h)
+        return x
+
+    dt = _bench(step, n_rep=n_rep, warmup=warmup)
+    return {
+        "frames_per_sec": b * t_frames / dt,
+        "batch": [b, t_wave, t_frames],
+        "torch_threads": torch.get_num_threads(),
+        "note": (
+            "torch-CPU replica of the reference hubert features_only "
+            "forward (model.py:359-366: base conv frontend + 12L/768 "
+            "encoder, no masking/loss); reference itself cannot run here "
+            "(missing fairseq dep)"
+        ),
+    }
+
+
 def main():
     import argparse
 
@@ -228,7 +282,20 @@ def main():
                     help="re-measure only the round-4 rows (hubert / "
                     "wav2vec2 / 10ms-recipe) and merge into the existing "
                     "BASELINE_train_local.json")
+    ap.add_argument("--hubert-extract", action="store_true",
+                    help="measure only reference_cpu_hubert_extract and "
+                    "merge it into BASELINE_local.json (the EXTRACTION "
+                    "anchor file bench.py reads)")
     args = ap.parse_args()
+
+    if args.hubert_extract:
+        path = (pathlib.Path(__file__).resolve().parent.parent
+                / "BASELINE_local.json")
+        out = json.loads(path.read_text()) if path.exists() else {}
+        out["reference_cpu_hubert_extract"] = _measure_hubert_extract()
+        path.write_text(json.dumps(out, indent=2))
+        print(json.dumps(out["reference_cpu_hubert_extract"], indent=2))
+        return
 
     path = (pathlib.Path(__file__).resolve().parent.parent
             / "BASELINE_train_local.json")
