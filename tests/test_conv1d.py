@@ -42,6 +42,7 @@ def test_conv1d_strided_matches_xla(k, s, t):
     np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_conv_frontend_pallas_impl_matches_nch():
     """The tc_pallas frontend routing equals the NCH formulation (layers
     with C % 128 != 0 — layer 0 — fall back to im2col/conv)."""

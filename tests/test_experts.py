@@ -139,6 +139,7 @@ def test_expert_keeps_weight_pruning_masks(tmp_path):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_hubert_expert_contract():
     """VERDICT r1 missing #4: expert-contract module for HuBERT with the
     importlib dispatch interface (reference runner.py:131-152)."""

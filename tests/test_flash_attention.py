@@ -130,6 +130,7 @@ def test_flash_forward_block_plan_parity_with_segments():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("causal", [False, True])
 def test_flash_streamed_forward_long_sequence(causal):
     """T > 4096 takes the streamed kernel (k/v blocks in the grid, online-
@@ -153,6 +154,7 @@ def test_flash_streamed_forward_long_sequence(causal):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("t,causal", [(1100, False), (1700, False),
                                       (1700, True)])
 def test_flash_gradients_mixed_grid_regimes(t, causal):

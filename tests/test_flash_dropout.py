@@ -2,6 +2,7 @@
 consistency (interpret mode)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
@@ -37,6 +38,7 @@ def test_dropout_deterministic_and_applied():
 # and therefore real hardware; see tools/check_dropout_tpu.py.
 
 
+@pytest.mark.slow
 def test_dropout_backward_uses_same_mask_as_forward():
     """Finite-difference check: d/deps sum(f(q + eps*dq_dir)) must match the
     analytic gradient — only true if fwd and bwd regenerate the same mask."""

@@ -242,6 +242,7 @@ def test_shared_rounding_count_matches_reference_no_padding():
     assert per_row < shared, (per_row, shared)
 
 
+@pytest.mark.slow
 def test_melhubert_masks_not_batch_min_subsampled():
     """The reference MelHuBERT passes require_same_masks=False explicitly
     (model.py:76): a short utterance must NOT cut the long rows' mask

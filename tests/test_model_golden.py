@@ -75,6 +75,7 @@ def test_forward_matches_oracle(golden):
         assert e < 1e-4, (i, e)
 
 
+@pytest.mark.slow
 def test_flash_attention_matches_dense_on_cpu(golden):
     """Pallas kernel (interpret mode on CPU) vs the dense XLA path."""
     from speech_ssl_compression_tpu.ops import flash_attention as fa

@@ -80,6 +80,7 @@ def test_data_parallel_step():
     assert np.isfinite(loss) and np.isfinite(gnorm)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_matches_data_parallel():
     mesh_dp = make_mesh(8, model_parallel=1)
     mesh_tp = make_mesh(8, model_parallel=2)

@@ -113,6 +113,7 @@ def test_melhubert_pretrain_smoke(tmp_path):
     runner2.train()
 
 
+@pytest.mark.slow
 def test_weight_pruning_smoke(tmp_path):
     csv = make_dataset(tmp_path)
     rc = base_runner_cfg(csv, total_steps=6)

@@ -150,6 +150,7 @@ def test_streaming_wav_matches_offline_featurizer():
         )
 
 
+@pytest.mark.slow
 def test_streaming_head_pruned_model():
     """Per-layer head counts (the shape head pruning leaves behind) must
     stream: caches are built per layer from cfg.encoder_attention_heads."""

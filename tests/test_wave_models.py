@@ -479,6 +479,7 @@ def test_contrastive_dense_matches_index_path():
                                    atol=2e-5)
 
 
+@pytest.mark.slow
 def test_wav2vec2_forward_dense_vs_index_loss():
     """Model-level: contrastive_impl='dense' (the default) and 'index'
     give the same pretrain loss and accuracy."""

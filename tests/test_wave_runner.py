@@ -117,6 +117,7 @@ def test_wav2vec2_wave_runner_smoke(tmp_path):
     assert os.path.exists(os.path.join(args.expdir, "last-step.npz"))
 
 
+@pytest.mark.slow
 def test_wav2vec2_runner_precomputed_mask(tmp_path):
     """task.precompute_mask_config flows dataset -> collate -> grad step."""
     data = make_wav_dataset(tmp_path, with_labels=False)
