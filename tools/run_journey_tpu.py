@@ -200,6 +200,9 @@ def build_dataset(workdir):
         ),
         "pad_mask": np.ones((BATCH, T_CROP), np.float32),
     }
+    # persisted so tools/journey_quality_curve.py can evaluate the
+    # intermediate ladder/prune checkpoints without refitting k-means
+    np.savez(workdir / "eval_batch.npz", **eval_batch)
     return str(csv), eval_batch, {"kmeans_sec": round(kmeans_sec, 1),
                                   "kmeans_inertia_per_row": float(inertia)}
 
