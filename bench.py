@@ -85,8 +85,13 @@ def _with_mfu(entry, flops_per_sec):
 
 def _median_dt(timed_pass, repeats=None):
     """Run a full timed pass (host-chained loop + its own fence) `repeats`
-    times; return (median_dt, [all dts]). Fresh fences per pass keep the
-    passes independent on the axon backend."""
+    times and return (median_dt, [all dts]). Fresh fences per pass keep
+    the passes independent on the axon backend. One extra pass runs first
+    and is DISCARDED: stages inherit the previous metric's HBM/allocator
+    state, and the first pass after a big dealloc can ramp 20-30% below
+    steady state (measured on the distillation row — /tmp/distill_warm
+    study, BASELINE.md round-5 adjudication)."""
+    timed_pass()  # discarded warm pass
     dts = [timed_pass() for _ in range(repeats or REPEATS)]
     return float(np.median(dts)), dts
 
