@@ -318,6 +318,102 @@ def test_two_process_train_end_to_end(tmp_path):
                                    rtol=1e-4, atol=1e-6)
 
 
+_HP_WORKER = '''
+import os, sys, types, json
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, {repo!r})
+
+import numpy as np
+from speech_ssl_compression_tpu.parallel.multihost import initialize
+
+pid = int(sys.argv[1])
+initialize(coordinator_address={coord!r}, num_processes=2, process_id=pid)
+assert jax.process_count() == 2
+
+from speech_ssl_compression_tpu.train.runner import Runner
+
+model_cfg = {{
+    "melhubert": {{
+        "feat_emb_dim": 80, "encoder_layers": 2,
+        "encoder_embed_dim": 64, "encoder_ffn_embed_dim": 128,
+        "encoder_attention_heads": 4, "head_dim": 16, "num_cluster": 10,
+        "conv_pos": 16, "conv_pos_groups": 4,
+        "mask_prob": 0.65, "mask_length": 4,
+        "dropout": 0.0, "attention_dropout": 0.0,
+        "activation_dropout": 0.0,
+    }},
+    "task": {{"sequence_length": 0}},
+}}
+runner_cfg = {{
+    "runner": {{"n_epochs": 0, "total_steps": 4,
+               "gradient_clipping": 10.0,
+               "gradient_accumulate_steps": 1, "log_step": 1,
+               "save_every_x_epochs": 100, "bf16": False}},
+    "optimizer": {{"lr": 1.0e-4, "betas": [0.9, 0.999], "eps": 1.0e-8,
+                  "weight_decay": 0}},
+    "datarc": {{"num_workers": 0, "train_batch_size": 2, "max_timestep": 0,
+               "sets": [{csv!r}]}},
+    "prune": {{
+        "metric": "data-driven", "target": "by_whole",
+        "total_steps": 1, "interval": 2, "warm_up": 1,
+        "num_heads_each_step": 2, "data_ratio": 1.0,
+        "normalize_by_layer": 2,
+        # default (0) exercises the chip-filling bucket stacking:
+        # the grouped scoring batch shapes must stay lockstep across
+        # processes for the global-array assembly to succeed
+        "scoring_batch_buckets": 0,
+    }},
+}}
+args = types.SimpleNamespace(
+    mode="head-pruning", upstream="melhubert", expdir={expdir!r},
+    initial_weight=None, init_optimizer_from_initial_weight=False,
+    frame_period=20, seed=0,
+)
+runner = Runner(args, runner_cfg, model_cfg)
+runner.train()
+with open(os.path.join({expdir!r}, f"pruned_{{pid}}.json"), "w") as f:
+    json.dump(runner.pruned_heads, f)
+print(f"[worker {{pid}}] heads={{runner.cfg.encoder_attention_heads}}")
+'''
+
+
+@pytest.mark.slow
+def test_two_process_data_driven_head_pruning(tmp_path):
+    """Data-driven head pruning across 2 processes: the scoring loop's
+    chip-filling bucket stacking (round 5) must keep LOCKSTEP shapes
+    across processes (grouped batches assemble into global arrays), and
+    both processes must reach the IDENTICAL prune decision — a diverged
+    score would physically slice different heads per process and desync
+    every later collective."""
+    csv = _make_dataset(tmp_path)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+
+    expdir = str(tmp_path / "exp_hp")
+    os.makedirs(expdir, exist_ok=True)
+    code = _HP_WORKER.format(repo=str(REPO), coord=coord, csv=csv,
+                             expdir=expdir)
+    outs = _run([(code, 0), (code, 1)], env)
+
+    import json
+    pruned = [json.load(open(os.path.join(expdir, f"pruned_{p}.json")))
+              for p in (0, 1)]
+    assert pruned[0] == pruned[1], f"prune decisions diverged: {pruned}"
+    assert sum(len(v) for v in pruned[0][0].values()) == 2  # 1 event x 2 heads
+    # scoring ran through the stacked-bucket path on both workers
+    for out, _ in outs:
+        assert "stacked" in out, out[-2000:]
+
+
 _CLI_WORKER = '''
 import os, sys
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
