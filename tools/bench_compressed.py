@@ -81,9 +81,10 @@ def main():
     for name, cfg in variants:
         params = init_melhubert_params(jax.random.PRNGKey(0), cfg)
         n_params = count_params(params)
-        fps = bench._measure(
+        frames, dt, _ = bench._measure(
             cfg, params, feat, pad, lens, args.reps, jnp.float32, "default"
         )
+        fps = frames / dt
         flops_per_frame = sum(
             melhubert_fwd_flops(cfg, n, 80) for n in lens
         ) / sum(lens)
