@@ -17,14 +17,17 @@ TOOL = pathlib.Path(__file__).resolve().parent.parent / "tools" / "run_journey_t
 
 
 @pytest.mark.slow
-def test_tiny_journey(tmp_path):
+@pytest.mark.parametrize("fp", [20, 10])
+def test_tiny_journey(tmp_path, fp):
     res = subprocess.run(
-        [sys.executable, str(TOOL), "--tiny", "--workdir", str(tmp_path)],
+        [sys.executable, str(TOOL), "--tiny", "--fp", str(fp),
+         "--workdir", str(tmp_path)],
         capture_output=True, text=True, timeout=900,
     )
     assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
 
     summary = json.loads((tmp_path / "summary.json").read_text())
+    assert summary["frame_period_ms"] == fp
     stages = {row["stage"]: row for row in summary["stages"]}
     assert set(stages) == {
         "pretrain", "weight-prune", "head-prune", "row-prune",

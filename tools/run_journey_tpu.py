@@ -29,6 +29,10 @@ events; the compressed models stay usable).
 Run: python tools/run_journey_tpu.py [--workdir /tmp/journey]
      (~10-20 min on a warm compile cache; recompiles per structured-prune
       shape change dominate a cold run)
+     --fp 10 runs the 10 ms recipe instead: raw 40-d fbank, T=1500 crops
+     (the reference's 10 ms sequence_length,
+     /root/reference/weight_pruning/config/config_model_10ms.yaml:32) —
+     the long-sequence variant of the same staged workflow.
 Writes <workdir>/summary.json and prints a markdown table.
 """
 
@@ -45,12 +49,22 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 EXAMPLES = pathlib.Path("/root/reference/example")
 
+FP = 20              # frame period (ms); 20 = stacked pairs, 10 = raw
 D_FEAT = 80          # 20 ms stacked fbank
 N_CLUSTER = 512
 T_CROP = 768         # the bench's flagship training shape (cache-warm)
 N_UTTS = 64
 BATCH = 4
 DIMS = {"layers": 12, "d": 768, "ffn": 3072, "heads": 12}
+
+
+def _set_fp10():
+    """The 10 ms recipe: raw 40-d fbank at 100 frames/s, 1500-frame crops
+    (reference weight_pruning/config/config_model_10ms.yaml:32)."""
+    global FP, D_FEAT, T_CROP
+    FP = 10
+    D_FEAT = 40
+    T_CROP = 1500
 
 
 def _set_tiny():
@@ -122,7 +136,7 @@ def make_args(workdir, mode, **kw):
         expdir=str(workdir / f"exp_{mode}"),
         initial_weight=None,
         init_optimizer_from_initial_weight=False,
-        frame_period=20,
+        frame_period=FP,
         seed=0,
     )
     for k, v in kw.items():
@@ -151,7 +165,7 @@ def build_dataset(workdir):
     mels = []
     for name in ("100-121669-0000.flac", "1001-134707-0000.flac"):
         wav, _ = read_audio(EXAMPLES / name)
-        mels.append(wav_to_mel(wav[0], mean, std, fp=20))
+        mels.append(wav_to_mel(wav[0], mean, std, fp=FP))
     # one long feature stream; real speech statistics, tiled for length
     stream = np.concatenate(mels, axis=0)
     reps = -(-(T_CROP * (N_UTTS + 2)) // stream.shape[0])
@@ -178,12 +192,17 @@ def build_dataset(workdir):
     for i in range(N_UTTS):
         fp = data_dir / f"feat_{i}.npy"
         lp = data_dir / f"label_{i}.npy"
-        # training CSVs carry RAW 40-d 10 ms features at fp=20 in the
-        # reference layout (the dataset stacks pairs itself) — our crops
-        # are already stacked, so unstack to the on-disk layout
-        raw = crops[i].reshape(-1, 40)
+        # training CSVs carry RAW 40-d 10 ms features in the reference
+        # layout regardless of frame period (at fp=20 the dataset stacks
+        # pairs itself and decimates labels [::2]) — 20 ms crops are
+        # already stacked, so unstack + repeat labels to the on-disk rate
+        if FP == 20:
+            raw = crops[i].reshape(-1, 40)
+            np.save(lp, np.repeat(labels[i], 2))
+        else:
+            raw = crops[i]
+            np.save(lp, labels[i])
         np.save(fp, raw)
-        np.save(lp, np.repeat(labels[i], 2))
         rows.append((str(fp), str(lp), raw.shape[0]))
     csv = workdir / "train.csv"
     with open(csv, "w") as f:
@@ -281,12 +300,17 @@ def main(argv=None):
     ap.add_argument("--workdir", default="/tmp/journey")
     ap.add_argument("--pretrain-steps", type=int, default=600)
     ap.add_argument("--distill-steps", type=int, default=300)
+    ap.add_argument("--fp", type=int, default=20, choices=(10, 20),
+                    help="frame period (ms); 10 = raw 40-d fbank with "
+                    "T=1500 long-sequence crops (the 10 ms recipe)")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke scale (toy dims, a few steps/stage)")
     args = ap.parse_args(argv)
 
     import jax
 
+    if args.fp == 10:
+        _set_fp10()
     if args.tiny:
         _set_tiny()
         jax.config.update("jax_platforms", "cpu")
@@ -340,7 +364,7 @@ def main(argv=None):
 
     workdir = pathlib.Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
-    summary = {"stages": []}
+    summary = {"frame_period_ms": FP, "t_crop": T_CROP, "stages": []}
 
     def record(stage, ckpt, t_sec, extra=None):
         loss, n_params, cfg = eval_ckpt(ckpt, eval_batch)
