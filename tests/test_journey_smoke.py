@@ -13,7 +13,9 @@ import sys
 
 import pytest
 
-TOOL = pathlib.Path(__file__).resolve().parent.parent / "tools" / "run_journey_tpu.py"
+TOOLS = pathlib.Path(__file__).resolve().parent.parent / "tools"
+TOOL = TOOLS / "run_journey_tpu.py"
+CURVE_TOOL = TOOLS / "journey_quality_curve.py"
 
 
 @pytest.mark.slow
@@ -48,3 +50,22 @@ def test_tiny_journey(tmp_path, fp):
     assert set(summary["serving_frames_per_sec"]) == {
         "dense_12L", "weight_pruned", "hp_rp_compressed", "student_6L",
     }
+
+    # the quality-curve tool evaluates every intermediate checkpoint the
+    # journey left behind against the same held-out batch
+    res = subprocess.run(
+        [sys.executable, str(CURVE_TOOL), "--backend", "cpu",
+         "--workdir", str(tmp_path)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
+    curve = json.loads((tmp_path / "quality_curve.json").read_text())
+    points = curve["points"] if isinstance(curve, dict) else curve
+    assert {p["stage"] for p in points} >= {
+        "pretrain", "weight-prune", "head-prune", "row-prune", "distill",
+    }
+    # more points than the journey's five stage-final rows (the curve's
+    # whole purpose is the intermediate rungs/events)
+    assert len(points) > len(stages)
+    for p in points:
+        assert 0.0 < p["heldout_masked_ce"] < 20.0, p

@@ -28,11 +28,19 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/journey")
+    ap.add_argument("--backend", default=None, choices=("cpu",),
+                    help="force the CPU backend (the axon plugin shadows "
+                    "JAX_PLATFORMS; tests evaluating a --tiny journey "
+                    "workdir need this)")
     args = ap.parse_args(argv)
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_test_cache" if args.backend == "cpu"
+                      else "/tmp/jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import run_journey_tpu as journey
