@@ -10,13 +10,15 @@ long-form extraction shape (B=1, H=12, T=8192, d=64) across
 runs. Run exclusively on the chip — concurrent host load inflates and
 REORDERS these timings by 2x (measured).
 
-MEASURED OUTCOME (round 5, quiet chip): the forward is
-tile-shape-insensitive — per-config minima over 3 interleaved rounds
-were 61.2-61.3 ms for (1024,512) shipped, (1024,1024) and (256,2048)
-alike (medians 62.5-66.4, within the co-tenant noise band), vs the
-backward's reproducible -8%. The forward's carry (m/l/acc in VMEM
-scratch) is tiny next to the backward's recompute, so fewer streaming
-steps buy nothing. Shipped constants stay.
+MEASURED OUTCOME (round 5): INCONCLUSIVE under chip co-tenancy — the
+same config measured 13.9-112.3 ms across windows, and a calibration
+check against the end-to-end streamed-extraction row shows even the
+best windows were ~2x inflated (full analysis in BASELINE.md,
+"Streamed-forward tile sweep"). One clean window hinted (1024,1024)
+may be ~25% faster at the attention level than the shipped
+(1024,512); re-run this tool on a genuinely idle chip (interleaved
+rounds, pre-traced variants, take minima) before acting on it.
+Shipped constants stay meanwhile.
 """
 import pathlib
 import sys
